@@ -1,0 +1,77 @@
+"""Fixture-table access for the query corpus.
+
+Tables are the driver-generated TPC-H-ish parquet files (TESTDATA.md):
+``region nation customer supplier part orders lineitem events documents
+embeddings``. Reads go straight through ``spark.read.parquet`` so Catalyst
+gets full predicate pushdown / column pruning on the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import configure_runtime
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): read as epoch-nanos LONG
+        # (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros with
+        # integer division — same floor semantics as DuckDB's ns->us read,
+        # and exact (a double division would lose precision above 2^53 ns).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+class Tables:
+    """Lazy accessor: ``Tables(spark, sf_dir).lineitem`` -> DataFrame."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        configure_runtime(spark)
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        # memoize: repeated access must return the SAME DataFrame object, so
+        # join conditions like t.orders.o_custkey == t.customer.c_custkey
+        # resolve against the joined lineage instead of a fresh scan
+        df = load_table(self._spark, self._sf_dir, name)
+        setattr(self, name, df)
+        return df
+
+    def register_views(self) -> None:
+        """Register every fixture table as a temp view for ``spark.sql``."""
+        for name in TABLE_NAMES:
+            load_table(self._spark, self._sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,242 @@
+"""Deduplication operators over a document corpus.
+
+Four families, all deterministic and engine-portable (md5-derived hashes, see
+``functions.hashing``):
+
+- exact:          hash-groupBy on normalized content
+- MinHash + LSH:  shingle -> k minhashes -> banded bucket join -> exact
+                  Jaccard verification on candidates only
+- SimHash:        per-token bit voting -> 32-bit signature
+- n-gram Jaccard: rare-shingle candidate join (document-frequency pruned)
+                  -> exact Jaccard on candidates
+
+Scale notes: every pairwise step goes through a shuffle join keyed on a
+band/bucket/shingle — candidates are generated locally per key, never by a
+cross join. The DF-pruning threshold on the n-gram path is the standard
+guard against hot shingles ("the the") exploding a key at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing, text
+
+MINHASH_BANDS = 4
+MINHASH_ROWS_PER_BAND = hashing.MINHASH_K // MINHASH_BANDS
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per duplicate *group*.
+
+    Returns (content_hash, keep_id, n_dups). Keeping MIN(id) is the
+    deterministic survivor policy. Map-side partial aggregation makes this a
+    single shuffle on the hash at any scale.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def _hash_in_lambda(s: Column) -> Column:
+    # md5-int32 usable inside transform() lambdas
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def shingled(docs: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
+    """(id, shingles: array<string>, hs: array<bigint>) with empty docs dropped."""
+    tok = text.tokens(F.col(text_col))
+    sh = text.word_shingles(tok, shingle_n)
+    return (
+        docs.select(F.col(id_col).alias("id"), sh.alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .withColumn("hs", F.transform(F.col("shingles"), _hash_in_lambda))
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, shingle_n: int = 3) -> DataFrame:
+    """k=16 MinHash signature columns mh0..mh15 per document."""
+    base = shingled(docs, text_col, id_col, shingle_n)
+    sig_cols = [hashing.minhash_sig(F.col("hs"), i).alias(f"mh{i}") for i in range(hashing.MINHASH_K)]
+    return base.select("id", "shingles", *sig_cols)
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """Explode signatures into (id, band, bkey) — one row per LSH band.
+
+    bkey is md5 of the band's signature slice; the candidate join is a plain
+    shuffle join on (band, bkey).
+    """
+    per_band = []
+    for b in range(MINHASH_BANDS):
+        cols = [F.col(f"mh{b * MINHASH_ROWS_PER_BAND + r}").cast("string") for r in range(MINHASH_ROWS_PER_BAND)]
+        per_band.append(
+            sigs.select(
+                "id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bkey"),
+            )
+        )
+    out = per_band[0]
+    for df in per_band[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+def jaccard_on_candidates(candidates: DataFrame, exploded: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs.
+
+    candidates: (doc_a, doc_b); exploded: (id, sh) distinct shingles;
+    sizes: (id, sz). Intersections come from two shuffle joins keyed on doc
+    ids — cost is proportional to candidate count, not corpus^2.
+    """
+    ea = exploded.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    eb = exploded.select(F.col("id").alias("eb_id"), F.col("sh").alias("sh_b"))
+    inter = (
+        candidates.join(ea, "doc_a")
+        .join(eb, (F.col("doc_b") == F.col("eb_id")) & (F.col("sh_a") == F.col("sh_b")), "inner")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verification.
+
+    Pipeline: shingle -> minhash (k=16) -> band (4x4) -> bucket join ->
+    distinct candidate pairs -> exact Jaccard -> threshold. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, shingle_n=shingle_n).cache()
+    bands = lsh_bands(sigs)
+    left = bands.select(F.col("id").alias("doc_a"), "band", "bkey")
+    right = bands.select(F.col("id").alias("doc_b"), "band", "bkey")
+    candidates = (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exploded = sigs.select("id", F.explode("shingles").alias("sh")).distinct()
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        jaccard_on_candidates(candidates, exploded, sizes)
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document over the token multiset.
+
+    One explode + one groupBy: each token votes +1/-1 on each bit of its
+    md5-derived hash; sign of the per-bit sum forms the signature. Entirely
+    aggregate-shaped — map-side combine keeps the shuffle tiny.
+    """
+    tok = text.tokens(F.col(text_col))
+    e = docs.select(F.col(id_col).alias("id"), F.explode(tok).alias("w"))
+    e = e.withColumn("h", hashing.md5_int32(F.col("w")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    g = e.groupBy("id").agg(*votes)
+    sig: Column = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint")
+    return g.select(F.col("id").alias("doc_id"), sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, *, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash: byte-band candidates, then Hamming filter.
+
+    Docs sharing any of the 4 signature bytes become candidates (standard
+    SimHash blocking); pairs with popcount(xor) <= max_hamming survive.
+    """
+    sh = simhash(docs).cache()
+    bands = None
+    for byte in range(4):
+        piece = sh.select(
+            F.col("doc_id"),
+            F.col("simhash"),
+            F.lit(byte).alias("band"),
+            F.shiftright(F.col("simhash"), byte * 8).bitwiseAND(F.lit(0xFF)).alias("bkey"),
+        )
+        bands = piece if bands is None else bands.unionAll(piece)
+    left = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bkey")
+    right = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "bkey")
+    return (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ngram_n: int = 2,
+    df_max: int = 20,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Word n-gram Jaccard near-dup pairs with DF-pruned candidates.
+
+    Candidates are pairs sharing at least one *rare* n-gram (document
+    frequency <= df_max); exact Jaccard over the full shingle sets is then
+    computed for candidates only. DF pruning is what keeps the shingle join
+    from exploding on hot n-grams at scale — hot shingles carry no signal.
+    """
+    base = shingled(docs, text_col, id_col, ngram_n)
+    exploded = base.select("id", F.explode("shingles").alias("sh")).distinct().cache()
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    rare = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count")).filter(F.col("df_count") <= df_max)
+    rare_exploded = exploded.join(rare.select("sh"), "sh")
+    la = rare_exploded.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_j"))
+    lb = rare_exploded.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_j"))
+    candidates = (
+        la.join(lb, "sh_j")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        jaccard_on_candidates(candidates, exploded, sizes)
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

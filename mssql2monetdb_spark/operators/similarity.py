@@ -1,0 +1,177 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+Two paths:
+
+- brute-force cosine top-k: broadcast the (small) query set against the
+  corpus — the corpus never shuffles; per-partition top-k via window.
+- LSH-bucketed near-dup / search: random-hyperplane sign bits, banded
+  (2 bands x 4 bits); candidate pairs only within matching buckets, so the
+  pair join is keyed and scales linearly with bucket occupancy, not n^2.
+
+Hyperplanes are deterministic (fixed LCG constants) so the DuckDB oracle can
+embed identical planes; cosine uses the left-fold double arithmetic from
+``functions.vectors`` for bit-identical cross-engine results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vectors
+
+EMBED_DIM = 64
+N_PLANES = 8
+LSH_BANDS = 2
+BITS_PER_BAND = N_PLANES // LSH_BANDS
+
+_LCG_M = 1 << 31
+
+
+def _lcg_floats(seed: int, n: int) -> list[float]:
+    xs, x = [], seed
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % _LCG_M
+        xs.append(x / _LCG_M - 0.5)
+    return xs
+
+
+#: N_PLANES deterministic hyperplanes of EMBED_DIM components in [-0.5, 0.5).
+HYPERPLANES: list[list[float]] = [_lcg_floats(1000 + i, EMBED_DIM) for i in range(N_PLANES)]
+
+
+def plane_bit(emb, plane: list[float]):
+    """1 if dot(emb, plane) > 0 else 0 (deterministic left-fold dot)."""
+    return F.when(vectors.dot(emb, vectors.const_array(plane)) > 0, 1).otherwise(0)
+
+
+def plane_bit_sql(emb_expr: str, plane: list[float]) -> str:
+    return (
+        f"(CASE WHEN {vectors.dot_sql(emb_expr, vectors.const_array_sql(plane))} > 0 "
+        f"THEN 1 ELSE 0 END)"
+    )
+
+
+def with_lsh_bands(emb_df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Add band/bkey rows: (.., band, bkey) one row per band per vector."""
+    emb = F.col(emb_col)
+    pieces = []
+    for band in range(LSH_BANDS):
+        key = F.lit(0)
+        for j in range(BITS_PER_BAND):
+            bit = plane_bit(emb, HYPERPLANES[band * BITS_PER_BAND + j])
+            key = key * 2 + bit
+        pieces.append(emb_df.withColumn("band", F.lit(band)).withColumn("bkey", key))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def band_key_sql(emb_expr: str, band: int) -> str:
+    expr = "0"
+    for j in range(BITS_PER_BAND):
+        expr = f"(({expr}) * 2 + {plane_bit_sql(emb_expr, HYPERPLANES[band * BITS_PER_BAND + j])})"
+    return expr
+
+
+def cosine_neardup_pairs(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    *,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding near-dup pairs: LSH-band candidates -> exact cosine filter.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b. Approximate by design:
+    recall depends on band geometry (documented LSH semantics); the oracle
+    replicates the same buckets so results are still exact-matched.
+    """
+    banded = with_lsh_bands(emb_df, emb_col)
+    left = banded.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"), "band", "bkey")
+    right = banded.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"), "band", "bkey")
+    cand = (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "emb_a", "emb_b")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            vectors.cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def topk_bruteforce(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query vector (the ANN baseline).
+
+    The query set is broadcast — the corpus is scanned once with no shuffle
+    until the final per-query top-k (a window over tiny partitions).
+    Returns (query_id, vec_id, cos_sim, rank).
+    """
+    queries = (
+        emb_df.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
+    )
+    scored = (
+        emb_df.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            vectors.cosine(F.col("q_emb"), F.col(emb_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def topk_lsh(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing an LSH band with the
+    query — the 100 TB path (bucket-pruned candidate set per query)."""
+    banded = with_lsh_bands(emb_df, emb_col)
+    queries = banded.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"), "band", "bkey"
+    )
+    cand = (
+        banded.join(F.broadcast(queries), ["band", "bkey"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", "q_emb", F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        vectors.cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

@@ -1,0 +1,394 @@
+"""SURVEY.md §2C — extension operators as declared queries with oracles.
+
+The oracle SQL for the hash-based operators is *generated* from the same
+constants the Spark plans use (``functions.hashing`` / ``operators.*``) so
+both engines run literally the same algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..functions import hashing, text, vectors
+from ..operators import dedup, multimodal, similarity, textstats
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY md5(text) ORDER BY content_hash
+    """,
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: single shuffle on the content hash (map-side combined)."""
+    t = Tables(spark, sf_dir)
+    return dedup.exact_duplicates(t.documents).orderBy("content_hash")
+
+
+def _minhash_oracle(shingle_n: int, threshold: float) -> str:
+    tok = text.tokens_sql("text")
+    sh = text.word_shingles_sql("tok", shingle_n)
+    sig_cols = ",\n           ".join(
+        f"{hashing.minhash_sig_sql('hs', i)} AS mh{i}" for i in range(hashing.MINHASH_K)
+    )
+    band_selects = []
+    for b in range(dedup.MINHASH_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(mh{b * dedup.MINHASH_ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(dedup.MINHASH_ROWS_PER_BAND)
+        )
+        band_selects.append(f"SELECT id, {b} AS band, md5({cols}) AS bkey FROM sigs")
+    bands = "\n    UNION ALL\n    ".join(band_selects)
+    jac = "CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter)"
+    return f"""
+    WITH tokenized AS (
+        SELECT doc_id AS id, {tok} AS tok FROM documents
+    ), base AS (
+        SELECT id, {sh} AS shingles FROM tokenized
+    ), hashed AS (
+        SELECT id, shingles,
+               list_transform(shingles, s -> {hashing.md5_int32_sql('s')}) AS hs
+        FROM base WHERE len(shingles) > 0
+    ), sigs AS (
+        SELECT id, shingles,
+           {sig_cols}
+        FROM hashed
+    ), bands AS (
+    {bands}
+    ), cand AS (
+        SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+    ), expl AS (
+        SELECT DISTINCT id, unnest(shingles) AS sh FROM sigs
+    ), sz AS (
+        SELECT id, COUNT(*) AS sz FROM expl GROUP BY id
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN expl ea ON ea.id = c.doc_a
+        JOIN expl eb ON eb.id = c.doc_b AND eb.sh = ea.sh
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, {jac} AS jaccard
+    FROM inter i JOIN sz sa ON sa.id = i.doc_a JOIN sz sb ON sb.id = i.doc_b
+    WHERE {jac} >= {threshold}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle(3, 0.8), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4x4) near-dup pairs, exact-Jaccard verified >= 0.8."""
+    t = Tables(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(t.documents, shingle_n=3, threshold=0.8)
+
+
+def _simhash_oracle() -> str:
+    vote_cols = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+    WITH e AS (
+        SELECT doc_id AS id, unnest({text.tokens_sql('text')}) AS w FROM documents
+    ), h AS (
+        SELECT id, {hashing.md5_int32_sql('w')} AS h FROM e
+    ), g AS (
+        SELECT id,
+               {vote_cols}
+        FROM h GROUP BY id
+    )
+    SELECT id AS doc_id, {sig} AS simhash FROM g ORDER BY doc_id
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (token bit-voting aggregate)."""
+    t = Tables(spark, sf_dir)
+    return dedup.simhash(t.documents).orderBy("doc_id")
+
+
+def _ngram_jaccard_oracle(ngram_n: int, df_max: int, threshold: float) -> str:
+    tok = text.tokens_sql("text")
+    sh = text.word_shingles_sql("tok", ngram_n)
+    jac = "CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter)"
+    return f"""
+    WITH tokenized AS (
+        SELECT doc_id AS id, {tok} AS tok FROM documents
+    ), base AS (
+        SELECT id, {sh} AS shingles FROM tokenized
+    ), expl AS (
+        SELECT DISTINCT id, unnest(shingles) AS sh FROM base WHERE len(shingles) > 0
+    ), sz AS (
+        SELECT id, COUNT(*) AS sz FROM expl GROUP BY id
+    ), rare AS (
+        SELECT sh FROM expl GROUP BY sh HAVING COUNT(*) <= {df_max}
+    ), rare_expl AS (
+        SELECT e.id, e.sh FROM expl e JOIN rare r ON e.sh = r.sh
+    ), cand AS (
+        SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+        FROM rare_expl a JOIN rare_expl b ON a.sh = b.sh AND a.id < b.id
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN expl ea ON ea.id = c.doc_a
+        JOIN expl eb ON eb.id = c.doc_b AND eb.sh = ea.sh
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, {jac} AS jaccard
+    FROM inter i JOIN sz sa ON sa.id = i.doc_a JOIN sz sb ON sb.id = i.doc_b
+    WHERE {jac} >= {threshold}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_ngram_jaccard", oracle=_ngram_jaccard_oracle(2, 20, 0.9))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard >= 0.9 with DF-pruned (df<=20) candidate join."""
+    t = Tables(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(t.documents, ngram_n=2, df_max=20, threshold=0.9)
+
+
+def _embedding_neardup_oracle(threshold: float) -> str:
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, embedding, {b} AS band, {similarity.band_key_sql('embedding', b)} AS bkey FROM embeddings"
+        for b in range(similarity.LSH_BANDS)
+    )
+    cos = vectors.cosine_sql("c.emb_a", "c.emb_b")
+    return f"""
+    WITH banded AS (
+        {band_selects}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                        a.embedding AS emb_a, b.embedding AS emb_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, {cos} AS cos_sim
+    FROM cand c
+    WHERE {cos} >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_embedding_neardup_oracle(0.4))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: hyperplane-LSH candidates, cosine >= 0.4."""
+    t = Tables(spark, sf_dir)
+    return similarity.cosine_neardup_pairs(t.embeddings, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 5
+
+
+def _ann_bruteforce_oracle() -> str:
+    cos = vectors.cosine_sql("q.q_emb", "e.embedding")
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id IN ({ids})
+    ), scored AS (
+        SELECT q.query_id, e.vec_id, {cos} AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {ANN_K} ORDER BY query_id, rnk
+    """
+
+
+@query("ann_bruteforce_topk", oracle=_ann_bruteforce_oracle(), bench=True)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 5 broadcast query vectors (ANN baseline)."""
+    t = Tables(spark, sf_dir)
+    df = similarity.topk_bruteforce(t.embeddings, ANN_QUERY_IDS, k=ANN_K)
+    return df.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+def _ann_lsh_oracle() -> str:
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, embedding, {b} AS band, {similarity.band_key_sql('embedding', b)} AS bkey FROM embeddings"
+        for b in range(similarity.LSH_BANDS)
+    )
+    cos = vectors.cosine_sql("c.q_emb", "c.c_emb")
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+    WITH banded AS (
+        {band_selects}
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, band, bkey FROM banded
+        WHERE vec_id IN ({ids})
+    ), cand AS (
+        SELECT DISTINCT q.query_id, q.q_emb, e.vec_id, e.embedding AS c_emb
+        FROM banded e JOIN q ON e.band = q.band AND e.bkey = q.bkey
+        WHERE e.vec_id <> q.query_id
+    ), scored AS (
+        SELECT query_id, vec_id, {cos} AS cos_sim FROM cand c
+    ), ranked AS (
+        SELECT query_id, vec_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {ANN_K} ORDER BY query_id, rnk
+    """
+
+
+@query("ann_lsh_topk", oracle=_ann_lsh_oracle())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (the scale path: bucket-pruned scan)."""
+    t = Tables(spark, sf_dir)
+    df = similarity.topk_lsh(t.embeddings, ANN_QUERY_IDS, k=ANN_K)
+    return df.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def _text_stats_oracle() -> str:
+    tok = text.tokens_sql("text")
+    stop_list = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
+    return f"""
+    WITH t AS (SELECT doc_id, text, {tok} AS tok FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(tok) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(tok)) AS INTEGER) AS n_distinct_tokens,
+           CAST(list_reduce(list_transform(tok, w -> CAST(length(w) AS BIGINT)), (a, b) -> a + b) AS DOUBLE)
+               / len(tok) AS avg_token_len,
+           CAST(len(list_filter(tok, w -> list_contains({stop_list}, w))) AS DOUBLE)
+               / len(tok) AS stopword_ratio,
+           {text.bpe_token_estimate_sql('text')} AS bpe_tokens
+    FROM t ORDER BY doc_id
+    """
+
+
+@query("text_stats", oracle=_text_stats_oracle(), bench=True)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: chars/tokens/diversity/stopwords/BPE estimate."""
+    t = Tables(spark, sf_dir)
+    return textstats.text_stats(t.documents).orderBy("doc_id")
+
+
+def _quality_oracle() -> str:
+    tok = text.tokens_sql("text")
+    stop_list = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
+    return f"""
+    WITH t AS (SELECT doc_id, {tok} AS tok FROM documents),
+    s AS (
+        SELECT doc_id,
+               CAST(len(tok) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) AS diversity,
+               CAST(len(list_filter(tok, w -> list_contains({stop_list}, w))) AS DOUBLE)
+                   / len(tok) AS stopword_ratio
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             + diversity * 0.4
+             + (1.0 - stopword_ratio) * 0.2 AS quality
+    FROM s ORDER BY doc_id
+    """
+
+
+@query("text_quality_score", oracle=_quality_oracle())
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length/diversity/stopword components)."""
+    t = Tables(spark, sf_dir)
+    return textstats.quality_score(t.documents).orderBy("doc_id")
+
+
+def _lang_id_oracle() -> str:
+    tok = text.tokens_sql("text")
+    hit_cols = ",\n               ".join(
+        "len(list_filter(tok, w -> list_contains(["
+        + ", ".join(f"'{m}'" for m in markers)
+        + f"], w))) AS h_{lang}"
+        for lang, markers in textstats.LANG_MARKERS.items()
+    )
+    # replicate the greedy strictly-greater argmax chain
+    stages = ["SELECT *, 'und' AS best0, 0 AS bh0 FROM h"]
+    for i, lang in enumerate(textstats.LANG_MARKERS, start=1):
+        stages.append(
+            f"SELECT *, CASE WHEN h_{lang} > bh{i-1} THEN '{lang}' ELSE best{i-1} END AS best{i}, "
+            f"CASE WHEN h_{lang} > bh{i-1} THEN h_{lang} ELSE bh{i-1} END AS bh{i} FROM s{i-1}"
+        )
+    n = len(textstats.LANG_MARKERS)
+    ctes = ",\n    ".join(f"s{i} AS ({stage})" for i, stage in enumerate(stages))
+    return f"""
+    WITH t AS (SELECT doc_id, {tok} AS tok FROM documents),
+    h AS (
+        SELECT doc_id,
+               {hit_cols}
+        FROM t
+    ),
+    {ctes}
+    SELECT doc_id, best{n} AS lang_pred, CAST(bh{n} AS INTEGER) AS marker_hits
+    FROM s{n} ORDER BY doc_id
+    """
+
+
+@query("text_lang_id", oracle=_lang_id_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (argmax of stopword hits)."""
+    t = Tables(spark, sf_dir)
+    return textstats.lang_id(t.documents).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+        SELECT doc_id, {textstats.fingerprint_sql('text')} AS fingerprint
+        FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling (Rabin-Karp style) document fingerprint."""
+    t = Tables(spark, sf_dir)
+    return textstats.fingerprint(t.documents).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (JVM-side subset; pandas-UDF kernels tested in pytest)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS checksum,
+               'text/plain' AS mime
+        FROM documents ORDER BY media_id
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata path: size + checksum computed on bytes
+    JVM-side (the decode kernels are mapInPandas, tested in pytest)."""
+    t = Tables(spark, sf_dir)
+    media = multimodal.as_media(t.documents, "text", "doc_id", "text/plain")
+    return multimodal.binary_meta(media).orderBy("media_id")

@@ -1,0 +1,232 @@
+"""SURVEY.md §2B — scalar-function surface (string / date / math /
+conditional / JSON / array), each with a DuckDB oracle.
+
+Everything stays JVM-side (built-in ``pyspark.sql.functions``) so the whole
+projection runs inside WholeStageCodegen — no Python in the hot path.
+
+Cross-engine type discipline: DuckDB's YEAR()/CEIL()/date_diff return wider
+types than Spark's (BIGINT vs INT, DOUBLE vs BIGINT), so both sides carry
+explicit casts to the same type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from .registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+        SELECT c_custkey,
+               UPPER(c_name) AS name_upper,
+               LOWER(c_mktsegment) AS seg_lower,
+               CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+               TRIM(c_mktsegment) AS seg_trim,
+               SUBSTRING(c_name, 1, 8) AS name_prefix,
+               c_name || '/' || c_mktsegment AS name_seg,
+               REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+               CAST(REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+               CONTAINS(c_name, '#00000000') AS is_low_key,
+               LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded
+        FROM customer ORDER BY c_custkey
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions (incl. the reference's autoTrim semantics,
+    ``CopyTool.java:713-714``)."""
+    t = Tables(spark, sf_dir)
+    c = t.customer
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").alias("name_len"),
+        F.trim(F.col("c_mktsegment")).alias("seg_trim"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("bigint").alias("name_num"),
+        F.col("c_name").contains("#00000000").alias("is_low_key"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+               CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+               CAST(DAY(o_orderdate) AS INTEGER) AS order_day,
+               DATE_TRUNC('month', o_orderdate) AS order_month_start,
+               CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since_95,
+               o_orderdate + INTERVAL 30 DAY AS due_date,
+               STRFTIME(o_orderdate, '%Y_%m_%d_%H_%M_%S') AS load_stamp
+        FROM orders ORDER BY o_orderkey
+    """,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions; ``load_stamp`` is the reference's versioned-table
+    suffix format yyyy_MM_dd_HH_mm_ss (``CopyTool.java:216-218``)."""
+    t = Tables(spark, sf_dir)
+    o = t.orders
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias("days_since_95"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.date_format("o_orderdate", "yyyy_MM_dd_HH_mm_ss").alias("load_stamp"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4)), 2) AS DOUBLE) AS net_price,
+               ABS(l_discount - 0.05) AS disc_dev,
+               CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+               CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+               l_orderkey % 7 AS okey_mod,
+               SQRT(l_quantity) AS qty_sqrt,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math / decimal arithmetic incl. plain (non-scientific) decimal
+    rendering parity (``CopyTool.java:704-707``).
+
+    ROUND goes through an exact DECIMAL(24,4) intermediate: rounding the raw
+    double directly is tie-ambiguous across engines (the true products have 4
+    decimal digits), while decimal->2-digit rounding is HALF_UP in both for
+    positive values.
+    """
+    t = Tables(spark, sf_dir)
+    li = t.lineitem
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,4)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(net, 2).cast("double").alias("net_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        (F.col("l_orderkey") % 7).alias("okey_mod"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 100000 THEN 'big'
+                    WHEN o_totalprice > 10000 THEN 'mid'
+                    ELSE 'small' END AS size_class,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_decoded,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS price_trunc,
+               CAST(o_orderkey AS VARCHAR) AS okey_str,
+               IF(o_orderpriority = '1-URGENT', 1, 0) AS is_urgent
+        FROM orders ORDER BY o_orderkey
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / COALESCE / NULLIF / CAST / IF."""
+    t = Tables(spark, sf_dir)
+    o = t.orders
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 100000, "big")
+        .when(F.col("o_totalprice") > 10000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias("status_decoded"),
+        F.floor("o_totalprice").alias("price_trunc"),
+        F.col("o_orderkey").cast("string").alias("okey_str"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_json",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+        FROM events ORDER BY event_id
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the events stream table."""
+    t = Tables(spark, sf_dir)
+    e = t.events
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_int"),
+    ).orderBy("event_id")
+
+
+@query(
+    "fn_array",
+    oracle="""
+        SELECT vec_id,
+               CAST(LEN(embedding) AS INTEGER) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_val,
+               list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS vec_sum,
+               list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS vec_sq_sum
+        FROM embeddings ORDER BY vec_id
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column.
+
+    Both engines fold left-to-right in DOUBLE, so the float sums are
+    bit-identical despite FP non-associativity.
+    """
+    t = Tables(spark, sf_dir)
+    e = t.embeddings
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    as_sq = F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.reduce(as_double, F.lit(0.0), lambda a, b: a + b).alias("vec_sum"),
+        F.reduce(as_sq, F.lit(0.0), lambda a, b: a + b).alias("vec_sq_sum"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "fn_explode_posexplode",
+    oracle="""
+        SELECT vec_id, CAST(i AS INTEGER) AS pos, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, UNNEST(generate_series(1, 4)) AS t(i)
+        WHERE vec_id < 10 AND i <= len(embedding)
+        ORDER BY vec_id, pos
+    """,
+)
+def fn_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode with position (generator/UNNEST surface)."""
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.filter(F.col("vec_id") < 10)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos0", "val_f"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.col("val_f").cast("double").alias("val"),
+        )
+        .filter(F.col("pos") <= 4)
+        .orderBy("vec_id", "pos")
+    )

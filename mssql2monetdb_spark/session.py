@@ -1,0 +1,86 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` but every knob here is
+chosen for cluster scale: AQE on (runtime re-plan, skew-join splitting,
+shuffle-partition coalescing), broadcast threshold sized for dimension
+tables, Arrow enabled for the Pandas-UDF paths, and UTC session time so
+results are deterministic regardless of cluster timezone.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults applied both when *we* build the session and when the driver
+#: hands us one (see :func:`configure_runtime` for the mutable subset).
+_BUILD_CONF = {
+    # Adaptive execution: coalesce post-shuffle partitions, split skewed
+    # joins, and convert to broadcast joins at runtime. Essential at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/supplier/part at any SF worth
+    # broadcasting) stay under this; fact-fact joins shuffle.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for all pandas_udf / applyInPandas / toPandas transfers.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Deterministic timestamps independent of host timezone.
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(NANOS) (the events fixture) has no Spark type; read
+    # as raw epoch-nanos LONG and rebuild micros in the loader (catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # 128 MiB input splits: good parquet scan granularity at scale.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+
+#: Conf keys that are safe to set on a live session (runtime-mutable).
+_RUNTIME_CONF = (
+    "spark.sql.session.timeZone",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.execution.arrow.pyspark.enabled",
+    "spark.sql.legacy.parquet.nanosAsLong",
+)
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "mssql2monetdb-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the SparkSession used by tests and bench runs."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for key, value in _BUILD_CONF.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-mutable defaults to an externally-provided session.
+
+    The correctness driver constructs its own SparkSession; query callables
+    route through this so results stay deterministic (UTC) and adaptive
+    execution is on even when the outer session didn't set it.
+    """
+    for key in _RUNTIME_CONF:
+        if key in _BUILD_CONF:
+            try:
+                spark.conf.set(key, _BUILD_CONF[key])
+            except Exception:  # pragma: no cover - conf may be static
+                pass
+    return spark

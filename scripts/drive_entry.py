@@ -1,0 +1,45 @@
+"""Simulate the driver: vanilla session, driver-contract surface only."""
+import sys, json
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+# vanilla session: NO engine tuning, like an external driver would build
+spark = (SparkSession.builder.appName("driver-sim").master("local[8]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as mod
+
+# 1. smoke: entry()
+df = mod.entry(spark)
+rows = df.collect()
+print("ENTRY rows:", len(rows), "schema:", [f.name for f in df.schema])
+assert len(rows) > 0
+
+# 2. full contract listing
+qs = mod.queries()
+osql = mod.oracle_sql()
+print("QUERIES:", len(qs), "ORACLES:", len(osql), "rows-only:", sorted(set(qs) - set(osql)))
+
+# 3. side-by-side at sf0.01, driver style
+sys.path.insert(0, "/root/repo/tests")
+from oracle_harness import duckdb_connection, compare_frames
+sf = "/root/testdata/sf0.01"
+duck = duckdb_connection(sf)
+bad = []
+for name, fn in sorted(qs.items()):
+    sdf = fn(spark, sf)
+    spdf = sdf.toPandas()
+    if name in osql:
+        opdf = duck.sql(osql[name]).df()
+        probs = compare_frames(spdf, opdf)
+        status = "MATCH" if not probs else "MISMATCH: " + "; ".join(probs)
+    else:
+        status = f"rows-only ({len(spdf)} rows)"
+    if "MISMATCH" in status:
+        bad.append(name)
+    print(f"  {name}: {status}")
+print("RESULT:", "ALL MATCH" if not bad else f"FAILURES: {bad}")
+sys.exit(1 if bad else 0)
