@@ -1,0 +1,85 @@
+"""CLI — reference flag parity (op #28, ``CopyToolConfig.java:116-279``).
+
+    python -m mssql2monetdb_spark -c spec.json            # full 4-phase run
+    python -m mssql2monetdb_spark -c spec.json --no-switch    # phases 1-2
+    python -m mssql2monetdb_spark -c spec.json --switch-only  # phases 3-4
+    python -m mssql2monetdb_spark -c spec.json --scheduler    # polling loop
+    python -m mssql2monetdb_spark -c spec.json --query "SELECT ..."
+
+Exit codes: 0 = success, 1 = error, 2 = no new data
+(``CopyTool.java:66-68,95-106``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from .config.spec import SpecError, load_spec
+from .engine.copy import EXIT_ERROR, CopyEngine
+from .engine.scheduler import run_scheduled
+from .session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mssql2monetdb_spark",
+        description="PySpark-native copy/query engine (reference: mssql2monetdb CopyTool)",
+    )
+    p.add_argument("-c", "--config", required=True, help="job spec JSON file")
+    mode = p.add_mutually_exclusive_group()
+    mode.add_argument(
+        "--no-switch", action="store_true", help="run phases 1-2 only (load, don't publish)"
+    )
+    mode.add_argument(
+        "--switch-only",
+        action="store_true",
+        help="run phases 3-4 only (publish newest loaded versions)",
+    )
+    p.add_argument(
+        "--scheduler",
+        action="store_true",
+        help="poll forever on the spec's scheduler_interval",
+    )
+    p.add_argument("--max-runs", type=int, default=None, help="scheduler iterations (testing)")
+    p.add_argument("--query", help="after the run, execute this SQL on the published views")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    try:
+        spec = load_spec(args.config)
+    except (SpecError, OSError, ValueError) as exc:
+        print(f"error: invalid spec: {exc}", file=sys.stderr)
+        return EXIT_ERROR
+
+    spark = get_spark("mssql2monetdb-cli")
+    engine = CopyEngine(spark, spec)
+
+    if args.scheduler:
+        interval = spec.scheduler_interval or "every 1 minute"
+        run_scheduled(
+            lambda: engine.run(no_switch=args.no_switch, switch_only=args.switch_only),
+            interval,
+            max_runs=args.max_runs,
+        )
+        code = 0
+    else:
+        code = engine.run(no_switch=args.no_switch, switch_only=args.switch_only)
+
+    if args.query and code != EXIT_ERROR:
+        engine.catalog.register_all(spark)
+        for line in engine.sql(args.query).toJSON().collect():
+            print(line)
+    return code
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

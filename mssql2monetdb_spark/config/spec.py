@@ -1,0 +1,198 @@
+"""Job-spec compilation & validation — the reference's config layer redone
+as a declarative dict/JSON spec (``CopyToolConfig.java:800-1046`` semantics).
+
+Validation rules carried over:
+
+- a copy job needs ``from_table`` or ``from_query`` (from-name wins when both
+  are present — ``CopyTable.java:302,312`` precedence);
+- ``from_query`` requires ``count_query`` (``CopyToolConfig.java:964-977``);
+- ``to_table`` defaults to ``from_table`` (``CopyToolConfig.java:936-940``);
+- ``source`` defaults to ``_default`` and must exist
+  (``CopyToolConfig.java:913-931``);
+- table/schema names lowercased at config time (``CopyToolConfig.java:875-876``);
+- env-var interpolation ``${VAR}`` / ``${VAR:default}`` in every string value
+  (reference ``ENV:VAR:default`` / ``{env:VAR}``,
+  ``CopyToolConfig.java:281-357``);
+- SHA-1 checksum of the canonicalized spec identifies trigger state
+  (``CopyToolConfig.java:91-114,1088-1112``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+from dataclasses import dataclass, field
+
+
+class SpecError(ValueError):
+    """Invalid job spec (reference: ConfigurationException)."""
+
+
+_ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\}")
+
+
+def interpolate_env(value: str, env: dict[str, str] | None = None) -> str:
+    """Replace ``${VAR}`` / ``${VAR:default}``; error on unset without default
+    (fail-closed like the reference's missing-env error path)."""
+    env = os.environ if env is None else env
+
+    def repl(m: re.Match) -> str:
+        var, default = m.group(1), m.group(2)
+        if var in env:
+            return env[var]
+        if default is not None:
+            return default
+        raise SpecError(f"environment variable {var!r} is not set and has no default")
+
+    return _ENV_RE.sub(repl, value)
+
+
+def _interp_deep(obj, env):
+    if isinstance(obj, str):
+        return interpolate_env(obj, env)
+    if isinstance(obj, dict):
+        return {k: _interp_deep(v, env) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_interp_deep(v, env) for v in obj]
+    return obj
+
+
+@dataclass(frozen=True)
+class SourceSpec:
+    """A named source: parquet/csv directory or JDBC endpoint
+    (reference ``SourceDatabase``, ``SourceDatabase.java:12-61``)."""
+
+    name: str
+    format: str  # "parquet" | "csv" | "jdbc"
+    path: str | None = None  # file formats
+    options: dict[str, str] = field(default_factory=dict)  # jdbc url/user/...
+
+
+@dataclass(frozen=True)
+class CopyJob:
+    """One table copy (reference ``CopyTable``, ``CopyTable.java:18-74``)."""
+
+    job_id: str
+    source: str = "_default"
+    from_table: str | None = None
+    from_columns: tuple[str, ...] | None = None
+    from_query: str | None = None
+    count_query: str | None = None
+    to_table: str = ""
+    schema_name: str = "default"
+    # reference flags (CopyTable.java:29-72)
+    truncate: bool = False
+    drop: bool = False
+    create: bool = True
+    allow_empty: bool = False
+    auto_trim: bool = True
+    use_fast_view_switching: bool = True
+    copy_via_temp_table: bool = False
+    # watermark trigger (CopyTool.java:332-477)
+    trigger_table: str | None = None
+    trigger_column: str | None = None
+
+    def select_source(self) -> tuple[str, object]:
+        """(mode, payload): from-name wins over from-query
+        (``CopyTable.java:302,312``)."""
+        if self.from_table:
+            return ("table", (self.from_table, self.from_columns))
+        return ("query", self.from_query)
+
+
+@dataclass(frozen=True)
+class JobSpec:
+    sources: dict[str, SourceSpec]
+    jobs: dict[str, CopyJob]
+    warehouse_dir: str
+    state_dir: str
+    scheduler_interval: str | None = None
+    raw: dict = field(default_factory=dict, compare=False)
+
+
+def load_spec(spec: dict | str, env: dict[str, str] | None = None) -> JobSpec:
+    """Compile a dict (or JSON text/path) into a validated JobSpec."""
+    if isinstance(spec, str):
+        if spec.lstrip().startswith("{"):
+            spec = json.loads(spec)
+        else:
+            with open(spec) as fh:
+                spec = json.load(fh)
+    spec = _interp_deep(spec, env)
+
+    warehouse = spec.get("warehouse_dir")
+    if not warehouse:
+        raise SpecError("spec requires 'warehouse_dir'")
+    state_dir = spec.get("state_dir") or os.path.join(warehouse, "_state")
+
+    sources: dict[str, SourceSpec] = {}
+    for name, s in (spec.get("sources") or {}).items():
+        fmt = (s.get("format") or "parquet").lower()
+        if fmt not in ("parquet", "csv", "jdbc"):
+            raise SpecError(f"source {name!r}: unsupported format {fmt!r}")
+        if fmt in ("parquet", "csv") and not s.get("path"):
+            raise SpecError(f"source {name!r}: file format requires 'path'")
+        if fmt == "jdbc" and not (s.get("options") or {}).get("url"):
+            raise SpecError(f"source {name!r}: jdbc requires options.url")
+        sources[name] = SourceSpec(
+            name=name, format=fmt, path=s.get("path"), options=dict(s.get("options") or {})
+        )
+    if not sources:
+        raise SpecError("spec requires at least one source")
+
+    jobs: dict[str, CopyJob] = {}
+    for job_id, j in (spec.get("tables") or {}).items():
+        from_table = j.get("from_table")
+        from_query = j.get("from_query")
+        if not from_table and not from_query:
+            # CopyToolConfig.java:947-955: from-name or query required
+            raise SpecError(f"table {job_id!r}: needs 'from_table' or 'from_query'")
+        if from_query and not from_table and not j.get("count_query"):
+            # CopyToolConfig.java:964-977: custom query requires countquery
+            raise SpecError(f"table {job_id!r}: 'from_query' requires 'count_query'")
+        source = j.get("source", "_default")
+        if source not in sources:
+            raise SpecError(f"table {job_id!r}: unknown source {source!r}")
+        to_table = (j.get("to_table") or from_table or "").lower()
+        if not to_table:
+            raise SpecError(f"table {job_id!r}: cannot derive 'to_table' from a query-only job")
+        trigger = j.get("trigger") or {}
+        jobs[job_id] = CopyJob(
+            job_id=job_id,
+            source=source,
+            from_table=from_table,
+            from_columns=tuple(j["from_columns"]) if j.get("from_columns") else None,
+            from_query=from_query,
+            count_query=j.get("count_query"),
+            to_table=to_table,
+            schema_name=(j.get("schema") or "default").lower(),
+            truncate=bool(j.get("truncate", False)),
+            drop=bool(j.get("drop", False)),
+            create=bool(j.get("create", True)),
+            allow_empty=bool(j.get("allow_empty", False)),
+            auto_trim=bool(j.get("auto_trim", True)),
+            use_fast_view_switching=bool(j.get("use_fast_view_switching", True)),
+            copy_via_temp_table=bool(j.get("copy_via_temp_table", False)),
+            trigger_table=trigger.get("table"),
+            trigger_column=trigger.get("column"),
+        )
+    if not jobs:
+        raise SpecError("spec defines no tables")
+
+    return JobSpec(
+        sources=sources,
+        jobs=jobs,
+        warehouse_dir=warehouse,
+        state_dir=state_dir,
+        scheduler_interval=spec.get("scheduler_interval"),
+        raw=spec,
+    )
+
+
+def spec_checksum(spec: JobSpec) -> str:
+    """SHA-1 of the canonicalized spec — identifies trigger state; any config
+    change invalidates persisted watermarks (``CopyToolConfig.java:1088-1112``)."""
+    canon = json.dumps(spec.raw, sort_keys=True, separators=(",", ":"))
+    return hashlib.sha1(canon.encode()).hexdigest()

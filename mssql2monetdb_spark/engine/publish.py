@@ -1,0 +1,170 @@
+"""Versioned-table publish: near-zero-downtime view switching on Parquet.
+
+Reference protocol (SURVEY.md §2A #18-21): each load writes a *new* physical
+table ``name_yyyy_MM_dd_HH_mm_ss`` (``MonetDBTable.java:31-43``,
+date format ``CopyTool.java:216-218``), then a view of the public name is
+transactionally repointed (``MonetDBUtil.java:442-529``), and versions
+beyond the newest 2 (current + 1 backup) are dropped
+(``CopyTool.java:554-602``).
+
+Spark-first translation: versions are Parquet directories; the "view switch"
+is (a) an atomic manifest-file swap (``os.replace``) for cross-session
+durability and (b) ``createOrReplaceTempView`` in the live session catalog —
+both single atomic operations, so readers always see a complete version.
+At cluster scale the same protocol works on any object store that gives
+atomic single-object PUT (the manifest), with no table-lock during load.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+LOAD_DATE_FORMAT = "%Y_%m_%d_%H_%M_%S"  # yyyy_MM_dd_HH_mm_ss (CopyTool.java:216-218)
+#: version suffix regex — parity with CopyTool.java:64 (_20%...)
+VERSION_RE = re.compile(r"_(20\d{2}_\d{2}_\d{2}_\d{2}_\d{2}_\d{2})$")
+RETAIN_VERSIONS = 2  # current + 1 backup (CopyTool.java:575-580)
+
+
+def physical_name(table: str, load_date: datetime) -> str:
+    return f"{table}_{load_date.strftime(LOAD_DATE_FORMAT)}"
+
+
+def version_of(physical: str) -> str | None:
+    m = VERSION_RE.search(physical)
+    return m.group(1) if m else None
+
+
+@dataclass
+class VersionedCatalog:
+    """Directory-backed versioned table catalog under ``warehouse_dir``.
+
+    Layout: ``<warehouse>/<schema>/<table>_<version>/`` (Parquet) plus
+    ``<warehouse>/<schema>/.<table>.current`` manifest naming the published
+    version. The manifest write is ``os.replace`` — atomic publish.
+    """
+
+    warehouse_dir: str
+
+    # -- paths -----------------------------------------------------------
+    def schema_dir(self, schema: str) -> str:
+        return os.path.join(self.warehouse_dir, schema)
+
+    def version_dir(self, schema: str, physical: str) -> str:
+        return os.path.join(self.schema_dir(schema), physical)
+
+    def _manifest(self, schema: str, table: str) -> str:
+        return os.path.join(self.schema_dir(schema), f".{table}.current")
+
+    # -- catalog probes (reference op #16, MonetDBUtil.java:41-88) -------
+    def table_versions(self, schema: str, table: str) -> list[str]:
+        """All physical versions, newest first (op #20, CopyTool.java:513-548)."""
+        sdir = self.schema_dir(schema)
+        if not os.path.isdir(sdir):
+            return []
+        out = []
+        prefix = f"{table}_"
+        for name in os.listdir(sdir):
+            if name.startswith(prefix) and VERSION_RE.search(name) and name[: -20] == table:
+                out.append(name)
+        return sorted(out, reverse=True)
+
+    def exists(self, schema: str, table: str) -> bool:
+        return os.path.exists(self._manifest(schema, table)) or bool(
+            self.table_versions(schema, table)
+        )
+
+    def current_version(self, schema: str, table: str) -> str | None:
+        path = self._manifest(schema, table)
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)["physical"]
+
+    # -- write / publish / retention ------------------------------------
+    def write_version(self, df: DataFrame, schema: str, table: str, load_date: datetime) -> str:
+        """PHASE 1+2 analog: materialize the load as a new physical version.
+
+        Partition count rides on the upstream plan (AQE-coalesced); callers
+        repartition for target file sizing when needed.
+        """
+        physical = physical_name(table, load_date)
+        df.write.mode("overwrite").parquet(self.version_dir(schema, physical))
+        return physical
+
+    def publish(self, spark: SparkSession, schema: str, table: str, physical: str) -> None:
+        """PHASE 3 analog: atomically repoint the public name (op #19).
+
+        Manifest swap (durable) + session-catalog view replace (live) — each
+        a single atomic operation, mirroring the reference's one-transaction
+        drop-view/create-view (``MonetDBUtil.java:442-529``).
+        """
+        manifest = self._manifest(schema, table)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"physical": physical, "schema": schema, "table": table}, fh)
+        os.replace(tmp, manifest)
+        self.register_view(spark, schema, table)
+
+    def register_view(self, spark: SparkSession, schema: str, table: str) -> None:
+        """Expose the published version as view ``<schema>_<table>`` (and bare
+        ``<table>`` for the default schema)."""
+        physical = self.current_version(schema, table)
+        if physical is None:
+            raise FileNotFoundError(f"no published version for {schema}.{table}")
+        df = spark.read.parquet(self.version_dir(schema, physical))
+        df.createOrReplaceTempView(f"{schema}_{table}")
+        if schema == "default":
+            df.createOrReplaceTempView(table)
+
+    def register_all(self, spark: SparkSession) -> list[str]:
+        """Re-register every published view in a fresh session (re-publish
+        decoupled from load — the reference's --switch-only mode)."""
+        registered = []
+        if not os.path.isdir(self.warehouse_dir):
+            return registered
+        for schema in sorted(os.listdir(self.warehouse_dir)):
+            sdir = self.schema_dir(schema)
+            if not os.path.isdir(sdir):
+                continue
+            for name in sorted(os.listdir(sdir)):
+                if name.startswith(".") and name.endswith(".current"):
+                    table = name[1 : -len(".current")]
+                    self.register_view(spark, schema, table)
+                    registered.append(f"{schema}.{table}")
+        return registered
+
+    def newest_version(self, schema: str, table: str) -> str | None:
+        versions = self.table_versions(schema, table)
+        return versions[0] if versions else None
+
+    def cleanup(self, schema: str, table: str, *, retain: int = RETAIN_VERSIONS) -> list[str]:
+        """PHASE 4 analog: drop versions beyond retention (op #21).
+
+        Never drops the currently-published version even if it is old.
+        """
+        current = self.current_version(schema, table)
+        dropped = []
+        for physical in self.table_versions(schema, table)[retain:]:
+            if physical == current:
+                continue
+            shutil.rmtree(self.version_dir(schema, physical))
+            dropped.append(physical)
+        return dropped
+
+    def drop_table(self, spark: SparkSession, schema: str, table: str) -> None:
+        """Drop the public name and ALL versions (op #15)."""
+        manifest = self._manifest(schema, table)
+        if os.path.exists(manifest):
+            os.remove(manifest)
+        for physical in self.table_versions(schema, table):
+            shutil.rmtree(self.version_dir(schema, physical))
+        spark.catalog.dropTempView(f"{schema}_{table}")
+        if schema == "default":
+            spark.catalog.dropTempView(table)

@@ -1,0 +1,72 @@
+"""JDBC connector parity (reference ops #1-2, #9-11 — SURVEY.md §2A).
+
+The reference runs a single forward-only cursor per table and loads through
+a COPY INTO / batched-INSERT fallback chain (``CopyTool.java:829-866``).
+Spark replaces both ends:
+
+- reads: ``spark.read.format("jdbc")`` with partitioned scans
+  (partitionColumn/lowerBound/upperBound/numPartitions) so a 100 TB source
+  table is pulled by many executors in parallel, not one cursor;
+- writes: ``df.write.format("jdbc")`` with ``batchsize`` (the reference's
+  ``batch.size``, default 10000 — ``CopyToolConfig.java:44``) and
+  ``isolationLevel=NONE`` as the analog of LOCKED-mode loads
+  (``CopyTool.java:990-991``).
+
+No JDBC server exists in this environment; these builders are exercised by
+unit tests on the option dicts and are integration-ready.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config.spec import CopyJob, SourceSpec
+
+DEFAULT_BATCH_SIZE = 10_000  # reference batch.size default (CopyToolConfig.java:44)
+DEFAULT_NUM_PARTITIONS = 32
+
+
+def jdbc_read_options(source: SourceSpec, job: CopyJob) -> dict[str, str]:
+    """Build the spark.read.format('jdbc') option map for a copy job."""
+    opts = dict(source.options)
+    mode, payload = job.select_source()
+    if mode == "table":
+        table, columns = payload
+        if columns:
+            # push projection into the source query (CopyTable.java:314-322)
+            opts["query"] = f"SELECT {', '.join(columns)} FROM {table}"
+        else:
+            opts["dbtable"] = table
+    else:
+        opts["query"] = payload
+    # partitioned scan when the spec names a partition column
+    if "partitionColumn" in opts:
+        opts.setdefault("numPartitions", str(DEFAULT_NUM_PARTITIONS))
+        if "dbtable" not in opts and "partition_bounds" not in opts:
+            # Spark requires dbtable+bounds for partitioned reads
+            raise ValueError("partitionColumn requires table mode with lower/upper bounds")
+    opts.setdefault("fetchsize", str(DEFAULT_BATCH_SIZE))
+    return opts
+
+
+def jdbc_reader(spark: SparkSession, source: SourceSpec, job: CopyJob) -> DataFrame:
+    return spark.read.format("jdbc").options(**jdbc_read_options(source, job)).load()
+
+
+def jdbc_write_options(source: SourceSpec, table: str, *, locked_mode: bool = True) -> dict[str, str]:
+    """Writer options: batchsize + isolation analog of LOCKED loads."""
+    opts = dict(source.options)
+    opts["dbtable"] = table
+    opts.setdefault("batchsize", str(DEFAULT_BATCH_SIZE))
+    if locked_mode:
+        opts.setdefault("isolationLevel", "NONE")
+    return opts
+
+
+def jdbc_writer(df: DataFrame, source: SourceSpec, table: str, *, mode: str = "append", locked_mode: bool = True) -> None:
+    (
+        df.write.format("jdbc")
+        .options(**jdbc_write_options(source, table, locked_mode=locked_mode))
+        .mode(mode)
+        .save()
+    )

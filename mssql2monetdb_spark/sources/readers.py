@@ -1,0 +1,67 @@
+"""Source readers & the reference-compatible CSV sink.
+
+The reference spools extracts to CSV with ``\\N`` nulls, always-quoted
+fields and backslash escaping (``CopyTool.java:50,697-730``); our staging is
+Parquet (schema+count carried natively), but the CSV conventions are kept as
+a compat sink/source for interop with the reference's files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config.spec import CopyJob, SourceSpec
+from .jdbc import jdbc_reader
+
+#: Reference CSV conventions (CopyTool.java:50 NULL sentinel; 716-722 escaping)
+CSV_OPTIONS = {
+    "nullValue": r"\N",
+    "quote": '"',
+    "escape": "\\",
+    "header": "true",
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+}
+
+
+def read_source(spark: SparkSession, source: SourceSpec, job: CopyJob) -> DataFrame:
+    """Extract phase: produce the source DataFrame for a copy job.
+
+    File sources: table mode reads ``<path>/<table>.parquet`` (or csv) with
+    column pruning pushed to the scan; query mode registers every table file
+    in the directory as a temp view and evaluates the SQL natively in Spark
+    (the reference ships it verbatim to the source DB —
+    ``CopyToolConfig.java:856-867``; we ARE the query engine).
+    JDBC sources: partitioned reads via the options builder in ``jdbc.py``.
+    """
+    mode, payload = job.select_source()
+    if source.format == "jdbc":
+        return jdbc_reader(spark, source, job)
+
+    def table_df(table: str) -> DataFrame:
+        path = os.path.join(source.path, f"{table}.parquet")
+        if source.format == "csv":
+            path = os.path.join(source.path, f"{table}.csv")
+            return spark.read.options(**CSV_OPTIONS, inferSchema="true").csv(path)
+        return spark.read.parquet(path)
+
+    if mode == "table":
+        table, columns = payload
+        df = table_df(table)
+        if columns:
+            df = df.select(*columns)  # projection pushdown (CopyTable.java:314-322)
+        return df
+
+    # query mode: register all tables present in the source dir, then spark.sql
+    suffix = ".csv" if source.format == "csv" else ".parquet"
+    for fname in sorted(os.listdir(source.path)):
+        if fname.endswith(suffix):
+            name = fname[: -len(suffix)]
+            table_df(name).createOrReplaceTempView(name)
+    return spark.sql(payload)
+
+
+def write_csv_compat(df: DataFrame, path: str) -> None:
+    """Reference-convention CSV sink: ``\\N`` nulls, quoted+escaped fields."""
+    df.write.mode("overwrite").options(**CSV_OPTIONS, quoteAll="true").csv(path)

@@ -1,0 +1,113 @@
+"""Structured Streaming pipelines — the idiomatic upgrade of the reference's
+polling scheduler + watermark trigger (``CopyTool.java:121-160,332-477``).
+
+The reference polls a source, compares a monotone column against persisted
+state, and reprocesses everything when newer data exists. Structured
+Streaming replaces that with an incremental source + event-time watermark +
+checkpointed state: only new files/rows are processed, late data is bounded
+by the watermark, and exactly-once sinks replace the versioned-table swap
+for append-shaped loads.
+
+These builders return streaming DataFrames; tests run them with
+``trigger(availableNow=True)`` (the catch-up analog of a scheduler tick)
+against the events fixture copied into a file-stream directory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: events schema with ts as TIMESTAMP (micros) — file-stream sources need an
+#: explicit schema (no inference on streams).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over parquet event files: each new file is a
+    micro-batch (the streaming analog of the reference's per-poll extract)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+
+
+def windowed_counts_stream(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour counts with late-data bound.
+
+    The watermark is the streaming generalization of the reference's
+    high-water-mark trigger: state for windows older than max(ts)-watermark
+    is finalized and dropped, bounding memory at any scale.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(24,8)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n_events", "sum_value")
+    )
+
+
+def sessionized_stream(events: DataFrame, *, gap: str = "10 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Per-user session windows (gap-based) — stateful aggregation whose
+    state is pruned by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stateful_dedup_stream(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on (user_id, event_type) within the watermark — the
+    streaming analog of the keep-first batch dedup (stream_dedup_first)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    table_name: str,
+    *,
+    output_mode: str = "complete",
+) -> None:
+    """Drain everything currently available into an in-memory sink — one
+    scheduler tick / catch-up run (``trigger(availableNow=True)``).
+
+    Aggregations use ``complete`` here because a single availableNow batch
+    never advances the watermark far enough to finalize the newest windows
+    in append mode; row-shaped streams (dedup) pass ``append``.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,190 @@
+"""End-to-end copy pipeline: extract -> versioned load -> publish -> retention
+(SURVEY §3.1), including empty guard, no-switch/switch-only modes, temp-table
+promotion and queryability of published views."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from mssql2monetdb_spark.config.spec import load_spec
+from mssql2monetdb_spark.engine.copy import (
+    EXIT_NO_NEW_DATA,
+    EXIT_OK,
+    CopyEngine,
+    EmptyTablesError,
+)
+from mssql2monetdb_spark.engine.publish import VersionedCatalog, physical_name, version_of
+
+SF = "/root/testdata/sf0.001"
+
+
+def make_spec(tmp_path, tables=None, **extra):
+    return load_spec(
+        {
+            "warehouse_dir": str(tmp_path / "wh"),
+            "sources": {"_default": {"format": "parquet", "path": SF}},
+            "tables": tables or {"nation_job": {"from_table": "nation"}},
+            **extra,
+        }
+    )
+
+
+def test_copy_end_to_end(spark, tmp_path):
+    engine = CopyEngine(spark, make_spec(tmp_path))
+    published = engine.do_copy(load_date=datetime(2024, 1, 1, 0, 0, 0))
+    assert published == {"nation_job": "nation_2024_01_01_00_00_00"}
+    # published view answers queries
+    n = engine.sql("SELECT COUNT(*) AS n FROM nation").collect()[0]["n"]
+    assert n == 25
+    # physical naming parity (MonetDBTable.java:31-43)
+    assert version_of(published["nation_job"]) == "2024_01_01_00_00_00"
+
+
+def test_versioning_and_retention(spark, tmp_path):
+    engine = CopyEngine(spark, make_spec(tmp_path))
+    cat = engine.catalog
+    for day in (1, 2, 3):
+        engine.do_copy(load_date=datetime(2024, 1, day))
+    versions = cat.table_versions("default", "nation")
+    # keep 2: current + one backup (CopyTool.java:575-580)
+    assert versions == ["nation_2024_01_03_00_00_00", "nation_2024_01_02_00_00_00"]
+    assert cat.current_version("default", "nation") == "nation_2024_01_03_00_00_00"
+
+
+def test_empty_guard(spark, tmp_path):
+    # empty source aborts the whole run (SourceDatabaseUtil.java:22-52)
+    spec = make_spec(
+        tmp_path,
+        tables={
+            "empty_job": {
+                "from_table": None,
+                "from_query": "SELECT * FROM nation WHERE n_nationkey < 0",
+                "count_query": "SELECT COUNT(*) FROM nation WHERE n_nationkey < 0",
+                "to_table": "empty_t",
+            }
+        },
+    )
+    engine = CopyEngine(spark, spec)
+    with pytest.raises(EmptyTablesError):
+        engine.do_copy()
+
+    # allowEmpty loads schema + zero rows (CopyTool.java:673-678,816-820)
+    spec2 = make_spec(
+        tmp_path,
+        tables={
+            "empty_job": {
+                "from_table": None,
+                "from_query": "SELECT * FROM nation WHERE n_nationkey < 0",
+                "count_query": "SELECT COUNT(*) FROM nation WHERE n_nationkey < 0",
+                "to_table": "empty_t",
+                "allow_empty": True,
+            }
+        },
+    )
+    engine2 = CopyEngine(spark, spec2)
+    engine2.do_copy(load_date=datetime(2024, 1, 1))
+    out = engine2.sql("SELECT * FROM empty_t")
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["n_nationkey", "n_name", "n_regionkey"]
+
+
+def test_query_mode_evaluates_natively(spark, tmp_path):
+    # arbitrary SQL evaluated by Spark, not shipped anywhere
+    spec = make_spec(
+        tmp_path,
+        tables={
+            "top_cust": {
+                "from_table": None,
+                "from_query": """
+                    SELECT c_nationkey, COUNT(*) AS n_customers
+                    FROM customer GROUP BY c_nationkey
+                """,
+                "count_query": "SELECT COUNT(DISTINCT c_nationkey) FROM customer",
+                "to_table": "cust_by_nation",
+            }
+        },
+    )
+    engine = CopyEngine(spark, spec)
+    engine.do_copy(load_date=datetime(2024, 1, 1))
+    total = engine.sql("SELECT SUM(n_customers) AS s FROM cust_by_nation").collect()[0]["s"]
+    assert total == 150  # sf0.001 customer count
+
+
+def test_projection_mode(spark, tmp_path):
+    spec = make_spec(
+        tmp_path,
+        tables={"t": {"from_table": "customer", "from_columns": ["c_custkey", "c_name"]}},
+    )
+    engine = CopyEngine(spark, spec)
+    engine.do_copy(load_date=datetime(2024, 1, 1))
+    df = engine.sql("SELECT * FROM customer")
+    assert df.columns == ["c_custkey", "c_name"]  # CopyTable.java:314-322
+
+
+def test_no_switch_then_switch_only(spark, tmp_path):
+    # --no-switch loads but doesn't publish; --switch-only publishes later
+    # (CopyToolConfig.java:116-279 CLI modes)
+    engine = CopyEngine(spark, make_spec(tmp_path))
+    loaded = engine.do_copy(no_switch=True, load_date=datetime(2024, 1, 1))
+    assert engine.catalog.current_version("default", "nation") is None
+    assert engine.catalog.newest_version("default", "nation") == loaded["nation_job"]
+
+    published = engine.do_copy(switch_only=True)
+    assert published["nation_job"] == loaded["nation_job"]
+    assert engine.sql("SELECT COUNT(*) AS n FROM nation").collect()[0]["n"] == 25
+
+
+def test_temp_table_promotion(spark, tmp_path):
+    # copy-via-temp-table: load under tmp_, CTAS-promote at publish
+    # (CopyTool.java:1107-1124)
+    spec = make_spec(
+        tmp_path,
+        tables={"j": {"from_table": "region", "use_fast_view_switching": False}},
+    )
+    engine = CopyEngine(spark, spec)
+    published = engine.do_copy(load_date=datetime(2024, 1, 1))
+    assert published["j"] == "region_2024_01_01_00_00_00"
+    assert engine.sql("SELECT COUNT(*) AS n FROM region").collect()[0]["n"] == 5
+    # no tmp_ leftovers
+    assert engine.catalog.table_versions("default", "tmp_region") == []
+
+
+def test_exit_codes(spark, tmp_path):
+    engine = CopyEngine(spark, make_spec(tmp_path))
+    assert engine.run(load_date=datetime(2024, 1, 1)) == EXIT_OK
+
+
+def test_trigger_skip_exit_code(spark, tmp_path):
+    spec = make_spec(
+        tmp_path,
+        tables={
+            "ev": {
+                "from_table": "events",
+                "trigger": {"column": "ts"},
+            }
+        },
+    )
+    engine = CopyEngine(spark, spec)
+    # first run: no state -> runs, persists watermark
+    assert engine.run(load_date=datetime(2024, 1, 1)) == EXIT_OK
+    # second run: unchanged max(ts) -> exit 2 (CopyTool.java:95-98)
+    assert engine.run(load_date=datetime(2024, 1, 2)) == EXIT_NO_NEW_DATA
+
+
+def test_register_all_fresh_session(spark, tmp_path):
+    # republish views from manifests alone (switch-only across sessions)
+    engine = CopyEngine(spark, make_spec(tmp_path))
+    engine.do_copy(load_date=datetime(2024, 1, 1))
+    spark.catalog.dropTempView("nation")
+    cat = VersionedCatalog(str(tmp_path / "wh"))
+    assert cat.register_all(spark) == ["default.nation"]
+    assert spark.sql("SELECT COUNT(*) AS n FROM nation").collect()[0]["n"] == 25
+
+
+def test_physical_name_format():
+    assert (
+        physical_name("orders", datetime(2024, 12, 31, 23, 59, 58))
+        == "orders_2024_12_31_23_59_58"
+    )

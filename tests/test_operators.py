@@ -1,0 +1,95 @@
+"""Library-level operator semantics not fully covered by the oracle gate:
+dedup recall on planted near-dups, simhash pair blocking, similarity top-k
+sanity, jdbc option builders, csv-compat sink roundtrip."""
+
+from __future__ import annotations
+
+from mssql2monetdb_spark.catalog import load_table
+from mssql2monetdb_spark.config.spec import CopyJob, SourceSpec
+from mssql2monetdb_spark.operators import dedup, similarity
+from mssql2monetdb_spark.sources.jdbc import jdbc_read_options, jdbc_write_options
+from mssql2monetdb_spark.sources.readers import CSV_OPTIONS, write_csv_compat
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_finds_planted_neardups(spark):
+    docs = load_table(spark, SF, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, shingle_n=3, threshold=0.8).collect()
+    assert len(pairs) > 0  # the fixture plants near-identical doc pairs
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"] and 0.8 <= r["jaccard"] <= 1.0
+
+
+def test_minhash_self_consistency(spark):
+    # a doc unioned with itself is a perfect duplicate: jaccard 1.0
+    docs = load_table(spark, SF, "documents").limit(5)
+    clones = docs.withColumn("doc_id", docs.doc_id + 100000)
+    pairs = dedup.minhash_lsh_pairs(docs.unionAll(clones), threshold=0.99).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    for i in range(5):
+        assert (i, i + 100000) in found
+        assert next(r["jaccard"] for r in pairs if r["doc_a"] == i) == 1.0
+
+
+def test_simhash_pairs_blocking(spark):
+    docs = load_table(spark, SF, "documents")
+    pairs = dedup.simhash_pairs(docs, max_hamming=6).collect()
+    for r in pairs:
+        assert r["hamming"] <= 6 and r["doc_a"] < r["doc_b"]
+
+
+def test_exact_dup_detection(spark):
+    docs = load_table(spark, SF, "documents").limit(10)
+    doubled = docs.unionAll(docs)
+    groups = dedup.exact_duplicates(doubled).collect()
+    assert all(g["n_dups"] == 2 for g in groups) and len(groups) == 10
+
+
+def test_topk_bruteforce_contains_best(spark):
+    emb = load_table(spark, SF, "embeddings")
+    out = similarity.topk_bruteforce(emb, [0, 1], k=3).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert [r["rnk"] for r in rows] == [1, 2, 3]
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["vec_id"] != q for r in rows)
+
+
+def test_topk_lsh_subset_of_corpus(spark):
+    emb = load_table(spark, SF, "embeddings")
+    out = similarity.topk_lsh(emb, [0], k=5).collect()
+    assert 0 < len(out) <= 5  # bucket-pruned: at most k, possibly fewer
+
+
+def test_jdbc_option_builders():
+    src = SourceSpec(name="s", format="jdbc", options={"url": "jdbc:postgresql://h/db"})
+    job = CopyJob(job_id="j", from_table="t", from_columns=("a", "b"), to_table="t")
+    opts = jdbc_read_options(src, job)
+    assert opts["query"] == "SELECT a, b FROM t"  # projection pushed to source
+    assert opts["fetchsize"] == "10000"  # reference batch.size default
+
+    job2 = CopyJob(job_id="j2", from_table="t", to_table="t")
+    assert jdbc_read_options(src, job2)["dbtable"] == "t"
+
+    wopts = jdbc_write_options(src, "t", locked_mode=True)
+    assert wopts["batchsize"] == "10000" and wopts["isolationLevel"] == "NONE"
+
+
+def test_csv_compat_roundtrip(spark, tmp_path):
+    # \N nulls + quoted/escaped fields (CopyTool.java:50,697-730)
+    df = spark.createDataFrame(
+        [(1, 'has "quotes"', None), (2, "back\\slash, comma", "x")],
+        "id long, s string, t string",
+    )
+    path = str(tmp_path / "csv_out")
+    write_csv_compat(df, path)
+    back = (
+        spark.read.options(**CSV_OPTIONS)
+        .schema("id long, s string, t string")
+        .csv(path)
+    )
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}

@@ -1,0 +1,129 @@
+"""Structured Streaming pipelines pinned against their batch equivalents.
+
+Strategy: copy the events fixture into a file-stream source dir, drain with
+trigger(availableNow=True), and assert the streamed result equals the batch
+query on the same data — pinning window/session/dedup semantics by test, not
+assumption (SURVEY §7 hard part d)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mssql2monetdb_spark.catalog import load_table
+from mssql2monetdb_spark.streaming.pipelines import (
+    events_stream,
+    run_available_now,
+    sessionized_stream,
+    stateful_dedup_stream,
+    windowed_counts_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    """Events fixture rewritten as a streamable parquet dir (micros ts)."""
+    src = tmp_path_factory.mktemp("events_stream")
+    load_table(spark, SF, "events").coalesce(2).write.mode("overwrite").parquet(str(src / "in"))
+    return str(src / "in")
+
+
+def test_windowed_counts_matches_batch(spark, stream_src, tmp_path):
+    stream = windowed_counts_stream(events_stream(spark, stream_src))
+    run_available_now(stream, str(tmp_path / "ckpt"), "win_counts")
+    streamed = {
+        (r["w_start"], r["n_events"], r["sum_value"])
+        for r in spark.table("win_counts").collect()
+    }
+    batch = {
+        (r["w_start"], r["n_events"], r["sum_value"])
+        for r in (
+            spark.read.parquet(stream_src)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(24,8)")).cast("double").alias("sum_value"),
+            )
+            .select(F.col("w.start").alias("w_start"), "n_events", "sum_value")
+            .collect()
+        )
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_sessionized_matches_batch(spark, stream_src, tmp_path):
+    stream = sessionized_stream(events_stream(spark, stream_src))
+    run_available_now(stream, str(tmp_path / "ckpt"), "sessions")
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sessions").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in (
+            spark.read.parquet(stream_src)
+            .groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+            .collect()
+        )
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_stateful_dedup_one_row_per_key(spark, stream_src, tmp_path):
+    stream = stateful_dedup_stream(events_stream(spark, stream_src))
+    run_available_now(stream, str(tmp_path / "ckpt"), "deduped", output_mode="append")
+    out = spark.table("deduped")
+    n_keys = (
+        spark.read.parquet(stream_src).select("user_id", "event_type").distinct().count()
+    )
+    assert out.count() == n_keys
+    assert out.select("user_id", "event_type").distinct().count() == n_keys
+
+
+def test_incremental_second_batch_only_processes_new_files(spark, stream_src, tmp_path):
+    """New file after a drain -> only the delta is processed (checkpointed
+    source offsets, the streaming replacement for the reference's
+    watermark-skip)."""
+    import shutil
+
+    src2 = tmp_path / "in2"
+    shutil.copytree(stream_src, src2)
+    ckpt = str(tmp_path / "ckpt2")
+    out_dir = str(tmp_path / "out2")
+
+    def drain() -> None:
+        # file sink (unlike memory) supports checkpoint recovery
+        q = (
+            stateful_dedup_stream(events_stream(spark, str(src2)))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(out_dir).count()
+
+    # append a brand-new key as a late file
+    extra = spark.createDataFrame(
+        [(99901, "2024-01-30 23:00:00", 999, "newtype", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    extra.coalesce(1).write.mode("append").parquet(str(src2))
+
+    drain()
+    total = spark.read.parquet(out_dir).count()
+    # second drain emitted ONLY the new key's row
+    assert first > 0 and total == first + 1
