@@ -1,0 +1,65 @@
+"""Benchmark runner — the driver's per-round performance probe.
+
+Runs the headline queries (registry entries flagged ``bench=True``) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_bench_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+Each query is forced with a noop-sink write (full distributed execution, no
+driver collect) and timed wall-clock. A tiny warmup query first so JVM/codegen
+startup isn't billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from mssql2monetdb_spark.queries.registry import bench_queries  # noqa: E402
+from mssql2monetdb_spark.session import get_spark  # noqa: E402
+import mssql2monetdb_spark.queries  # noqa: E402,F401  (populate registry)
+
+
+def force(df) -> None:
+    """Execute the full plan distributed; no rows cross to the driver."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("mssql2monetdb-bench")
+
+    # warmup: JVM, codegen, parquet footer caches
+    force(spark.read.parquet(os.path.join(sf_dir, "region.parquet")))
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(bench_queries().items()):
+        start = time.perf_counter()
+        force(q.build(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -53,6 +53,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelized(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough partitions before heavy narrow (per-row) compute.
+
+    The local fixtures are single-row-group parquet files — Spark cannot
+    split them, so a scan followed by expensive per-row work (md5/regex/
+    array folds) runs on ONE core. A cheap round-robin repartition unlocks
+    all cores. At cluster scale inputs already have >= cores partitions and
+    this is a no-op — the check is on the actual scan partitioning, so the
+    extra shuffle is never paid when the source is properly split.
+    """
+    min_p = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_p:
+        return df.repartition(min_p)
+    return df
+
+
 class Tables:
     """Lazy accessor: ``Tables(spark, sf_dir).lineitem`` -> DataFrame."""
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import parallelized
 from ..functions import hashing, text
 
 MINHASH_BANDS = 4
@@ -43,57 +44,92 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def _hash_in_lambda(s: Column) -> Column:
-    # md5-int32 usable inside transform() lambdas
-    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+def shingle_rows(docs: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
+    """(id, h32, h64) — one row per distinct shingle per document.
 
+    Explode tokens FIRST, then build n-grams with window ``lead`` and hash
+    with scalar md5 — every step after the single tokenize+explode is
+    whole-stage-codegen scalar work. (The tempting array formulation
+    ``transform(sequence(..), i -> slice(tokens, i, n))`` embeds the
+    tokenizer inside the lambda body, so Spark re-evaluates the regex split
+    per *shingle* — O(tokens^2) per document and no codegen. Measured 10x
+    slower.)
 
-def shingled(docs: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
-    """(id, shingles: array<string>, hs: array<bigint>) with empty docs dropped."""
+    Shingles travel as BIGINT hash keys, never strings: 32-bit for MinHash
+    permutations (keeps a*h+b inside int64), 60-bit for Jaccard set keys
+    (collision-negligible at corpus scale) — narrow shuffle keys throughout.
+    """
+    from pyspark.sql.window import Window
+
     tok = text.tokens(F.col(text_col))
-    sh = text.word_shingles(tok, shingle_n)
-    return (
-        docs.select(F.col(id_col).alias("id"), sh.alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .withColumn("hs", F.transform(F.col("shingles"), _hash_in_lambda))
+    base = parallelized(docs).select(
+        F.col(id_col).alias("id"), F.posexplode(tok).alias("pos", "w")
     )
+    if shingle_n == 1:
+        rows = base.select("id", F.col("w").alias("sh_str"))
+    else:
+        win = Window.partitionBy("id").orderBy("pos")
+        words = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, shingle_n)]
+        named = base.select("id", *[p.alias(f"w{k}") for k, p in enumerate(words)])
+        rows = named.filter(F.col(f"w{shingle_n - 1}").isNotNull()).select(
+            "id", F.concat_ws(" ", *[F.col(f"w{k}") for k in range(shingle_n)]).alias("sh_str")
+        )
+    m = F.md5(F.col("sh_str"))  # WSCG eliminates the common md5 subexpression
+    return rows.select(
+        "id",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("h32"),
+        F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint").alias("h64"),
+    ).distinct()
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, shingle_n: int = 3) -> DataFrame:
-    """k=16 MinHash signature columns mh0..mh15 per document."""
-    base = shingled(docs, text_col, id_col, shingle_n)
-    sig_cols = [hashing.minhash_sig(F.col("hs"), i).alias(f"mh{i}") for i in range(hashing.MINHASH_K)]
-    return base.select("id", "shingles", *sig_cols)
+    """k=16 MinHash signature columns mh0..mh15 per document.
+
+    Signatures are 16 MIN aggregates over the exploded shingle rows — fully
+    codegen'd with map-side partial aggregation (one narrow shuffle on id).
+    """
+    return _signatures_from_rows(shingle_rows(docs, text_col, id_col, shingle_n))
+
+
+def _signatures_from_rows(rows: DataFrame) -> DataFrame:
+    sig_cols = [
+        F.min(
+            (F.lit(hashing.MINHASH_A[i]) * F.col("h32") + F.lit(hashing.MINHASH_B[i]))
+            % F.lit(hashing.MINHASH_PRIME)
+        ).alias(f"mh{i}")
+        for i in range(hashing.MINHASH_K)
+    ]
+    return rows.groupBy("id").agg(*sig_cols)
 
 
 def lsh_bands(sigs: DataFrame) -> DataFrame:
     """Explode signatures into (id, band, bkey) — one row per LSH band.
 
-    bkey is md5 of the band's signature slice; the candidate join is a plain
-    shuffle join on (band, bkey).
+    Single-pass: the 4 band keys are built as an array of structs and
+    exploded (one scan of the signature relation, not one per band). bkey is
+    the 60-bit integer form of md5 over the band's signature slice, so the
+    candidate join shuffles on (int, bigint) keys.
     """
-    per_band = []
+    band_structs = []
     for b in range(MINHASH_BANDS):
-        cols = [F.col(f"mh{b * MINHASH_ROWS_PER_BAND + r}").cast("string") for r in range(MINHASH_ROWS_PER_BAND)]
-        per_band.append(
-            sigs.select(
-                "id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("bkey"),
-            )
-        )
-    out = per_band[0]
-    for df in per_band[1:]:
-        out = out.unionAll(df)
-    return out
+        cols = [
+            F.col(f"mh{b * MINHASH_ROWS_PER_BAND + r}").cast("string")
+            for r in range(MINHASH_ROWS_PER_BAND)
+        ]
+        key = F.conv(F.substring(F.md5(F.concat_ws(",", *cols)), 1, 15), 16, 10).cast("bigint")
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    return sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
 
 
 def jaccard_on_candidates(candidates: DataFrame, exploded: DataFrame, sizes: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate pairs.
 
-    candidates: (doc_a, doc_b); exploded: (id, sh) distinct shingles;
-    sizes: (id, sz). Intersections come from two shuffle joins keyed on doc
-    ids — cost is proportional to candidate count, not corpus^2.
+    candidates: (doc_a, doc_b); exploded: (id, sh) distinct shingle hash
+    keys (BIGINT); sizes: (id, sz). Intersections come from two shuffle
+    joins keyed on doc ids — cost is proportional to candidate count, not
+    corpus^2.
     """
     ea = exploded.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
     eb = exploded.select(F.col("id").alias("eb_id"), F.col("sh").alias("sh_b"))
@@ -133,7 +169,8 @@ def minhash_lsh_pairs(
     distinct candidate pairs -> exact Jaccard -> threshold. Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sigs = minhash_signatures(docs, text_col, id_col, shingle_n=shingle_n).cache()
+    rows = shingle_rows(docs, text_col, id_col, shingle_n).cache()
+    sigs = _signatures_from_rows(rows)
     bands = lsh_bands(sigs)
     left = bands.select(F.col("id").alias("doc_a"), "band", "bkey")
     right = bands.select(F.col("id").alias("doc_b"), "band", "bkey")
@@ -143,7 +180,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exploded = sigs.select("id", F.explode("shingles").alias("sh")).distinct()
+    exploded = rows.select("id", F.col("h64").alias("sh"))
     sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     return (
         jaccard_on_candidates(candidates, exploded, sizes)
@@ -163,7 +200,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     aggregate-shaped — map-side combine keeps the shuffle tiny.
     """
     tok = text.tokens(F.col(text_col))
-    e = docs.select(F.col(id_col).alias("id"), F.explode(tok).alias("w"))
+    e = parallelized(docs).select(F.col(id_col).alias("id"), F.explode(tok).alias("w"))
     e = e.withColumn("h", hashing.md5_int32(F.col("w")))
     votes = [
         F.sum(
@@ -222,8 +259,11 @@ def ngram_jaccard_pairs(
     computed for candidates only. DF pruning is what keeps the shingle join
     from exploding on hot n-grams at scale — hot shingles carry no signal.
     """
-    base = shingled(docs, text_col, id_col, ngram_n)
-    exploded = base.select("id", F.explode("shingles").alias("sh")).distinct().cache()
+    exploded = (
+        shingle_rows(docs, text_col, id_col, ngram_n)
+        .select("id", F.col("h64").alias("sh"))
+        .cache()
+    )
     sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     rare = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count")).filter(F.col("df_count") <= df_max)
     rare_exploded = exploded.join(rare.select("sh"), "sh")

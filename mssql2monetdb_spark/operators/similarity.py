@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..catalog import parallelized
 from ..functions import vectors
 
 EMBED_DIM = 64
@@ -56,6 +57,7 @@ def plane_bit_sql(emb_expr: str, plane: list[float]) -> str:
 def with_lsh_bands(emb_df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     """Add band/bkey rows: (.., band, bkey) one row per band per vector."""
     emb = F.col(emb_col)
+    emb_df = parallelized(emb_df)
     pieces = []
     for band in range(LSH_BANDS):
         key = F.lit(0)
@@ -128,7 +130,7 @@ def topk_bruteforce(
         .select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
     )
     scored = (
-        emb_df.crossJoin(F.broadcast(queries))
+        parallelized(emb_df).crossJoin(F.broadcast(queries))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",

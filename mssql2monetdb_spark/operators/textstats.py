@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import parallelized
 from ..functions import hashing, text
 
 FINGERPRINT_MOD = 2147483647  # 2^31 - 1
@@ -30,7 +31,7 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
     stop_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
     n_stop = F.size(F.filter(tok, lambda w: F.array_contains(stop_arr, w)))
-    return docs.select(
+    return parallelized(docs).select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).cast("bigint").alias("n_chars_calc"),
         n_tok.cast("int").alias("n_tokens"),
@@ -84,7 +85,7 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         is_better = hit_cols[lang] > best_hits
         best = F.when(is_better, F.lit(lang)).otherwise(best)
         best_hits = F.when(is_better, hit_cols[lang]).otherwise(best_hits)
-    return docs.select(
+    return parallelized(docs).select(
         F.col(id_col).alias("doc_id"),
         best.alias("lang_pred"),
         best_hits.cast("int").alias("marker_hits"),
@@ -105,7 +106,7 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.lit(0).cast("bigint"),
         lambda acc, h: (acc * FINGERPRINT_MUL + h) % FINGERPRINT_MOD,
     )
-    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+    return parallelized(docs).select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
 
 
 def fingerprint_sql(text_expr: str) -> str:

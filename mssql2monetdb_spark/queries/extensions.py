@@ -37,7 +37,7 @@ def _minhash_oracle(shingle_n: int, threshold: float) -> str:
     tok = text.tokens_sql("text")
     sh = text.word_shingles_sql("tok", shingle_n)
     sig_cols = ",\n           ".join(
-        f"{hashing.minhash_sig_sql('hs', i)} AS mh{i}" for i in range(hashing.MINHASH_K)
+        f"{hashing.minhash_sig_sql('hs32', i)} AS mh{i}" for i in range(hashing.MINHASH_K)
     )
     band_selects = []
     for b in range(dedup.MINHASH_BANDS):
@@ -45,7 +45,10 @@ def _minhash_oracle(shingle_n: int, threshold: float) -> str:
             f"CAST(mh{b * dedup.MINHASH_ROWS_PER_BAND + r} AS VARCHAR)"
             for r in range(dedup.MINHASH_ROWS_PER_BAND)
         )
-        band_selects.append(f"SELECT id, {b} AS band, md5({cols}) AS bkey FROM sigs")
+        band_selects.append(
+            f"SELECT id, {b} AS band, "
+            f"(('0x' || substring(md5({cols}), 1, 15))::BIGINT) AS bkey FROM sigs"
+        )
     bands = "\n    UNION ALL\n    ".join(band_selects)
     jac = "CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter)"
     return f"""
@@ -54,20 +57,24 @@ def _minhash_oracle(shingle_n: int, threshold: float) -> str:
     ), base AS (
         SELECT id, {sh} AS shingles FROM tokenized
     ), hashed AS (
-        SELECT id, shingles,
-               list_transform(shingles, s -> {hashing.md5_int32_sql('s')}) AS hs
+        SELECT id, list_transform(shingles, s -> md5(s)) AS md5s
         FROM base WHERE len(shingles) > 0
-    ), sigs AS (
-        SELECT id, shingles,
-           {sig_cols}
+    ), keyed AS (
+        SELECT id,
+               list_transform(md5s, m -> (('0x' || substring(m, 1, 8))::BIGINT)) AS hs32,
+               list_transform(md5s, m -> (('0x' || substring(m, 1, 15))::BIGINT)) AS hs60
         FROM hashed
+    ), sigs AS (
+        SELECT id, hs60,
+           {sig_cols}
+        FROM keyed
     ), bands AS (
     {bands}
     ), cand AS (
         SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
     ), expl AS (
-        SELECT DISTINCT id, unnest(shingles) AS sh FROM sigs
+        SELECT DISTINCT id, unnest(hs60) AS sh FROM sigs
     ), sz AS (
         SELECT id, COUNT(*) AS sz FROM expl GROUP BY id
     ), inter AS (
@@ -131,7 +138,9 @@ def _ngram_jaccard_oracle(ngram_n: int, df_max: int, threshold: float) -> str:
     ), base AS (
         SELECT id, {sh} AS shingles FROM tokenized
     ), expl AS (
-        SELECT DISTINCT id, unnest(shingles) AS sh FROM base WHERE len(shingles) > 0
+        SELECT DISTINCT id,
+               unnest(list_transform(shingles, s -> (('0x' || substring(md5(s), 1, 15))::BIGINT))) AS sh
+        FROM base WHERE len(shingles) > 0
     ), sz AS (
         SELECT id, COUNT(*) AS sz FROM expl GROUP BY id
     ), rare AS (
