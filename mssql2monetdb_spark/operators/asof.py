@@ -1,0 +1,84 @@
+"""As-of join — an operator Spark lacks natively, composed from existing
+DataFrame ops (no Pandas UDF needed).
+
+``asof_join(left, right, on, left_ts, right_ts)`` matches each left row with
+the most recent right row (right_ts <= left_ts) per key — the time-series
+"latest value as of" join (DuckDB/Polars ASOF JOIN, kdb aj).
+
+Implementation is the scalable sort-merge formulation:
+
+1. tag and union both sides (right first at equal timestamps => inclusive
+   ``left_ts >= right_ts`` semantics, matching DuckDB ASOF);
+2. one window over (key) ordered by (ts, side): ``last(right_payload,
+   ignorenulls=True)`` carries the latest right row forward;
+3. keep left rows.
+
+Cost: ONE shuffle of left+right on the key and a single sort within
+partitions — the same plan a native as-of join operator would produce. No
+per-key loops, no broadcast requirement, skew behaves like any keyed window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    prefix: str = "matched_",
+) -> DataFrame:
+    """Left as-of-backward join.
+
+    Every left row appears exactly once, augmented with ``prefix<col>`` for
+    each right payload column (NULL when no right row precedes it).
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    payload = F.struct(
+        F.col(right_ts).alias(f"{prefix}{right_ts}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(
+            right.select(payload.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("_l"))
+            .schema["_l"]
+            .dataType
+        ).alias("_l"),
+        payload.alias("_r"),
+    )
+
+    # right rows sort BEFORE left rows at equal _ts (side 0 < 1): inclusive >=
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    match_fields = [f"{prefix}{right_ts}"] + [f"{prefix}{c}" for c in right_cols]
+    out_cols += [F.col(f"_match.{f}").alias(f) for f in match_fields]
+    return carried.select(*out_cols)

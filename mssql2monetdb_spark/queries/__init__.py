@@ -8,6 +8,7 @@ from .registry import REGISTRY, Query, oracle_sql, queries, query  # noqa: F401
 
 # Import for side effect: each module registers its queries.
 from . import relational  # noqa: E402,F401
+from . import relational_ext  # noqa: E402,F401
 from . import functions_corpus  # noqa: E402,F401
 from . import extensions  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401

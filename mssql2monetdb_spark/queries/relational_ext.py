@@ -1,0 +1,423 @@
+"""Extended relational corpus: more TPC-H-shaped composites, advanced window
+functions, pivot/conditional aggregation, string aggregation, percentiles,
+grouping sets, deterministic sampling, and the as-of join.
+
+Same determinism discipline as relational.py (see registry docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import Tables
+from ..operators.asof import asof_join
+from .helpers import dsum, oracle_dsum
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped composites
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+        SELECT {oracle_dsum('l_extendedprice * l_discount', 'revenue')}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter+aggregate — every predicate pushes to the scan."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS -> left-semi join, then count by priority.
+
+    (The fixture lacks commit/receipt dates; the correlated predicate uses
+    l_shipdate > o_orderdate — same plan shape.)
+    """
+    t = Tables(spark, sf_dir)
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+    )
+    li = t.lineitem.select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+        SELECT c_custkey, c_name, n_name,
+               {oracle_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join + agg + top-20 (nation broadcast)."""
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            t.lineitem.filter(F.col("l_returnflag") == "R").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q12_conditional_agg",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def tpch_q12_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + CASE-WHEN conditional counting."""
+    t = Tables(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "tpch_q14_promo_ratio",
+    oracle=f"""
+        SELECT 100.0 * (
+            SELECT {oracle_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 'x').replace(' AS x', '')}
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ) / (
+            SELECT {oracle_dsum('l_extendedprice * (1 - l_discount)', 'y').replace(' AS y', '')}
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ) AS promo_revenue_pct
+    """,
+)
+def tpch_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional to total revenue (part broadcast)."""
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    joined = t.lineitem.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = joined.agg(
+        dsum(promo, "promo_rev"),
+        dsum(rev, "total_rev"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle=f"""
+        SELECT c_custkey, o_orderkey, o_orderdate,
+               {oracle_dsum('l_quantity', 'total_qty')}
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY c_custkey, o_orderkey, o_orderdate
+        HAVING SUM(CAST(l_quantity AS DECIMAL(24,8))) > 150
+        ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg + HAVING on the aggregate + top-k."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(
+            dsum("l_quantity", "total_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(24,8)")).alias("_qty_dec"),
+        )
+        .filter(F.col("_qty_dec") > 150)
+        .drop("_qty_dec")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Advanced windows / aggregation surface
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_percent_cume",
+    oracle="""
+        SELECT c_custkey,
+               PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS pct_rank,
+               CUME_DIST()    OVER (ORDER BY c_acctbal, c_custkey) AS cume,
+               NTH_VALUE(c_custkey, 2) OVER (
+                   PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_in_nation
+        FROM customer ORDER BY c_custkey
+    """,
+)
+def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value analytic windows."""
+    t = Tables(spark, sf_dir)
+    w_global = Window.orderBy("c_acctbal", "c_custkey")
+    w_nation = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.customer.select(
+        "c_custkey",
+        F.percent_rank().over(w_global).alias("pct_rank"),
+        F.cume_dist().over(w_global).alias("cume"),
+        F.nth_value("c_custkey", 2).over(w_nation).alias("second_in_nation"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,8))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_price
+        FROM orders ORDER BY o_orderkey
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average via exact-decimal window sum / window count."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return t.orders.select(
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(24,8)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_price"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+        SELECT n_name, string_agg(c_name, ',' ORDER BY c_name) AS members, COUNT(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey < 100
+        GROUP BY n_name ORDER BY n_name
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG) — sort_array(collect_list)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.filter(F.col("c_custkey") < 100)
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("members"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list -> no extra distinct-values job)."""
+    t = Tables(spark, sf_dir)
+    p = (
+        t.orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        p.select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("status_f"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("status_o"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("status_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS q25,
+               quantile_cont(l_quantity, 0.50) AS median,
+               quantile_cont(l_quantity, 0.75) AS q75
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (dyadic quantiles of integer-valued
+    doubles — interpolation is exact in both engines)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("q25"),
+            F.percentile("l_quantity", 0.50).alias("median"),
+            F.percentile("l_quantity", 0.75).alias("q75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+               COALESCE(o_orderstatus, '(all)') AS status,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY priority, status
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SQL surface; rollup/cube are special cases)."""
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+               COALESCE(o_orderstatus, '(all)') AS status,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY priority, status
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + as-of join
+# ---------------------------------------------------------------------------
+
+@query(
+    "sample_deterministic_hash",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE (('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT) % 10 = 0
+        ORDER BY o_orderkey
+    """,
+)
+def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic hash sample — reproducible across engines and
+    runs, unlike rng-based TABLESAMPLE (the scale-friendly way to sample:
+    pure filter, pushes down, no shuffle)."""
+    t = Tables(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast("bigint")
+    return (
+        t.orders.filter(h % 10 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+        SELECT l.event_id, l.ts, l.user_id,
+               r.ts AS matched_ts,
+               r.event_id AS matched_event_id,
+               r.value AS matched_value
+        FROM (SELECT * FROM events WHERE event_type = 'error') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event matched to the user's most recent
+    preceding purchase (operators/asof.py — union + carry-forward window,
+    one shuffle; DuckDB's native ASOF JOIN is the oracle)."""
+    t = Tables(spark, sf_dir)
+    events = t.events
+    errors = events.filter(F.col("event_type") == "error").select("event_id", "ts", "user_id")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+    ).orderBy("event_id")
