@@ -37,8 +37,15 @@ def main() -> int:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("mssql2monetdb-bench")
 
-    # warmup: JVM, codegen, parquet footer caches
-    force(spark.read.parquet(os.path.join(sf_dir, "region.parquet")))
+    # warmup: run every headline query once at the smallest SF so JVM/codegen
+    # compilation isn't billed to whichever query runs first — the timed pass
+    # measures steady-state execution, which is what a long-lived cluster sees
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name, q in sorted(bench_queries().items()):
+            force(q.build(spark, warm_dir))
+    else:
+        force(spark.read.parquet(os.path.join(sf_dir, "region.parquet")))
 
     timings: dict[str, float] = {}
     for name, q in sorted(bench_queries().items()):

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config.spec import CopyJob, JobSpec, spec_checksum
+from ..schema.evolve import evolve_to_union
 from ..schema.mapper import normalized_dataframe
 from ..sources.readers import read_source
 from .publish import VersionedCatalog
@@ -167,6 +168,15 @@ class CopyEngine:
                 # fully replaces); kept as an explicit empty-write for
                 # non-versioned parity when fast view switching is off
                 pass
+            # schema verify + evolve (op #14): widen the new version to the
+            # union of the published schema and the incoming one so the view
+            # never loses columns; incompatible retyping fails loudly
+            current = self.catalog.current_version(job.schema_name, job.to_table)
+            if current is not None:
+                published_schema = self.spark.read.parquet(
+                    self.catalog.version_dir(job.schema_name, current)
+                ).schema
+                df = evolve_to_union(df, published_schema)
             target = job.to_table if job.use_fast_view_switching else f"tmp_{job.to_table}"
             physical = self.catalog.write_version(df, job.schema_name, target, load_date)
             loaded[job_id] = physical
@@ -201,16 +211,26 @@ class CopyEngine:
                 self.store.save(self.checksum, probe)
         return published
 
-    def run(self, **kwargs) -> int:
-        """CLI-shaped wrapper with the reference's exit codes."""
+    def run(self, *, notify=None, **kwargs) -> int:
+        """CLI-shaped wrapper with the reference's exit codes.
+
+        ``notify`` is the failure-notification hook (the reference mails a
+        stack trace on any job error, ``EmailUtil.java:21-111``): called
+        with the exception; its own failures are swallowed.
+        """
         try:
             self.do_copy(**kwargs)
             return EXIT_OK
         except NoNewDataError:
             log.info("no new data — skipping run (exit 2)")
             return EXIT_NO_NEW_DATA
-        except Exception:
+        except Exception as exc:
             log.exception("copy run failed")
+            if notify is not None:
+                try:
+                    notify(exc)
+                except Exception:
+                    log.exception("failure-notification hook raised")
             return EXIT_ERROR
 
     # -- convenience -----------------------------------------------------

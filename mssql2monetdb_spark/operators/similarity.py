@@ -177,3 +177,78 @@ def topk_lsh(
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the other classic scale path besides LSH
+# ---------------------------------------------------------------------------
+
+IVF_K = 8  # coarse cells; centroids are the first K vectors (deterministic
+           # k-means stand-in — a real system would train, the plan shape is
+           # identical: assign via argmin distance, probe matching cells)
+
+
+def ivf_assign(emb_df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest coarse centroid.
+
+    Relational argmin: broadcast the K centroids against the corpus, compute
+    squared L2 via a deterministic left fold, keep rank-1 per vector. One
+    broadcast join + one tiny window — the corpus itself never shuffles by
+    more than the final window on (id).
+    """
+    from pyspark.sql.window import Window
+
+    centroids = emb_df.filter(F.col(id_col) < IVF_K).select(
+        F.col(id_col).alias("cid"), F.col(emb_col).alias("cvec")
+    )
+    dist2 = F.reduce(
+        F.zip_with(
+            F.col(emb_col), F.col("cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = parallelized(emb_df).crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col), F.col(emb_col), F.col("cid"), dist2.alias("dist2")
+    )
+    w = Window.partitionBy(id_col).orderBy("dist2", "cid")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col(emb_col), F.col("cid").alias("cell"))
+    )
+
+
+def topk_ivf(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF top-k: score only vectors in the query's coarse cell (nprobe=1).
+
+    At scale the assignment is precomputed/partitioned by cell, so a query
+    touches 1/K of the corpus — the classic IVF recall/cost trade."""
+    from pyspark.sql.window import Window
+
+    assigned = ivf_assign(emb_df, id_col, emb_col)
+    queries = assigned.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"), F.col("cell")
+    )
+    cand = (
+        assigned.join(F.broadcast(queries), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", "q_emb", F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
+    )
+    scored = cand.select(
+        "query_id", "vec_id", vectors.cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

@@ -401,3 +401,81 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     media = multimodal.as_media(t.documents, "text", "doc_id", "text/plain")
     return multimodal.binary_meta(media).orderBy("media_id")
+
+
+def _ivf_oracle() -> str:
+    dist2 = (
+        "list_reduce(list_transform(generate_series(1, len(e.embedding)), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))), (a, b) -> a + b)"
+    )
+    cos = vectors.cosine_sql("cd.q_emb", "cd.c_emb")
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+    WITH centroids AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {similarity.IVF_K}
+    ), scored AS (
+        SELECT e.vec_id, e.embedding, c.cid, {dist2} AS dist2
+        FROM embeddings e CROSS JOIN centroids c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, cell FROM assigned
+        WHERE vec_id IN ({ids})
+    ), cand AS (
+        SELECT q.query_id, q.q_emb, a.vec_id, a.embedding AS c_emb
+        FROM assigned a JOIN q ON a.cell = q.cell
+        WHERE a.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, {cos} AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {cos} DESC, vec_id) AS rnk
+        FROM cand cd
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {ANN_K} ORDER BY query_id, rnk
+    """
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-5: relational argmin cell assignment,
+    probe only the query's cell (operators/similarity.py topk_ivf)."""
+    t = Tables(spark, sf_dir)
+    df = similarity.topk_ivf(t.embeddings, ANN_QUERY_IDS, k=ANN_K)
+    return df.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Continuous-aggregate rollup (hypertable analog)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rollup_time_buckets",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS bucket,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(value AS DECIMAL(24,8))) AS s
+            FROM events GROUP BY 1
+        ), daily AS (
+            SELECT date_trunc('day', bucket) AS bucket,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   SUM(s) AS s
+            FROM hourly GROUP BY 1
+        )
+        SELECT 'hour' AS grain, bucket, n_events, CAST(s AS DOUBLE) AS sum_value FROM hourly
+        UNION ALL
+        SELECT 'day' AS grain, bucket, n_events, CAST(s AS DOUBLE) AS sum_value FROM daily
+        ORDER BY grain, bucket
+    """,
+)
+def rollup_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour+day continuous-aggregate rollup; the day level re-aggregates the
+    hour level (sums of exact decimal sums), never rescanning raw events."""
+    from ..operators.rollup import time_bucket_rollup
+
+    t = Tables(spark, sf_dir)
+    return time_bucket_rollup(t.events, "ts", "value").orderBy("grain", "bucket")
