@@ -230,3 +230,152 @@ def fn_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= 4)
         .orderBy("vec_id", "pos")
     )
+
+
+@query(
+    "fn_string2",
+    oracle="""
+        SELECT p_partkey,
+               split_part(p_brand, '#', 2) AS brand_num,
+               CAST(strpos(p_name, 'widget') AS INTEGER) AS widget_pos,
+               translate(p_type, 'AEIOU', 'aeiou') AS type_translated,
+               repeat(left(p_name, 2), 2) AS name_rep,
+               reverse(p_brand) AS brand_rev,
+               right(p_type, 3) AS type_suffix,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled
+        FROM part ORDER BY p_partkey
+    """,
+)
+def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string surface: split_part/instr/translate/repeat/reverse/
+    left/right/global regexp_replace."""
+    t = Tables(spark, sf_dir)
+    p = t.part
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("brand_num"),
+        F.instr(F.col("p_name"), "widget").cast("int").alias("widget_pos"),
+        F.translate(F.col("p_type"), "AEIOU", "aeiou").alias("type_translated"),
+        F.repeat(F.substring("p_name", 1, 2), 2).alias("name_rep"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.substring(F.col("p_type"), -3, 3).alias("type_suffix"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey & 255 AS and_mask,
+               l_orderkey | 7 AS or_low,
+               xor(l_orderkey, l_partkey) AS xor_keys,
+               l_linenumber << 3 AS shl,
+               l_orderkey >> 2 AS shr,
+               CAST(bit_count(l_orderkey) AS INTEGER) AS popcount
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, xor_keys
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface (&, |, xor, shifts, popcount)."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("and_mask"),
+        F.col("l_orderkey").bitwiseOR(F.lit(7)).alias("or_low"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("xor_keys"),
+        F.shiftleft(F.col("l_linenumber"), 3).alias("shl"),
+        F.shiftright(F.col("l_orderkey"), 2).alias("shr"),
+        F.bit_count(F.col("l_orderkey")).alias("popcount"),
+    ).orderBy("l_orderkey", "l_linenumber", "xor_keys")
+
+
+@query(
+    "fn_datetime2",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+               make_timestamp(CAST(epoch(o_orderdate) AS BIGINT) * 1000000) AS ts_roundtrip,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               last_day(o_orderdate) AS month_end,
+               CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2mo
+        FROM orders ORDER BY o_orderkey
+    """,
+)
+def fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch conversions, ISO week/quarter, last_day, month arithmetic."""
+    t = Tables(spark, sf_dir)
+    o = t.orders
+    epoch_s = F.unix_timestamp(F.col("o_orderdate"))
+    return o.select(
+        "o_orderkey",
+        epoch_s.alias("epoch_s"),
+        F.timestamp_seconds(epoch_s).alias("ts_roundtrip"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months(F.col("o_orderdate"), 2).alias("plus_2mo"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_null_semantics",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey,
+                   NULLIF(o_orderstatus, 'P') AS maybe_status,
+                   NULLIF(o_custkey % 3, 0) AS maybe_mod
+            FROM orders
+        )
+        SELECT o_orderkey,
+               maybe_status IS NULL AS status_is_null,
+               maybe_status IS NOT DISTINCT FROM NULL AS nullsafe_eq_null,
+               maybe_status IS NOT DISTINCT FROM 'F' AS nullsafe_eq_f,
+               COALESCE(maybe_mod, -1) AS mod_filled,
+               CASE WHEN maybe_mod IS NULL THEN 'none' ELSE 'some' END AS mod_class
+        FROM t ORDER BY o_orderkey
+    """,
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL handling: IS NULL, null-safe equality (<=>), COALESCE over
+    derived NULLs (fixtures are null-free; NULLIF synthesizes them)."""
+    t = Tables(spark, sf_dir)
+    o = t.orders
+    maybe_status = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    maybe_mod = F.nullif(F.col("o_custkey") % 3, F.lit(0))
+    return o.select(
+        "o_orderkey",
+        maybe_status.isNull().alias("status_is_null"),
+        maybe_status.eqNullSafe(F.lit(None).cast("string")).alias("nullsafe_eq_null"),
+        maybe_status.eqNullSafe(F.lit("F")).alias("nullsafe_eq_f"),
+        F.coalesce(maybe_mod, F.lit(-1)).alias("mod_filled"),
+        F.when(maybe_mod.isNull(), "none").otherwise("some").alias("mod_class"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "join_nullsafe",
+    oracle="""
+        WITH a AS (SELECT o_orderkey, NULLIF(o_custkey % 5, 0) AS k FROM orders WHERE o_orderkey < 500),
+             b AS (SELECT NULLIF(c_custkey % 5, 0) AS k, COUNT(*) AS n FROM customer GROUP BY 1)
+        SELECT a.o_orderkey, a.k, b.n
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        ORDER BY a.o_orderkey
+    """,
+)
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=>): NULL keys match each other — still a hash
+    join in Spark (EqualNullSafe is a supported join key), not a BNL."""
+    t = Tables(spark, sf_dir)
+    a = t.orders.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey", F.nullif(F.col("o_custkey") % 5, F.lit(0)).alias("k")
+    )
+    b = (
+        t.customer.select(F.nullif(F.col("c_custkey") % 5, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return a.join(b, a.k.eqNullSafe(b.k)).select(a.o_orderkey, a.k, b.n).orderBy("o_orderkey")

@@ -188,3 +188,26 @@ def test_physical_name_format():
         physical_name("orders", datetime(2024, 12, 31, 23, 59, 58))
         == "orders_2024_12_31_23_59_58"
     )
+
+
+def test_csv_source_end_to_end(spark, tmp_path):
+    """CSV source with the reference's conventions (\\N nulls, quoting)."""
+    from mssql2monetdb_spark.sources.readers import write_csv_compat
+
+    src_dir = tmp_path / "csv_src"
+    df = spark.createDataFrame(
+        [(1, "alpha", None), (2, 'qu"ote', 3.5)], "id long, s string, v double"
+    )
+    write_csv_compat(df, str(src_dir / "t.csv"))
+    spec = load_spec(
+        {
+            "warehouse_dir": str(tmp_path / "wh"),
+            "sources": {"_default": {"format": "csv", "path": str(src_dir)}},
+            "tables": {"j": {"from_table": "t"}},
+        }
+    )
+    engine = CopyEngine(spark, spec)
+    engine.do_copy(load_date=datetime(2024, 1, 1))
+    rows = {r["id"]: r for r in engine.sql("SELECT * FROM t").collect()}
+    assert rows[1]["v"] is None  # \N round-trips to NULL
+    assert rows[2]["s"] == 'qu"ote'

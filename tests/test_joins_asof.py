@@ -67,3 +67,50 @@ def test_asof_left_rows_preserved_exactly_once(spark):
     out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
     assert out.count() == 100
     assert out.select("k", "ts").distinct().count() == 100
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Cross-check against pandas.merge_asof (an independent reference
+    implementation) on seeded random data."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(42)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 8, 300),
+            "ts": rng.randint(0, 10_000, 300).astype("int64"),
+        }
+    ).assign(lid=range(300))
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 8, 150),
+            "ts": rng.randint(0, 10_000, 150).astype("int64"),
+            "v": rng.randn(150).round(6),
+        }
+    )
+    # merge_asof needs sort + unique right (k, ts); dedupe like the operator input
+    right = right.drop_duplicates(["k", "ts"])
+    expected = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k",
+        left_ts="ts",
+        right_ts="ts",
+    ).toPandas()
+
+    exp = {(r.lid): (None if pd.isna(r.v) else round(r.v, 6)) for r in expected.itertuples()}
+    act = {
+        (r.lid): (None if r.matched_v is None or pd.isna(r.matched_v) else round(r.matched_v, 6))
+        for r in got.itertuples()
+    }
+    assert act == exp

@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) for the pure engine components —
+the 'richer strategy' SURVEY §5 commits to."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mssql2monetdb_spark.config.spec import interpolate_env
+from mssql2monetdb_spark.engine.progress import ProgressReporter
+from mssql2monetdb_spark.engine.scheduler import parse_interval
+from mssql2monetdb_spark.engine.watermark import Watermark, has_new_data
+from mssql2monetdb_spark.schema.mapper import narrow_decimal, normalize_identifier
+
+
+@given(st.text(min_size=0, max_size=80))
+def test_normalize_identifier_idempotent_and_clean(s):
+    out = normalize_identifier(s)
+    assert normalize_identifier(out) == out  # idempotent
+    assert all(c.islower() or c.isdigit() or c == "_" for c in out)
+
+
+@given(st.integers(min_value=1, max_value=38))
+def test_narrow_decimal_capacity(p):
+    """The chosen integer type must hold every p-digit value (p <= 18)."""
+    t = narrow_decimal(p)
+    bounds = {
+        "tinyint": 127,
+        "smallint": 32767,
+        "int": 2147483647,
+        "bigint": 9223372036854775807,
+    }
+    if p <= 18:  # within int64 range the mapping must be lossless
+        assert 10**p - 1 <= bounds[t.simpleString()]
+
+
+@given(st.integers(min_value=1, max_value=10000), st.sampled_from(["minute", "hour", "day"]))
+def test_parse_interval_grammar(n, unit):
+    assert parse_interval(f"every {n} {unit}s") == n * {"minute": 60, "hour": 3600, "day": 86400}[unit]
+    assert parse_interval(f"EVERY {n} {unit}") == parse_interval(f"every {n} {unit}s")
+
+
+@given(st.integers(), st.integers())
+def test_watermark_compare_is_strict_order(a, b):
+    wa, wb = Watermark(a, "bigint"), Watermark(b, "bigint")
+    assert has_new_data(wa, wb) == (a > b)
+    # equal values never trigger (the skip case)
+    assert has_new_data(wa, wa) is False
+
+
+@given(st.datetimes(min_value=datetime(2000, 1, 1), max_value=datetime(2030, 1, 1)),
+       st.integers(min_value=0, max_value=10**6))
+def test_watermark_timestamp_monotone(ts, delta_s):
+    older = Watermark(ts, "timestamp")
+    newer = Watermark(ts + timedelta(seconds=delta_s), "timestamp")
+    assert has_new_data(newer, older) == (delta_s > 0)
+
+
+@given(st.dictionaries(st.from_regex(r"[A-Z][A-Z0-9_]{0,10}", fullmatch=True),
+                       st.text(max_size=20).filter(lambda s: "}" not in s and "$" not in s)))
+def test_env_interpolation_roundtrip(env):
+    for var, val in env.items():
+        assert interpolate_env(f"pre ${{{var}}} post", env) == f"pre {val} post"
+        assert interpolate_env(f"${{{var}:fallback}}", env) == val
+    assert interpolate_env("${__UNSET__:dflt}", env) == "dflt"
+
+
+@settings(max_examples=25)
+@given(st.integers(min_value=1, max_value=10**9), st.integers(min_value=0, max_value=10**9))
+def test_progress_math(total, done):
+    done = min(done, total)
+    rep = ProgressReporter(total_rows=total, label="t")
+    msg = rep.report(done, force=True)
+    assert msg is not None and f"{done}/{total}" in msg
+    pct = float(msg.split("(")[1].split("%")[0])
+    assert abs(pct - 100.0 * done / total) < 0.051
