@@ -101,15 +101,25 @@ class CopyEngine:
         df = read_source(self.spark, src, job)
         return normalized_dataframe(df, auto_trim=job.auto_trim)
 
+    def count_source(self, job: CopyJob, df: DataFrame) -> int:
+        """Pre-scan count (op #4, ``CopyTool.java:643-649``): the declared
+        ``count_query`` (evaluated natively — reference ships it to the
+        source DB, ``CopyTable.java:300-308``) when present, else df.count().
+        """
+        if job.count_query:
+            row = self.spark.sql(job.count_query).collect()[0]
+            return int(row[0])
+        return df.count()
+
     def assert_non_empty(self, frames: dict[str, DataFrame]) -> dict[str, int]:
         """Pre-load count of every source; abort the whole run on any empty
         source unless that job allows it. The count doubles as the
-        progress/validation count (op #4, ``CopyTool.java:643-649``)."""
+        progress/validation count."""
         counts: dict[str, int] = {}
         empty: list[str] = []
         for job_id, df in frames.items():
             job = self.spec.jobs[job_id]
-            n = df.count()
+            n = self.count_source(job, df)
             counts[job_id] = n
             if n == 0 and not job.allow_empty:
                 empty.append(job_id)

@@ -156,3 +156,48 @@ def binary_meta(media: DataFrame) -> DataFrame:
         F.md5("content").alias("checksum"),
         F.col("mime"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("duration_est_s", FloatType(), True),
+        StructField("mfcc_like", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, *, sample_rate: int = 16000, fake: bool = False) -> DataFrame:
+    """Audio feature extraction plumbing (stubbed decode).
+
+    Real decode needs an audio codec (librosa/soundfile — not in this
+    container); the fake kernel derives a duration estimate (bytes at
+    16-bit mono ``sample_rate``) and an 8-dim MFCC-like vector from byte
+    statistics, so batching/schema/partitioning are fully exercised.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    rows.append((media_id, None, None, None))
+                    continue
+                content = bytes(content)
+                if not fake:
+                    raise NotImplementedError(
+                        "audio decode requires a codec library (e.g. soundfile); "
+                        "pass fake=True for the deterministic test kernel"
+                    )
+                duration = len(content) / (2.0 * sample_rate)
+                crc = zlib.crc32(content)
+                feats = [
+                    float(((crc >> (i * 4)) & 0xFF) - 128) / 128.0 for i in range(FEATURE_DIM)
+                ]
+                rows.append((media_id, len(content), duration, feats))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "duration_est_s", "mfcc_like"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)

@@ -421,3 +421,120 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_cols=["event_id", "value"],
     ).orderBy("event_id")
+
+
+@query(
+    "agg_variance_exact",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,8))) AS DOUBLE)
+                - CAST(SUM(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE)
+                  * CAST(SUM(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*))
+               / (COUNT(*) - 1) AS var_qty,
+               SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,8))) AS DOUBLE)
+                - CAST(SUM(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE)
+                  * CAST(SUM(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*))
+               / (COUNT(*) - 1)) AS stddev_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev via exact decimal sums (sum-of-squares form).
+
+    Built-in var_samp/stddev use streaming moment updates whose FP order
+    differs per engine/partitioning; the exact-sum formulation is
+    deterministic everywhere (quantities are integral: sums are exact).
+    """
+    t = Tables(spark, sf_dir)
+    DEC = "decimal(24,8)"
+    s = F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+    s2 = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(DEC)).cast("double")
+    n = F.count(F.lit(1))
+    var = (s2 - s * s / n) / (n - 1)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(n.alias("n"), var.alias("var_qty"), F.sqrt(var).alias("stddev_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_array_collect",
+    oracle="""
+        SELECT n_regionkey,
+               list_sort(list_distinct(list(n_name))) AS nations,
+               CAST(LEN(list_distinct(list(n_name))) AS INTEGER) AS n_nations
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_set) made deterministic by sorting."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.nation.groupBy("n_regionkey")
+        .agg(
+            F.sort_array(F.collect_set("n_name")).alias("nations"),
+            F.size(F.collect_set("n_name")).alias("n_nations"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+        SELECT c_mktsegment, o_orderpriority AS mode_priority, cnt FROM (
+            SELECT c_mktsegment, o_orderpriority, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment, o_orderpriority
+        ) WHERE rn = 1 ORDER BY c_mktsegment
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode with a deterministic tie-break (count desc, then value) — the
+    built-in mode() breaks ties arbitrarily, so it is rebuilt as
+    agg + rank-1 window."""
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    counts = (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("cnt").desc(), F.col("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("o_orderpriority").alias("mode_priority"), "cnt")
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "subquery_not_in_nulls",
+    oracle="""
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT NULLIF(o_custkey, 3) FROM orders WHERE o_custkey < 50)
+        ORDER BY c_custkey
+    """,
+)
+def subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN against a subquery CONTAINING NULLs — three-valued logic makes
+    the whole result empty iff any NULL is present and no match... the ANSI
+    trap both engines must agree on (null-aware anti join in Spark)."""
+    t = Tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("customer")
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT NULLIF(o_custkey, 3) FROM orders WHERE o_custkey < 50)
+        ORDER BY c_custkey
+        """
+    )

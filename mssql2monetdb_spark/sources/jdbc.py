@@ -70,3 +70,22 @@ def jdbc_writer(df: DataFrame, source: SourceSpec, table: str, *, mode: str = "a
         .mode(mode)
         .save()
     )
+
+
+def partition_bounds_options(
+    partition_column: str, lower: int, upper: int, *, num_partitions: int = DEFAULT_NUM_PARTITIONS
+) -> dict[str, str]:
+    """Options enabling Spark's range-partitioned JDBC scan.
+
+    At cluster scale this is what turns the reference's single forward
+    cursor into N concurrent range queries; bounds come from a cheap
+    ``SELECT MIN(c), MAX(c)`` probe on the source (the same probe shape as
+    the watermark trigger)."""
+    if lower > upper:
+        raise ValueError(f"lower bound {lower} > upper bound {upper}")
+    return {
+        "partitionColumn": partition_column,
+        "lowerBound": str(lower),
+        "upperBound": str(upper),
+        "numPartitions": str(max(1, num_partitions)),
+    }

@@ -80,3 +80,19 @@ def test_frame_sampling_fake(media):
 def test_frame_sampling_real_gated(media):
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.sample_video_frames(media.limit(1), fake=False).collect()
+
+
+def test_audio_features_fake(media):
+    out = multimodal.extract_audio_features(media, fake=True).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r["duration_est_s"] > 0
+        assert len(r["mfcc_like"]) == multimodal.FEATURE_DIM
+        assert all(-1.0 <= f <= 1.0 for f in r["mfcc_like"])
+
+
+def test_audio_features_real_gated(media):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_audio_features(media, fake=False).collect()

@@ -93,3 +93,19 @@ def test_csv_compat_roundtrip(spark, tmp_path):
         .csv(path)
     )
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_partition_bounds_options():
+    from mssql2monetdb_spark.sources.jdbc import partition_bounds_options
+
+    opts = partition_bounds_options("id", 0, 1000, num_partitions=16)
+    assert opts == {
+        "partitionColumn": "id",
+        "lowerBound": "0",
+        "upperBound": "1000",
+        "numPartitions": "16",
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        partition_bounds_options("id", 10, 5)
