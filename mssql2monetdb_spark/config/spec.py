@@ -93,6 +93,10 @@ class CopyJob:
     # watermark trigger (CopyTool.java:332-477)
     trigger_table: str | None = None
     trigger_column: str | None = None
+    # incremental append: only rows with trigger_column > persisted state are
+    # extracted; the new version = published snapshot + the delta (a
+    # Spark-first upgrade — the reference always re-copies the full table)
+    incremental: bool = False
 
     def select_source(self) -> tuple[str, object]:
         """(mode, payload): from-name wins over from-query
@@ -159,6 +163,8 @@ def load_spec(spec: dict | str, env: dict[str, str] | None = None) -> JobSpec:
         if not to_table:
             raise SpecError(f"table {job_id!r}: cannot derive 'to_table' from a query-only job")
         trigger = j.get("trigger") or {}
+        if j.get("incremental") and not trigger.get("column"):
+            raise SpecError(f"table {job_id!r}: 'incremental' requires trigger.column")
         jobs[job_id] = CopyJob(
             job_id=job_id,
             source=source,
@@ -177,6 +183,7 @@ def load_spec(spec: dict | str, env: dict[str, str] | None = None) -> JobSpec:
             copy_via_temp_table=bool(j.get("copy_via_temp_table", False)),
             trigger_table=trigger.get("table"),
             trigger_column=trigger.get("column"),
+            incremental=bool(j.get("incremental", False)),
         )
     if not jobs:
         raise SpecError("spec defines no tables")

@@ -79,9 +79,9 @@ class CopyEngine:
         triggered = [j for j in self.spec.jobs.values() if j.trigger_column]
         if not triggered:
             return probes
-        state = self.store.load(self.checksum)
         fresh = False
         for job in triggered:
+            state = self.store.load(self.checksum, job.job_id)
             try:
                 probe = self._probe_job(job)
             except Exception:
@@ -178,6 +178,21 @@ class CopyEngine:
                 # fully replaces); kept as an explicit empty-write for
                 # non-versioned parity when fast view switching is off
                 pass
+            # incremental append (trigger-filtered delta + published snapshot):
+            # only rows strictly newer than the persisted watermark are read
+            # from the source — the filter pushes down to the source scan —
+            # and the new version is snapshot+delta (the reference re-copies
+            # the full table every run; this is the Spark-first upgrade)
+            if job.incremental:
+                state = self.store.load(self.checksum, job.job_id)
+                cur = self.catalog.current_version(job.schema_name, job.to_table)
+                if state is not None and cur is not None:
+                    delta = df.filter(F.col(job.trigger_column) > F.lit(state.value))
+                    snapshot = self.spark.read.parquet(
+                        self.catalog.version_dir(job.schema_name, cur)
+                    )
+                    df = snapshot.unionByName(delta, allowMissingColumns=True)
+
             # schema verify + evolve (op #14): widen the new version to the
             # union of the published schema and the incoming one so the view
             # never loses columns; incompatible retyping fails loudly
@@ -218,7 +233,7 @@ class CopyEngine:
         # persist trigger state ONLY after full success (CopyTool.java:305-309)
         for job_id, probe in probes.items():
             if probe is not None:
-                self.store.save(self.checksum, probe)
+                self.store.save(self.checksum, probe, job_id)
         return published
 
     def run(self, *, notify=None, **kwargs) -> int:

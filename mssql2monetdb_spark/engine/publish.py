@@ -123,6 +123,26 @@ class VersionedCatalog:
         if schema == "default":
             df.createOrReplaceTempView(table)
 
+    def table_at(self, spark: SparkSession, schema: str, table: str, version: str | None = None) -> DataFrame:
+        """Time travel: read a specific retained version (default: published).
+
+        ``version`` is the ``yyyy_MM_dd_HH_mm_ss`` suffix. Versions beyond
+        retention are gone — this reads what cleanup kept (current + backup),
+        the same rollback window the reference's keep-2 policy provides.
+        """
+        if version is None:
+            physical = self.current_version(schema, table)
+            if physical is None:
+                raise FileNotFoundError(f"no published version for {schema}.{table}")
+        else:
+            physical = f"{table}_{version}"
+            if physical not in self.table_versions(schema, table):
+                raise FileNotFoundError(
+                    f"version {version} of {schema}.{table} not retained; "
+                    f"available: {[version_of(v) for v in self.table_versions(schema, table)]}"
+                )
+        return spark.read.parquet(self.version_dir(schema, physical))
+
     def register_all(self, spark: SparkSession) -> list[str]:
         """Re-register every published view in a fresh session (re-publish
         decoupled from load — the reference's --switch-only mode)."""

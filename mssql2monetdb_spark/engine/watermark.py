@@ -86,11 +86,12 @@ class WatermarkStore:
         self.state_dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
 
-    def _path(self, checksum: str) -> str:
-        return os.path.join(self.state_dir, f"job-{checksum}_lastrun.json")
+    def _path(self, checksum: str, job_id: str = "") -> str:
+        suffix = f"-{job_id}" if job_id else ""
+        return os.path.join(self.state_dir, f"job-{checksum}{suffix}_lastrun.json")
 
-    def load(self, checksum: str) -> Watermark | None:
-        path = self._path(checksum)
+    def load(self, checksum: str, job_id: str = "") -> Watermark | None:
+        path = self._path(checksum, job_id)
         if not os.path.exists(path):
             return None
         try:
@@ -103,8 +104,8 @@ class WatermarkStore:
             log.warning("unreadable trigger state %s — failing open", path, exc_info=True)
             return None
 
-    def save(self, checksum: str, wm: Watermark) -> None:
-        path = self._path(checksum)
+    def save(self, checksum: str, wm: Watermark, job_id: str = "") -> None:
+        path = self._path(checksum, job_id)
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({**wm.to_json(), "checksum": checksum}, fh)

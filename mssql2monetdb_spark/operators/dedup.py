@@ -180,10 +180,25 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exploded = rows.select("id", F.col("h64").alias("sh"))
-    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # verify: per-pair set intersection on collected (sorted) hash arrays —
+    # two candidate-keyed joins + a scalar HOF per pair, instead of
+    # re-exploding the whole corpus through two shuffle joins. Candidate
+    # count, not corpus size, drives the cost; arrays are per-doc (bounded).
+    sets = rows.groupBy("id").agg(
+        F.sort_array(F.collect_list("h64")).alias("hs"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    sa = sets.select(F.col("id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     return (
-        jaccard_on_candidates(candidates, exploded, sizes)
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )

@@ -211,3 +211,66 @@ def test_csv_source_end_to_end(spark, tmp_path):
     rows = {r["id"]: r for r in engine.sql("SELECT * FROM t").collect()}
     assert rows[1]["v"] is None  # \N round-trips to NULL
     assert rows[2]["s"] == 'qu"ote'
+
+
+def test_incremental_append_mode(spark, tmp_path):
+    """incremental: delta-only extraction appended to the published snapshot."""
+    import pyspark.sql.functions as F
+
+    src_dir = tmp_path / "inc_src"
+    spec_dict = {
+        "warehouse_dir": str(tmp_path / "wh"),
+        "sources": {"_default": {"format": "parquet", "path": str(src_dir)}},
+        "tables": {
+            "ev": {"from_table": "ev", "trigger": {"column": "seq"}, "incremental": True}
+        },
+    }
+    v1 = spark.range(0, 100).select(F.col("id").alias("seq"), (F.col("id") * 2).alias("v"))
+    v1.write.mode("overwrite").parquet(str(src_dir / "ev.parquet"))
+    engine = CopyEngine(spark, load_spec(spec_dict))
+    assert engine.run(load_date=datetime(2024, 1, 1)) == EXIT_OK
+    assert engine.sql("SELECT COUNT(*) AS n FROM ev").collect()[0]["n"] == 100
+
+    # unchanged source -> exit 2, nothing recopied
+    assert engine.run(load_date=datetime(2024, 1, 2)) == EXIT_NO_NEW_DATA
+
+    # source gains rows 100..119 (and REWRITES old rows with garbage values —
+    # incremental mode must NOT pick those up: only seq > watermark)
+    v2 = spark.range(0, 120).select(
+        F.col("id").alias("seq"),
+        (F.when(F.col("id") < 100, -999).otherwise(F.col("id") * 2)).alias("v"),
+    )
+    v2.write.mode("overwrite").parquet(str(src_dir / "ev.parquet"))
+    assert engine.run(load_date=datetime(2024, 1, 3)) == EXIT_OK
+    out = engine.sql("SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s FROM ev").collect()[0]
+    assert out["n"] == 120
+    # old rows kept from the snapshot (sum of 2*i for i<100), new rows appended
+    assert out["s"] == sum(2 * i for i in range(120))
+
+
+def test_per_job_watermark_state_isolated(spark, tmp_path):
+    """two triggered jobs must keep independent watermark state."""
+    spec = make_spec(
+        tmp_path,
+        tables={
+            "a": {"from_table": "events", "to_table": "ev_a", "trigger": {"column": "event_id"}},
+            "b": {"from_table": "orders", "to_table": "ord_b", "trigger": {"column": "o_orderkey"}},
+        },
+    )
+    engine = CopyEngine(spark, spec)
+    assert engine.run(load_date=datetime(2024, 1, 1)) == EXIT_OK
+    sa = engine.store.load(engine.checksum, "a")
+    sb = engine.store.load(engine.checksum, "b")
+    assert sa is not None and sb is not None and sa.value != sb.value
+
+
+def test_time_travel_table_at(spark, tmp_path):
+    engine = CopyEngine(spark, make_spec(tmp_path))
+    engine.do_copy(load_date=datetime(2024, 1, 1))
+    engine.do_copy(load_date=datetime(2024, 1, 2))
+    cat = engine.catalog
+    cur = cat.table_at(spark, "default", "nation")
+    old = cat.table_at(spark, "default", "nation", version="2024_01_01_00_00_00")
+    assert cur.count() == old.count() == 25
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        cat.table_at(spark, "default", "nation", version="1999_01_01_00_00_00")

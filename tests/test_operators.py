@@ -109,3 +109,23 @@ def test_partition_bounds_options():
 
     with _pytest.raises(ValueError):
         partition_bounds_options("id", 10, 5)
+
+
+def test_quarantine_split(spark):
+    from pyspark.sql import functions as F
+
+    from mssql2monetdb_spark.operators.validate import split_quarantine
+
+    df = spark.createDataFrame(
+        [(1, "ok", 10.0), (2, None, 5.0), (3, "ok", -1.0), (4, None, -2.0)],
+        "id long, s string, v double",
+    )
+    rules = {
+        "s_not_null": F.col("s").isNotNull(),
+        "v_positive": F.col("v") > 0,
+    }
+    valid, bad = split_quarantine(df, rules)
+    assert [r["id"] for r in valid.orderBy("id").collect()] == [1]
+    reasons = {r["id"]: r["_reject_reason"] for r in bad.collect()}
+    # first failing rule wins (dict order)
+    assert reasons == {2: "s_not_null", 3: "v_positive", 4: "s_not_null"}
