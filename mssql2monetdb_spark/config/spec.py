@@ -97,6 +97,8 @@ class CopyJob:
     # extracted; the new version = published snapshot + the delta (a
     # Spark-first upgrade — the reference always re-copies the full table)
     incremental: bool = False
+    # within-file clustering for parquet min/max data skipping on these cols
+    sort_by: tuple[str, ...] | None = None
 
     def select_source(self) -> tuple[str, object]:
         """(mode, payload): from-name wins over from-query
@@ -184,6 +186,7 @@ def load_spec(spec: dict | str, env: dict[str, str] | None = None) -> JobSpec:
             trigger_table=trigger.get("table"),
             trigger_column=trigger.get("column"),
             incremental=bool(j.get("incremental", False)),
+            sort_by=tuple(j["sort_by"]) if j.get("sort_by") else None,
         )
     if not jobs:
         raise SpecError("spec defines no tables")

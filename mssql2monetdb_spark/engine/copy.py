@@ -203,7 +203,10 @@ class CopyEngine:
                 ).schema
                 df = evolve_to_union(df, published_schema)
             target = job.to_table if job.use_fast_view_switching else f"tmp_{job.to_table}"
-            physical = self.catalog.write_version(df, job.schema_name, target, load_date)
+            physical = self.catalog.write_version(
+                df, job.schema_name, target, load_date,
+                sort_by=list(job.sort_by) if job.sort_by else None,
+            )
             loaded[job_id] = physical
 
         if no_switch:

@@ -88,14 +88,26 @@ class VersionedCatalog:
             return json.load(fh)["physical"]
 
     # -- write / publish / retention ------------------------------------
-    def write_version(self, df: DataFrame, schema: str, table: str, load_date: datetime) -> str:
+    def write_version(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        load_date: datetime,
+        *,
+        sort_by: list[str] | None = None,
+    ) -> str:
         """PHASE 1+2 analog: materialize the load as a new physical version.
 
         Partition count rides on the upstream plan (AQE-coalesced); callers
-        repartition for target file sizing when needed.
+        repartition for target file sizing when needed. ``sort_by`` clusters
+        rows within each output file so parquet row-group min/max statistics
+        enable data skipping on those columns at read time (the cheap cousin
+        of Z-ordering — a large filtered scan prunes whole row groups).
         """
         physical = physical_name(table, load_date)
-        df.write.mode("overwrite").parquet(self.version_dir(schema, physical))
+        out = df.sortWithinPartitions(*sort_by) if sort_by else df
+        out.write.mode("overwrite").parquet(self.version_dir(schema, physical))
         return physical
 
     def publish(self, spark: SparkSession, schema: str, table: str, physical: str) -> None:

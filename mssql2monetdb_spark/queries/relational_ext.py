@@ -538,3 +538,103 @@ def subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@query(
+    "cte_with_clause",
+    oracle=f"""
+        WITH nation_rev AS (
+            SELECT n_name,
+                   {oracle_dsum('o_totalprice', 'total_rev')},
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT n_name, total_rev, n_orders
+        FROM nation_rev
+        WHERE total_rev > (SELECT CAST(SUM(CAST(total_rev AS DECIMAL(24,8))) AS DOUBLE)
+                           / COUNT(*) FROM nation_rev)
+        ORDER BY total_rev DESC, n_name
+    """,
+)
+def cte_with_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE (WITH clause) referenced twice — TPC-H Q15 shape: compute a
+    per-group revenue relation once, filter it against its own average."""
+    t = Tables(spark, sf_dir)
+    for name in ("orders", "customer", "nation"):
+        getattr(t, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        WITH nation_rev AS (
+            SELECT n_name,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(24,8))) AS DOUBLE) AS total_rev,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT n_name, total_rev, n_orders
+        FROM nation_rev
+        WHERE total_rev > (SELECT CAST(SUM(CAST(total_rev AS DECIMAL(24,8))) AS DOUBLE)
+                           / COUNT(*) FROM nation_rev)
+        ORDER BY total_rev DESC, n_name
+        """
+    )
+
+
+@query(
+    "subquery_correlated_min",
+    oracle="""
+        SELECT s_suppkey, s_name, s_acctbal, s_nationkey
+        FROM supplier s1
+        WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s1.s_nationkey)
+        ORDER BY s_nationkey, s_suppkey
+    """,
+)
+def subquery_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated aggregate subquery (min per group) —
+    Catalyst decorrelates to an aggregate + join; doubles pass through
+    untouched so the equality is bit-exact in both engines."""
+    t = Tables(spark, sf_dir)
+    t.supplier.createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_acctbal, s_nationkey
+        FROM supplier s1
+        WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s1.s_nationkey)
+        ORDER BY s_nationkey, s_suppkey
+        """
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)
+                   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_range_sum
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, qty_range_sum
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: sums over rows whose quantity lies
+    within 5 units below the current row's — frame membership by value, not
+    position, so result is deterministic even with duplicate sort keys."""
+    t = Tables(spark, sf_dir)
+    qty = F.col("l_quantity").cast("bigint")
+    w = Window.partitionBy("l_returnflag").orderBy(qty).rangeBetween(-5, Window.currentRow)
+    return (
+        t.lineitem.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(qty).over(w).cast("bigint").alias("qty_range_sum"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "qty_range_sum")
+    )

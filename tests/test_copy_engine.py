@@ -274,3 +274,23 @@ def test_time_travel_table_at(spark, tmp_path):
     assert cur.count() == old.count() == 25
     with pytest.raises(FileNotFoundError, match="not retained"):
         cat.table_at(spark, "default", "nation", version="1999_01_01_00_00_00")
+
+
+def test_sort_by_clusters_files(spark, tmp_path):
+    """sort_by clusters rows within files -> parquet row-group stats enable
+    data skipping on that column."""
+    spec = make_spec(
+        tmp_path, tables={"j": {"from_table": "orders", "sort_by": ["o_totalprice"]}}
+    )
+    engine = CopyEngine(spark, spec)
+    engine.do_copy(load_date=datetime(2024, 1, 1))
+    version_dir = engine.catalog.version_dir(
+        "default", engine.catalog.current_version("default", "orders")
+    )
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    for f in _glob.glob(version_dir + "/part-*.parquet"):
+        vals = pq.read_table(f, columns=["o_totalprice"])["o_totalprice"].to_pylist()
+        assert vals == sorted(vals)
