@@ -99,6 +99,8 @@ class CopyJob:
     incremental: bool = False
     # within-file clustering for parquet min/max data skipping on these cols
     sort_by: tuple[str, ...] | None = None
+    # hive-style partition directories -> partition pruning on these cols
+    partition_by: tuple[str, ...] | None = None
 
     def select_source(self) -> tuple[str, object]:
         """(mode, payload): from-name wins over from-query
@@ -187,6 +189,7 @@ def load_spec(spec: dict | str, env: dict[str, str] | None = None) -> JobSpec:
             trigger_column=trigger.get("column"),
             incremental=bool(j.get("incremental", False)),
             sort_by=tuple(j["sort_by"]) if j.get("sort_by") else None,
+            partition_by=tuple(j["partition_by"]) if j.get("partition_by") else None,
         )
     if not jobs:
         raise SpecError("spec defines no tables")

@@ -206,6 +206,7 @@ class CopyEngine:
             physical = self.catalog.write_version(
                 df, job.schema_name, target, load_date,
                 sort_by=list(job.sort_by) if job.sort_by else None,
+                partition_by=list(job.partition_by) if job.partition_by else None,
             )
             loaded[job_id] = physical
 

@@ -96,18 +96,26 @@ class VersionedCatalog:
         load_date: datetime,
         *,
         sort_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> str:
         """PHASE 1+2 analog: materialize the load as a new physical version.
 
         Partition count rides on the upstream plan (AQE-coalesced); callers
-        repartition for target file sizing when needed. ``sort_by`` clusters
-        rows within each output file so parquet row-group min/max statistics
-        enable data skipping on those columns at read time (the cheap cousin
-        of Z-ordering — a large filtered scan prunes whole row groups).
+        repartition for target file sizing when needed.
+
+        ``sort_by`` clusters rows within each output file so parquet
+        row-group min/max statistics enable data skipping on those columns
+        (the cheap cousin of Z-ordering). ``partition_by`` writes hive-style
+        partition directories — filters on those columns become partition
+        PRUNING (directories never listed), the coarsest and cheapest skip
+        level for e.g. date-partitioned event tables at 100 TB.
         """
         physical = physical_name(table, load_date)
         out = df.sortWithinPartitions(*sort_by) if sort_by else df
-        out.write.mode("overwrite").parquet(self.version_dir(schema, physical))
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.version_dir(schema, physical))
         return physical
 
     def publish(self, spark: SparkSession, schema: str, table: str, physical: str) -> None:

@@ -164,7 +164,7 @@ def _ngram_jaccard_oracle(ngram_n: int, df_max: int, threshold: float) -> str:
     """
 
 
-@query("dedup_ngram_jaccard", oracle=_ngram_jaccard_oracle(2, 20, 0.9))
+@query("dedup_ngram_jaccard", bench=True, oracle=_ngram_jaccard_oracle(2, 20, 0.9))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard >= 0.9 with DF-pruned (df<=20) candidate join."""
     t = Tables(spark, sf_dir)
@@ -454,6 +454,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_time_buckets",
+    bench=True,
     oracle="""
         WITH hourly AS (
             SELECT date_trunc('hour', ts) AS bucket,

@@ -168,6 +168,7 @@ def tpch_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q18_large_orders",
+    bench=True,
     oracle=f"""
         SELECT c_custkey, o_orderkey, o_orderdate,
                {oracle_dsum('l_quantity', 'total_qty')}
@@ -392,6 +393,7 @@ def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "asof_join_events",
+    bench=True,
     oracle="""
         SELECT l.event_id, l.ts, l.user_id,
                r.ts AS matched_ts,

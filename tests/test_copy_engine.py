@@ -294,3 +294,42 @@ def test_sort_by_clusters_files(spark, tmp_path):
     for f in _glob.glob(version_dir + "/part-*.parquet"):
         vals = pq.read_table(f, columns=["o_totalprice"])["o_totalprice"].to_pylist()
         assert vals == sorted(vals)
+
+
+def test_partition_by_enables_pruning(spark, tmp_path):
+    """partition_by writes hive-style dirs; a filter on the partition column
+    shows up as partition pruning (not a data filter) in the plan."""
+    import contextlib
+    import io
+    import os
+
+    import pyspark.sql.functions as F
+
+    src_dir = tmp_path / "p_src"
+    ev = spark.range(0, 1000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("day_bucket"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    ev.write.parquet(str(src_dir / "ev.parquet"))
+    spec = load_spec(
+        {
+            "warehouse_dir": str(tmp_path / "wh"),
+            "sources": {"_default": {"format": "parquet", "path": str(src_dir)}},
+            "tables": {"j": {"from_table": "ev", "partition_by": ["day_bucket"]}},
+        }
+    )
+    engine = CopyEngine(spark, spec)
+    engine.do_copy(load_date=datetime(2024, 1, 1))
+    vdir = engine.catalog.version_dir(
+        "default", engine.catalog.current_version("default", "ev")
+    )
+    assert any(d.startswith("day_bucket=") for d in os.listdir(vdir))
+
+    filtered = engine.sql("SELECT COUNT(*) AS n FROM ev WHERE day_bucket = 3")
+    assert filtered.collect()[0]["n"] == len([i for i in range(1000) if i % 7 == 3])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        engine.sql("SELECT * FROM ev WHERE day_bucket = 3").explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "day_bucket" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
