@@ -295,3 +295,54 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def connected_components(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate GROUPS: (doc_id, component_id)
+    where component_id is the minimum doc id reachable through the pair
+    graph — the step that turns pairwise similarity into an actual keep-set.
+
+    Iterative min-label propagation (the DataFrame form of union-find):
+    every node repeatedly adopts the smallest label among itself and its
+    neighbors until fixpoint. Converges in O(diameter) rounds — near-dup
+    components are tiny (dup clusters), so this is 2-4 rounds in practice;
+    each round is one join + one aggregate, all shuffle-keyed on doc id.
+    ``max_iter`` is the runaway guard for adversarial chain-shaped graphs.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))

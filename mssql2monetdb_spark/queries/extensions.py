@@ -480,3 +480,37 @@ def rollup_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return time_bucket_rollup(t.events, "ts", "value").orderBy("grain", "bucket")
+
+
+def _components_oracle() -> str:
+    """Recursive-CTE oracle for connected components over the MinHash pairs:
+    transitive closure + min-reachable label — exact match for the Spark
+    side's iterative label propagation at fixpoint."""
+    base = _minhash_oracle(3, 0.8)
+    head, final = base.split("    SELECT i.doc_a", 1)
+    final_select = "SELECT i.doc_a" + final.rsplit("ORDER BY", 1)[0]
+    return f"""{head.replace("WITH ", "WITH RECURSIVE ", 1)}, pairs AS (
+        {final_select}
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+    FROM reach GROUP BY src ORDER BY doc_id
+    """
+
+
+@query("dedup_connected_components", oracle=_components_oracle())
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved into duplicate GROUPS: iterative min-label
+    propagation (DataFrame union-find) over the MinHash-LSH pair graph; the
+    oracle is a recursive-CTE transitive closure. The one iterative
+    algorithm in the corpus — driver loops, every step stays distributed."""
+    t = Tables(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(t.documents, shingle_n=3, threshold=0.8)
+    return dedup.connected_components(pairs).orderBy("doc_id")

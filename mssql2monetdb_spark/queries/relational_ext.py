@@ -640,3 +640,55 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber", "qty_range_sum")
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_total,
+               COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER (WHERE ...) clause — per-aggregate predicates in one
+    pass (one shuffle, three conditioned counters)."""
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_total,
+               COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "agg_histogram_bins",
+    oracle="""
+        SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+               COUNT(*) AS n,
+               CAST(MIN(FLOOR(o_totalprice)) AS BIGINT) AS bin_min,
+               CAST(MAX(FLOOR(o_totalprice)) AS BIGINT) AS bin_max
+        FROM orders GROUP BY 1 ORDER BY bin
+    """,
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram binning via floor division (single-pass, map-side combined
+    — the building block for distributed quantile sketches)."""
+    t = Tables(spark, sf_dir)
+    bin_col = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return (
+        t.orders.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.floor("o_totalprice")).cast("bigint").alias("bin_min"),
+            F.max(F.floor("o_totalprice")).cast("bigint").alias("bin_max"),
+        )
+        .orderBy("bin")
+    )

@@ -129,3 +129,34 @@ def test_quarantine_split(spark):
     reasons = {r["id"]: r["_reject_reason"] for r in bad.collect()}
     # first failing rule wins (dict order)
     assert reasons == {2: "s_not_null", 3: "v_positive", 4: "s_not_null"}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Label propagation must equal a plain union-find on the same edges."""
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4), (50, 1)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    from mssql2monetdb_spark.operators.dedup import connected_components
+
+    got = {r["doc_id"]: r["component_id"] for r in connected_components(df).collect()}
+
+    # reference union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+    assert got == expected
+    # chain 1-2-3-4 merged with 50 via (50,1): all map to 1
+    assert got[4] == 1 and got[50] == 1 and got[22] == 20
