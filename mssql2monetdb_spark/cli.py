@@ -27,7 +27,13 @@ def build_parser() -> argparse.ArgumentParser:
         prog="mssql2monetdb_spark",
         description="PySpark-native copy/query engine (reference: mssql2monetdb CopyTool)",
     )
-    p.add_argument("-c", "--config", required=True, help="job spec JSON file")
+    p.add_argument("-c", "--config", help="job spec JSON file")
+    p.add_argument(
+        "--switch-table",
+        help="config-less switch-only mode: publish the newest loaded version "
+        "of this table (requires --warehouse; reference CopyToolConfig.java:219-249)",
+    )
+    p.add_argument("--warehouse", help="warehouse dir for --switch-table")
     mode = p.add_mutually_exclusive_group()
     mode.add_argument(
         "--no-switch", action="store_true", help="run phases 1-2 only (load, don't publish)"
@@ -54,6 +60,30 @@ def main(argv: list[str] | None = None) -> int:
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
+
+    # config-less single-table switch mode (CopyToolConfig.java:219-249)
+    if args.switch_table:
+        if not args.warehouse:
+            print("error: --switch-table requires --warehouse", file=sys.stderr)
+            return EXIT_ERROR
+        from .engine.publish import VersionedCatalog
+
+        spark = get_spark("mssql2monetdb-cli")
+        cat = VersionedCatalog(args.warehouse)
+        schema, _, table = args.switch_table.rpartition(".")
+        schema = schema or "default"
+        physical = cat.newest_version(schema, table)
+        if physical is None:
+            print(f"error: no loaded version for {schema}.{table}", file=sys.stderr)
+            return EXIT_ERROR
+        cat.publish(spark, schema, table, physical)
+        cat.cleanup(schema, table)
+        print(f"published {schema}.{table} -> {physical}")
+        return 0
+
+    if not args.config:
+        print("error: -c/--config is required (or use --switch-table)", file=sys.stderr)
+        return EXIT_ERROR
     try:
         spec = load_spec(args.config)
     except (SpecError, OSError, ValueError) as exc:

@@ -138,9 +138,9 @@ def load_spec(spec: dict | str, env: dict[str, str] | None = None) -> JobSpec:
     sources: dict[str, SourceSpec] = {}
     for name, s in (spec.get("sources") or {}).items():
         fmt = (s.get("format") or "parquet").lower()
-        if fmt not in ("parquet", "csv", "jdbc"):
+        if fmt not in ("parquet", "csv", "json", "orc", "jdbc"):
             raise SpecError(f"source {name!r}: unsupported format {fmt!r}")
-        if fmt in ("parquet", "csv") and not s.get("path"):
+        if fmt != "jdbc" and not s.get("path"):
             raise SpecError(f"source {name!r}: file format requires 'path'")
         if fmt == "jdbc" and not (s.get("options") or {}).get("url"):
             raise SpecError(f"source {name!r}: jdbc requires options.url")

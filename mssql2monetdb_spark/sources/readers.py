@@ -40,10 +40,13 @@ def read_source(spark: SparkSession, source: SourceSpec, job: CopyJob) -> DataFr
         return jdbc_reader(spark, source, job)
 
     def table_df(table: str) -> DataFrame:
-        path = os.path.join(source.path, f"{table}.parquet")
+        path = os.path.join(source.path, f"{table}.{source.format}")
         if source.format == "csv":
-            path = os.path.join(source.path, f"{table}.csv")
             return spark.read.options(**CSV_OPTIONS, inferSchema="true").csv(path)
+        if source.format == "json":
+            return spark.read.json(path)  # JSON-lines
+        if source.format == "orc":
+            return spark.read.orc(path)
         return spark.read.parquet(path)
 
     if mode == "table":
@@ -54,7 +57,7 @@ def read_source(spark: SparkSession, source: SourceSpec, job: CopyJob) -> DataFr
         return df
 
     # query mode: register all tables present in the source dir, then spark.sql
-    suffix = ".csv" if source.format == "csv" else ".parquet"
+    suffix = f".{source.format}"
     for fname in sorted(os.listdir(source.path)):
         if fname.endswith(suffix):
             name = fname[: -len(suffix)]

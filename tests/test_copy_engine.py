@@ -333,3 +333,20 @@ def test_partition_by_enables_pruning(spark, tmp_path):
         engine.sql("SELECT * FROM ev WHERE day_bucket = 3").explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "day_bucket" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+
+
+def test_json_and_orc_sources(spark, tmp_path):
+    for fmt in ("json", "orc"):
+        src_dir = tmp_path / f"{fmt}_src"
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+        getattr(df.write, fmt)(str(src_dir / f"t.{fmt}"))
+        spec = load_spec(
+            {
+                "warehouse_dir": str(tmp_path / f"wh_{fmt}"),
+                "sources": {"_default": {"format": fmt, "path": str(src_dir)}},
+                "tables": {"j": {"from_table": "t", "to_table": f"t_{fmt}"}},
+            }
+        )
+        engine = CopyEngine(spark, spec)
+        engine.do_copy(load_date=datetime(2024, 1, 1))
+        assert engine.sql(f"SELECT COUNT(*) AS n FROM t_{fmt}").collect()[0]["n"] == 2

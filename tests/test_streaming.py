@@ -127,3 +127,63 @@ def test_incremental_second_batch_only_processes_new_files(spark, stream_src, tm
     total = spark.read.parquet(out_dir).count()
     # second drain emitted ONLY the new key's row
     assert first > 0 and total == first + 1
+
+
+def test_stateful_tracker_matches_batch_totals(spark, stream_src, tmp_path):
+    """applyInPandasWithState cumulative per-user state == batch groupBy."""
+    from mssql2monetdb_spark.streaming.stateful import user_activity_tracker
+
+    stream = user_activity_tracker(events_stream(spark, stream_src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("activity")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per user is the cumulative total
+    from pyspark.sql.window import Window
+
+    out = spark.table("activity")
+    streamed = {
+        (r["user_id"]): (r["n_events"], round(r["sum_value"], 6), r["last_ts"])
+        for r in out.collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["s"], 6), r["m"])
+        for r in (
+            spark.read.parquet(stream_src)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("s"),
+                F.max("ts").alias("m"),
+            )
+            .collect()
+        )
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_to_versioned_publish(spark, stream_src, tmp_path):
+    """foreachBatch lands micro-batches as published catalog versions."""
+    from mssql2monetdb_spark.engine.publish import VersionedCatalog
+    from mssql2monetdb_spark.streaming.sink import stream_to_versioned
+
+    catalog = VersionedCatalog(str(tmp_path / "wh"))
+    q = stream_to_versioned(
+        events_stream(spark, stream_src),
+        catalog,
+        "default",
+        "events_live",
+        str(tmp_path / "ckpt_sink"),
+    )
+    q.awaitTermination()
+    assert catalog.current_version("default", "events_live") is not None
+    # foreachBatch runs in a cloned session: its temp views are not visible
+    # here — re-register from the durable manifests (the reader-side path)
+    catalog.register_view(spark, "default", "events_live")
+    n = spark.sql("SELECT COUNT(*) AS n FROM events_live").collect()[0]["n"]
+    assert n == spark.read.parquet(stream_src).count()
