@@ -274,12 +274,8 @@ def ngram_jaccard_pairs(
     computed for candidates only. DF pruning is what keeps the shingle join
     from exploding on hot n-grams at scale — hot shingles carry no signal.
     """
-    exploded = (
-        shingle_rows(docs, text_col, id_col, ngram_n)
-        .select("id", F.col("h64").alias("sh"))
-        .cache()
-    )
-    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    rows = shingle_rows(docs, text_col, id_col, ngram_n).cache()
+    exploded = rows.select("id", F.col("h64").alias("sh"))
     rare = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count")).filter(F.col("df_count") <= df_max)
     rare_exploded = exploded.join(rare.select("sh"), "sh")
     la = rare_exploded.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_j"))
@@ -290,8 +286,23 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # exact Jaccard per candidate pair via array_intersect on the full
+    # shingle sets (same verification strategy as minhash_lsh_pairs)
+    sets = rows.groupBy("id").agg(
+        F.sort_array(F.collect_list("h64")).alias("hs"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    sa = sets.select(F.col("id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     return (
-        jaccard_on_candidates(candidates, exploded, sizes)
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
