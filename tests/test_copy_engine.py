@@ -350,3 +350,33 @@ def test_json_and_orc_sources(spark, tmp_path):
         engine = CopyEngine(spark, spec)
         engine.do_copy(load_date=datetime(2024, 1, 1))
         assert engine.sql(f"SELECT COUNT(*) AS n FROM t_{fmt}").collect()[0]["n"] == 2
+
+
+def test_reader_survives_concurrent_publish(spark, tmp_path):
+    """near-zero-downtime property: a reader holding the OLD version keeps
+    working while a new version is published (files are immutable; retention
+    keeps current+backup, so the old files still exist)."""
+    engine = CopyEngine(spark, make_spec(tmp_path))
+    engine.do_copy(load_date=datetime(2024, 1, 1))
+    old_reader = engine.catalog.table_at(spark, "default", "nation")  # pin v1
+    engine.do_copy(load_date=datetime(2024, 1, 2))  # publish v2
+    # old plan still collectable after the switch
+    assert old_reader.count() == 25
+    # and the public view serves the new version
+    assert (
+        engine.catalog.current_version("default", "nation")
+        == "nation_2024_01_02_00_00_00"
+    )
+
+
+def test_same_load_date_is_idempotent(spark, tmp_path):
+    """re-running with the same load date overwrites the same version —
+    crash-retry of a run cannot produce duplicate versions."""
+    engine = CopyEngine(spark, make_spec(tmp_path))
+    p1 = engine.do_copy(load_date=datetime(2024, 1, 1))
+    p2 = engine.do_copy(load_date=datetime(2024, 1, 1))
+    assert p1 == p2
+    assert engine.catalog.table_versions("default", "nation") == [
+        "nation_2024_01_01_00_00_00"
+    ]
+    assert engine.sql("SELECT COUNT(*) AS n FROM nation").collect()[0]["n"] == 25
