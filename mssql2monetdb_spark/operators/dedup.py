@@ -123,38 +123,6 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_on_candidates(candidates: DataFrame, exploded: DataFrame, sizes: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs.
-
-    candidates: (doc_a, doc_b); exploded: (id, sh) distinct shingle hash
-    keys (BIGINT); sizes: (id, sz). Intersections come from two shuffle
-    joins keyed on doc ids — cost is proportional to candidate count, not
-    corpus^2.
-    """
-    ea = exploded.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    eb = exploded.select(F.col("id").alias("eb_id"), F.col("sh").alias("sh_b"))
-    inter = (
-        candidates.join(ea, "doc_a")
-        .join(eb, (F.col("doc_b") == F.col("eb_id")) & (F.col("sh_a") == F.col("sh_b")), "inner")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
-    )
-
-
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",

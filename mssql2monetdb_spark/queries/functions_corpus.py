@@ -379,3 +379,59 @@ def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return a.join(b, a.k.eqNullSafe(b.k)).select(a.o_orderkey, a.k, b.n).orderBy("o_orderkey")
+
+
+@query(
+    "fn_greatest_least",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               GREATEST(l_quantity, l_discount * 100, 10.0) AS g,
+               LEAST(l_quantity, l_tax * 100, 40.0) AS l,
+               GREATEST(l_orderkey, l_partkey, l_suppkey) AS gkey
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, gkey
+    """,
+)
+def fn_greatest_least(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-argument GREATEST/LEAST over mixed expressions."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100, F.lit(10.0)).alias("g"),
+        F.least(F.col("l_quantity"), F.col("l_tax") * 100, F.lit(40.0)).alias("l"),
+        F.greatest("l_orderkey", "l_partkey", "l_suppkey").alias("gkey"),
+    ).orderBy("l_orderkey", "l_linenumber", "gkey")
+
+
+@query(
+    "fn_array_setops",
+    oracle="""
+        WITH t AS (
+            SELECT c_custkey,
+                   regexp_split_to_array(lower(c_name), '0+') AS a,
+                   regexp_split_to_array(lower(c_mktsegment), 'a') AS b
+            FROM customer WHERE c_custkey < 200
+        )
+        SELECT c_custkey,
+               list_sort(list_distinct(list_concat(a, b))) AS union_ab,
+               list_sort(list_filter(list_distinct(a), x -> list_contains(b, x))) AS inter_ab,
+               list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))) AS except_ab,
+               CAST(len(list_distinct(a)) AS INTEGER) AS n_a
+        FROM t ORDER BY c_custkey
+    """,
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (union/intersect/except) with sorted outputs so the
+    result is order-canonical in both engines."""
+    t = Tables(spark, sf_dir)
+    c = t.customer.filter(F.col("c_custkey") < 200)
+    a = F.split(F.lower(F.col("c_name")), "0+")
+    b = F.split(F.lower(F.col("c_mktsegment")), "a")
+    return c.select(
+        "c_custkey",
+        F.sort_array(F.array_union(a, b)).alias("union_ab"),
+        F.sort_array(F.array_intersect(a, b)).alias("inter_ab"),
+        F.sort_array(F.array_except(a, b)).alias("except_ab"),
+        F.size(F.array_distinct(a)).alias("n_a"),
+    ).orderBy("c_custkey")
