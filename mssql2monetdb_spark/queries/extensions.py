@@ -514,3 +514,54 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(t.documents, shingle_n=3, threshold=0.8)
     return dedup.connected_components(pairs).orderBy("doc_id")
+
+
+def _clean_corpus_oracle() -> str:
+    """Full pipeline oracle: quality scoring + near-dup components composed
+    into the surviving clean-corpus id set."""
+    components = _components_oracle()
+    # strip the trailing ORDER BY of the components query and reuse as a CTE
+    comp_body = components.rsplit("ORDER BY doc_id", 1)[0]
+    tok = text.tokens_sql("text")
+    stop_list = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
+    return f"""
+    WITH comp AS (
+        {comp_body}
+    ), q AS (
+        SELECT doc_id,
+               CAST(len(tok) AS INTEGER) AS n_tokens,
+               LEAST(CAST(len(tok) AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) * 0.4
+                 + (1.0 - CAST(len(list_filter(tok, w -> list_contains({stop_list}, w))) AS DOUBLE)
+                        / len(tok)) * 0.2 AS quality
+        FROM (SELECT doc_id, {tok} AS tok FROM documents)
+    )
+    SELECT q.doc_id, q.n_tokens, q.quality
+    FROM q
+    LEFT JOIN comp ON comp.doc_id = q.doc_id
+    WHERE q.quality >= 0.5
+      AND (comp.doc_id IS NULL OR comp.component_id = q.doc_id)
+    ORDER BY q.doc_id
+    """
+
+
+@query("pipeline_clean_corpus", oracle=_clean_corpus_oracle())
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship LLM-data-pipeline composition: quality-score every
+    document, resolve MinHash near-dup pairs into duplicate groups, and keep
+    one canonical survivor per group (min doc id) among documents passing
+    the quality bar — the end-to-end 'clean corpus' materialization."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    quality = textstats.quality_score(docs)  # (doc_id, n_tokens, quality)
+    pairs = dedup.minhash_lsh_pairs(docs, shingle_n=3, threshold=0.8)
+    comp = dedup.connected_components(pairs)  # (doc_id, component_id)
+    return (
+        quality.join(comp, "doc_id", "left")
+        .filter(
+            (F.col("quality") >= 0.5)
+            & (F.col("component_id").isNull() | (F.col("component_id") == F.col("doc_id")))
+        )
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
+    )

@@ -435,3 +435,26 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.array_except(a, b)).alias("except_ab"),
         F.size(F.array_distinct(a)).alias("n_a"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "fn_try_cast",
+    oracle="""
+        SELECT c_custkey,
+               TRY_CAST(substring(c_name, 10, 20) AS BIGINT) AS tail_num,
+               TRY_CAST(c_mktsegment AS BIGINT) AS seg_num,
+               TRY_CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS roundtrip
+        FROM customer ORDER BY c_custkey
+    """,
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casts: TRY_CAST yields NULL instead of failing — the
+    ingest-grade cast for dirty data (both engines agree on NULL results)."""
+    t = Tables(spark, sf_dir)
+    c = t.customer
+    return c.select(
+        "c_custkey",
+        F.substring("c_name", 10, 20).try_cast("bigint").alias("tail_num"),
+        F.col("c_mktsegment").try_cast("bigint").alias("seg_num"),
+        F.col("c_custkey").cast("string").try_cast("bigint").alias("roundtrip"),
+    ).orderBy("c_custkey")
