@@ -414,25 +414,26 @@ def fn_greatest_least(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM customer WHERE c_custkey < 200
         )
         SELECT c_custkey,
-               list_sort(list_distinct(list_concat(a, b))) AS union_ab,
-               list_sort(list_filter(list_distinct(a), x -> list_contains(b, x))) AS inter_ab,
-               list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))) AS except_ab,
+               COALESCE(array_to_string(list_sort(list_distinct(list_concat(a, b))), '|'), '') AS union_ab,
+               COALESCE(array_to_string(list_sort(list_filter(list_distinct(a), x -> list_contains(b, x))), '|'), '') AS inter_ab,
+               COALESCE(array_to_string(list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))), '|'), '') AS except_ab,
                CAST(len(list_distinct(a)) AS INTEGER) AS n_a
         FROM t ORDER BY c_custkey
     """,
 )
 def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array set algebra (union/intersect/except) with sorted outputs so the
-    result is order-canonical in both engines."""
+    """Array set algebra (union/intersect/except) with sorted outputs; results
+    are emitted as joined strings because the driver's value hash cannot
+    canonicalize array-typed columns."""
     t = Tables(spark, sf_dir)
     c = t.customer.filter(F.col("c_custkey") < 200)
     a = F.split(F.lower(F.col("c_name")), "0+")
     b = F.split(F.lower(F.col("c_mktsegment")), "a")
     return c.select(
         "c_custkey",
-        F.sort_array(F.array_union(a, b)).alias("union_ab"),
-        F.sort_array(F.array_intersect(a, b)).alias("inter_ab"),
-        F.sort_array(F.array_except(a, b)).alias("except_ab"),
+        F.array_join(F.sort_array(F.array_union(a, b)), "|").alias("union_ab"),
+        F.array_join(F.sort_array(F.array_intersect(a, b)), "|").alias("inter_ab"),
+        F.array_join(F.sort_array(F.array_except(a, b)), "|").alias("except_ab"),
         F.size(F.array_distinct(a)).alias("n_a"),
     ).orderBy("c_custkey")
 

@@ -173,14 +173,20 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
         SELECT c_custkey FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        )
         ORDER BY c_custkey
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join against a restricted build side so both relations are
+    non-empty at every SF — an unrestricted anti (every customer has an
+    order) returns 0 rows and the verdict would be vacuous."""
     t = Tables(spark, sf_dir)
+    big_orders = t.orders.filter(F.col("o_totalprice") > 100000)
     return (
-        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_anti")
+        t.customer.join(big_orders, t.customer.c_custkey == big_orders.o_custkey, "left_anti")
         .select("c_custkey")
         .orderBy("c_custkey")
     )
@@ -320,12 +326,32 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct", oracle=None)
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+               1 AS within_tolerance
+        FROM orders
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — algorithm-specific values, so no
-    value-hash oracle (DuckDB's sketch differs); rows-only check."""
+    """HyperLogLog++ approximate distinct. The sketch value itself is
+    algorithm-specific (DuckDB's HLL differs), so the verifiable contract is
+    the *invariant*: approx_count_distinct at rsd=0.02 must land within ±20%
+    of the exact distinct count. Both engines return (exact count, flag=1)."""
     t = Tables(spark, sf_dir)
-    return t.orders.agg(F.approx_count_distinct("o_custkey").alias("approx_custs"))
+    return t.orders.agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_custs"),
+        (
+            F.approx_count_distinct("o_custkey", 0.02)
+            .between(
+                F.count_distinct("o_custkey") * 0.8,
+                F.count_distinct("o_custkey") * 1.2,
+            )
+        )
+        .cast("int")
+        .alias("within_tolerance"),
+    )
 
 
 @query(

@@ -465,18 +465,20 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_array_collect",
     oracle="""
         SELECT n_regionkey,
-               list_sort(list_distinct(list(n_name))) AS nations,
+               array_to_string(list_sort(list_distinct(list(n_name))), ',') AS nations,
                CAST(LEN(list_distinct(list(n_name))) AS INTEGER) AS n_nations
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
 )
 def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation (collect_set) made deterministic by sorting."""
+    """Array aggregation (collect_set) made deterministic by sorting; the
+    collected set is emitted as a joined string because the driver's
+    order-insensitive value hash cannot canonicalize array-typed columns."""
     t = Tables(spark, sf_dir)
     return (
         t.nation.groupBy("n_regionkey")
         .agg(
-            F.sort_array(F.collect_set("n_name")).alias("nations"),
+            F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"),
             F.size(F.collect_set("n_name")).alias("n_nations"),
         )
         .orderBy("n_regionkey")

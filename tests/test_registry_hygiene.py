@@ -1,0 +1,92 @@
+"""Registry hygiene gate.
+
+The driver's correctness harness has two hard constraints discovered in
+round 1 (CORRECTNESS_r01.json):
+
+1. It verifies only the FIRST 50 entries of ``queries()`` in registration
+   order — so the curated ``GATE_PRIORITY`` window must keep covering every
+   capability family, or queries silently lose their verdicts.
+2. Its order-insensitive value hash canonicalizes rows via pandas
+   ``sort_values``, which cannot hash array/struct/map-typed cells
+   (``TypeError: unhashable numpy.ndarray`` — the round-1 ``agg_array_collect``
+   failure). Every registry query must therefore return scalar columns only.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from mssql2monetdb_spark.queries import GATE_PRIORITY, GATE_WINDOW, REGISTRY
+
+ALL_NAMES = list(REGISTRY.keys())
+
+# Capability families that must each have >=1 representative inside the
+# driver's verification window. Prefix-based so new queries join their
+# family automatically.
+FAMILY_PREFIXES = [
+    "agg_",
+    "join_",
+    "window_",
+    "set_",
+    "subquery_",
+    "cte_",
+    "fn_",
+    "dedup_",
+    "ann_",
+    "text_",
+    "multimodal_",
+    "rollup_",
+    "pipeline_",
+    "stream_",
+    "asof_",
+]
+
+
+def test_gate_priority_is_the_window_prefix():
+    assert len(GATE_PRIORITY) == GATE_WINDOW
+    assert ALL_NAMES[:GATE_WINDOW] == GATE_PRIORITY
+    assert len(set(GATE_PRIORITY)) == GATE_WINDOW
+
+
+def test_every_capability_family_inside_window():
+    window = set(ALL_NAMES[:GATE_WINDOW])
+    missing = [
+        prefix
+        for prefix in FAMILY_PREFIXES
+        if not any(name.startswith(prefix) for name in window)
+    ]
+    assert not missing, f"families with no query in the driver window: {missing}"
+
+
+def test_all_extension_operators_inside_window():
+    """Every §2C / LLM-pipeline operator must hold a verification slot."""
+    window = set(ALL_NAMES[:GATE_WINDOW])
+    extension_prefixes = ("dedup_", "ann_", "text_", "multimodal_", "rollup_", "pipeline_", "stream_")
+    outside = [
+        name
+        for name in ALL_NAMES
+        if name.startswith(extension_prefixes) and name not in window
+    ]
+    assert not outside, f"extension operators outside the driver window: {outside}"
+
+
+def _atomic(dt: T.DataType) -> bool:
+    return not isinstance(dt, (T.ArrayType, T.MapType, T.StructType))
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_query_returns_scalar_columns_only(name, spark, sf_dir):
+    schema = REGISTRY[name].build(spark, sf_dir).schema
+    bad = [f.name for f in schema.fields if not _atomic(f.dataType)]
+    assert not bad, (
+        f"{name} returns non-scalar columns {bad}; the driver's value hash "
+        "cannot canonicalize them — stringify with array_join(sort_array(...))"
+    )
+
+
+def test_every_window_query_has_an_oracle():
+    """A slot spent on a rows-only query wastes verification budget — keep
+    oracle-less queries (if any ever return) behind the window."""
+    missing = [n for n in GATE_PRIORITY if REGISTRY[n].oracle is None]
+    assert not missing, f"window queries without oracle SQL: {missing}"
