@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from ..config.spec import CopyJob, JobSpec, spec_checksum
 from ..schema.evolve import evolve_to_union
 from ..schema.mapper import normalized_dataframe
-from ..sources.readers import read_source
+from ..sources.readers import read_source, register_source_views
 from .publish import VersionedCatalog
 from .watermark import WatermarkStore, has_new_data, probe_max
 
@@ -105,8 +105,14 @@ class CopyEngine:
         """Pre-scan count (op #4, ``CopyTool.java:643-649``): the declared
         ``count_query`` (evaluated natively — reference ships it to the
         source DB, ``CopyTable.java:300-308``) when present, else df.count().
+
+        The job's own source views are re-registered immediately before the
+        SQL runs: bare temp views are session-global, so another query-mode
+        job (or a published view of the same name) could otherwise shadow
+        the relation the count targets.
         """
         if job.count_query:
+            register_source_views(self.spark, self.spec.sources[job.source])
             row = self.spark.sql(job.count_query).collect()[0]
             return int(row[0])
         return df.count()

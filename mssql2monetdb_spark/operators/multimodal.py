@@ -1,11 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode kernels are STUBS:
-``decode_image``/``extract_audio_features``/``sample_video_frames`` raise
-``NotImplementedError`` unless ``fake=True``, in which case they produce a
-deterministic fake derived from the bytes (so the Spark-side plumbing —
-schema, batching, partitioning, UDF signatures — is fully real and tested).
+Decode support without external codecs:
+
+- **Images**: real pure-Python decoders for binary PPM (``P6``) and
+  uncompressed 24/32-bpp BMP — both are header + raw pixel formats, no
+  codec needed. Compressed formats (JPEG/PNG/...) raise
+  ``NotImplementedError`` unless ``fake=True``.
+- **Audio**: real decoder for PCM WAV (RIFF header + int16 samples).
+  Compressed audio raises unless ``fake=True``.
+- **Video**: every container format needs a real codec — the kernel stays
+  a stub (``fake=True`` slices bytes deterministically).
+
+``fake=True`` keeps the deterministic byte-derived kernels for formats the
+container cannot decode, so the Spark-side plumbing — schema, batching,
+partitioning, UDF signatures — is exercised either way.
 
 At scale: media rows are large and skewed; ``repartition`` before the
 mapInPandas keeps batches bounded, and Arrow batch size is capped by
@@ -15,9 +24,11 @@ mapInPandas keeps batches bounded, and Arrow batch size is capped by
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -78,12 +89,81 @@ def _fake_image_decode(content: bytes) -> tuple[int, int, list[float]]:
     return width, height, feats
 
 
+def _decode_ppm(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse binary PPM (P6): header tokens (skipping ``#`` comments), then
+    raw RGB bytes. Returns (width, height, pixels[h, w, 3] uint8)."""
+    tokens: list[bytes] = []
+    pos = 2  # past the b"P6" magic
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(content[start:pos])
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n = width * height * 3
+    pixels = np.frombuffer(content, dtype=np.uint8, count=n, offset=pos)
+    return width, height, pixels.reshape(height, width, 3)
+
+
+def _decode_bmp(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse uncompressed 24/32-bpp BMP (BITMAPINFOHEADER, bottom-up rows
+    padded to 4 bytes). Returns (width, height, pixels[h, w, 3] uint8 RGB)."""
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)
+    bgr = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return width, height, bgr[:, :, 2::-1]  # BGR(A) -> RGB
+
+
+def _real_image_decode(content: bytes) -> tuple[int, int, list[float]]:
+    """Decode a codec-free image format and extract an 8-dim feature vector:
+    per-channel means and stds (0-255 scale), mean luma, and w/(w+h)."""
+    if content[:2] == b"P6":
+        width, height, px = _decode_ppm(content)
+    elif content[:2] == b"BM":
+        width, height, px = _decode_bmp(content)
+    else:
+        raise NotImplementedError(
+            "only uncompressed PPM(P6)/BMP decode without a codec library; "
+            f"got magic {content[:2]!r} — pass fake=True for the deterministic "
+            "test kernel on compressed formats"
+        )
+    flat = px.reshape(-1, 3).astype(np.float64)
+    means = flat.mean(axis=0)
+    stds = flat.std(axis=0)
+    luma = 0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2]
+    aspect = width / (width + height)
+    return width, height, [float(v) for v in (*means, *stds, luma, aspect)]
+
+
 def decode_images(media: DataFrame, *, fake: bool = False) -> DataFrame:
     """Decode + feature-extract image payloads via Arrow-batched mapInPandas.
 
-    Real decode requires an image codec (not in this container): the kernel
-    raises NotImplementedError unless ``fake=True``. Everything around the
-    kernel — batch iteration, schema, null payloads — is production-shaped.
+    Real decode (``fake=False``) handles uncompressed PPM(P6)/BMP with the
+    pure-Python parsers above; compressed formats need a codec library and
+    raise NotImplementedError. ``fake=True`` substitutes the deterministic
+    byte-derived kernel for any payload.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,13 +175,10 @@ def decode_images(media: DataFrame, *, fake: bool = False) -> DataFrame:
                     continue
                 content = bytes(content)
                 checksum = hashlib.md5(content).hexdigest()
-                if not fake:
-                    raise NotImplementedError(
-                        "image decode requires an image codec library (e.g. Pillow); "
-                        "not available in this environment — pass fake=True for the "
-                        "deterministic test kernel"
-                    )
-                width, height, feats = _fake_image_decode(content)
+                if fake:
+                    width, height, feats = _fake_image_decode(content)
+                else:
+                    width, height, feats = _real_image_decode(content)
                 rows.append((media_id, len(content), checksum, width, height, feats))
             yield pd.DataFrame(
                 rows,
@@ -168,13 +245,46 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
-def extract_audio_features(media: DataFrame, *, sample_rate: int = 16000, fake: bool = False) -> DataFrame:
-    """Audio feature extraction plumbing (stubbed decode).
+def _decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Parse PCM WAV (RIFF container, int16 samples) without a codec library.
 
-    Real decode needs an audio codec (librosa/soundfile — not in this
-    container); the fake kernel derives a duration estimate (bytes at
-    16-bit mono ``sample_rate``) and an 8-dim MFCC-like vector from byte
-    statistics, so batching/schema/partitioning are fully exercised.
+    Walks the chunk list (fmt / data may be preceded by LIST etc.) and
+    returns (mono samples float64 in [-1, 1], sample_rate).
+    """
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only PCM WAV decodes without a codec library; pass fake=True "
+            "for the deterministic test kernel on compressed formats"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(f"only 16-bit PCM WAV supported (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    if channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels]
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return samples.astype(np.float64) / 32768.0, sample_rate
+
+
+def extract_audio_features(media: DataFrame, *, sample_rate: int = 16000, fake: bool = False) -> DataFrame:
+    """Audio feature extraction via Arrow-batched mapInPandas.
+
+    Real decode (``fake=False``) parses PCM WAV with the pure-Python RIFF
+    reader above: true duration from the sample count, and an 8-dim
+    MFCC-like vector = per-segment RMS over 8 equal time windows.
+    Compressed audio needs a codec and raises NotImplementedError;
+    ``fake=True`` keeps the deterministic byte-derived kernel.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -185,16 +295,21 @@ def extract_audio_features(media: DataFrame, *, sample_rate: int = 16000, fake: 
                     rows.append((media_id, None, None, None))
                     continue
                 content = bytes(content)
-                if not fake:
-                    raise NotImplementedError(
-                        "audio decode requires a codec library (e.g. soundfile); "
-                        "pass fake=True for the deterministic test kernel"
-                    )
-                duration = len(content) / (2.0 * sample_rate)
-                crc = zlib.crc32(content)
-                feats = [
-                    float(((crc >> (i * 4)) & 0xFF) - 128) / 128.0 for i in range(FEATURE_DIM)
-                ]
+                if fake:
+                    duration = len(content) / (2.0 * sample_rate)
+                    crc = zlib.crc32(content)
+                    feats = [
+                        float(((crc >> (i * 4)) & 0xFF) - 128) / 128.0
+                        for i in range(FEATURE_DIM)
+                    ]
+                else:
+                    samples, rate = _decode_wav(content)
+                    duration = len(samples) / float(rate)
+                    segments = np.array_split(samples, FEATURE_DIM)
+                    feats = [
+                        float(np.sqrt(np.mean(np.square(s)))) if len(s) else 0.0
+                        for s in segments
+                    ]
                 rows.append((media_id, len(content), duration, feats))
             yield pd.DataFrame(
                 rows, columns=["media_id", "n_bytes", "duration_est_s", "mfcc_like"]

@@ -22,16 +22,17 @@ from . import extensions  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 
 # Slots 0-49 of the driver's correctness window. Composition (round 2):
-#  - 18 §2C extension/LLM-pipeline operators (dedup/ANN/text/multimodal/rollup)
+#  - 19 §2C extension/LLM-pipeline operators (dedup/ANN/text/multimodal/rollup)
 #  - 15 functions-corpus queries (string/datetime/math/json/array/null/cast)
 #  - 5 streaming batch-equivalents
 #  - 6 relational queries with no round-1 verdict (subqueries/window/agg extras)
 #  - 4 changed this round (agg_array_collect, agg_approx_count_distinct,
-#    join_anti, fn_array_setops) + 2 core representatives kept as canaries
+#    join_anti, fn_array_setops) + 1 core canary
 GATE_PRIORITY = [
-    # Canaries: one scan+agg and one broadcast-join representative.
+    # Canary: the flagship scan+agg representative. (join_broadcast_dims,
+    # green in round 1 and plan-pinned in pytest, rotates behind the window
+    # to make room for the real-decode multimodal query.)
     "agg_tpch_q1",
-    "join_broadcast_dims",
     # Changed this round — need fresh verdicts.
     "join_anti",
     "agg_array_collect",
@@ -74,6 +75,7 @@ GATE_PRIORITY = [
     "text_lang_id",
     "text_fingerprint",
     "multimodal_binary_meta",
+    "multimodal_image_decode",
     "rollup_time_buckets",
     "pipeline_clean_corpus",
     # Streaming batch-equivalents.

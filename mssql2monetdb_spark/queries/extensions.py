@@ -403,6 +403,56 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.binary_meta(media).orderBy("media_id")
 
 
+def _hex_byte(pos: int) -> str:
+    """DuckDB: parse the md5-hex byte whose first nibble is at 1-indexed pos."""
+    return f"('0x' || substr(md5(text), {pos}, 2))::INT"
+
+
+def _hex_mean(byte_offsets: list[int]) -> str:
+    """DuckDB: mean of 4 md5 bytes (byte k lives at hex position 2k+1)."""
+    return "(" + " + ".join(_hex_byte(2 * k + 1) for k in byte_offsets) + ") / 4.0"
+
+
+@query(
+    "multimodal_image_decode",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               2 AS width,
+               2 AS height,
+               {_hex_mean([0, 3, 6, 9])} AS mean_r,
+               {_hex_mean([1, 4, 7, 10])} AS mean_g,
+               {_hex_mean([2, 5, 8, 11])} AS mean_b
+        FROM documents ORDER BY media_id
+    """,
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode end-to-end: synthesize a 2x2 binary PPM per document
+    JVM-side (pixel bytes = the first 12 md5 bytes of the text), run it
+    through the real pure-Python PPM decode kernel (fake=False), and emit
+    per-channel means. The oracle recomputes the same means directly from the
+    md5 hex, so the whole mapInPandas decode path is driver-verified.
+
+    The means are exact cross-engine: each is (sum of 4 ints <= 1020)/4,
+    representable exactly in float32 and double alike.
+    """
+    t = Tables(spark, sf_dir)
+    header = F.encode(F.lit("P6\n2 2\n255\n"), "UTF-8")
+    digest = F.md5(F.encode(F.col("text"), "UTF-8"))
+    media = t.documents.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.concat(header, F.unhex(F.substring(digest, 1, 24))).alias("content"),
+    )
+    decoded = multimodal.decode_images(media, fake=False)
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.element_at("features", 1).cast("double").alias("mean_r"),
+        F.element_at("features", 2).cast("double").alias("mean_g"),
+        F.element_at("features", 3).cast("double").alias("mean_b"),
+    ).orderBy("media_id")
+
+
 def _ivf_oracle() -> str:
     dist2 = (
         "list_reduce(list_transform(generate_series(1, len(e.embedding)), "

@@ -39,30 +39,46 @@ def read_source(spark: SparkSession, source: SourceSpec, job: CopyJob) -> DataFr
     if source.format == "jdbc":
         return jdbc_reader(spark, source, job)
 
-    def table_df(table: str) -> DataFrame:
-        path = os.path.join(source.path, f"{table}.{source.format}")
-        if source.format == "csv":
-            return spark.read.options(**CSV_OPTIONS, inferSchema="true").csv(path)
-        if source.format == "json":
-            return spark.read.json(path)  # JSON-lines
-        if source.format == "orc":
-            return spark.read.orc(path)
-        return spark.read.parquet(path)
-
     if mode == "table":
         table, columns = payload
-        df = table_df(table)
+        df = _read_table_file(spark, source, table)
         if columns:
             df = df.select(*columns)  # projection pushdown (CopyTable.java:314-322)
         return df
 
     # query mode: register all tables present in the source dir, then spark.sql
+    register_source_views(spark, source)
+    return spark.sql(payload)
+
+
+def _read_table_file(spark: SparkSession, source: SourceSpec, table: str) -> DataFrame:
+    path = os.path.join(source.path, f"{table}.{source.format}")
+    if source.format == "csv":
+        return spark.read.options(**CSV_OPTIONS, inferSchema="true").csv(path)
+    if source.format == "json":
+        return spark.read.json(path)  # JSON-lines
+    if source.format == "orc":
+        return spark.read.orc(path)
+    return spark.read.parquet(path)
+
+
+def register_source_views(spark: SparkSession, source: SourceSpec) -> None:
+    """(Re-)register every table file in a file source dir as a temp view.
+
+    Temp views are session-global and bare-named (the job SQL references bare
+    table names, reference ``CopyToolConfig.java:856-867``), so two query-mode
+    sources with same-named tables shadow each other. Any SQL evaluated
+    against a source (extract query, count_query) must call this immediately
+    beforehand so the views it sees are *this* source's.
+    """
+    if source.format == "jdbc":
+        return
     suffix = f".{source.format}"
     for fname in sorted(os.listdir(source.path)):
         if fname.endswith(suffix):
-            name = fname[: -len(suffix)]
-            table_df(name).createOrReplaceTempView(name)
-    return spark.sql(payload)
+            _read_table_file(spark, source, fname[: -len(suffix)]).createOrReplaceTempView(
+                fname[: -len(suffix)]
+            )
 
 
 def write_csv_compat(df: DataFrame, path: str) -> None:

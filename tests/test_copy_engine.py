@@ -112,6 +112,47 @@ def test_query_mode_evaluates_natively(spark, tmp_path):
     assert total == 150  # sf0.001 customer count
 
 
+def test_count_query_not_shadowed_across_sources(spark, tmp_path):
+    """Two query-mode sources exposing the same bare table name: each job's
+    count_query must target its OWN source's relation, not whichever source
+    registered its temp views last (regression for view shadowing)."""
+    for name, n_rows in (("src_a", 3), ("src_b", 7)):
+        d = tmp_path / name
+        d.mkdir()
+        spark.range(n_rows).selectExpr("id AS k").write.parquet(str(d / "t.parquet"))
+    spec = load_spec(
+        {
+            "warehouse_dir": str(tmp_path / "wh"),
+            "sources": {
+                "a": {"format": "parquet", "path": str(tmp_path / "src_a")},
+                "b": {"format": "parquet", "path": str(tmp_path / "src_b")},
+            },
+            "tables": {
+                "job_a": {
+                    "source": "a",
+                    "from_table": None,
+                    "from_query": "SELECT * FROM t",
+                    "count_query": "SELECT COUNT(*) FROM t",
+                    "to_table": "t_a",
+                },
+                "job_b": {
+                    "source": "b",
+                    "from_table": None,
+                    "from_query": "SELECT * FROM t",
+                    "count_query": "SELECT COUNT(*) FROM t",
+                    "to_table": "t_b",
+                },
+            },
+        }
+    )
+    engine = CopyEngine(spark, spec)
+    # extract both first so the LAST registration of view `t` (source b)
+    # would shadow source a's if counts resolved against stale views
+    frames = {job_id: engine._extract(job) for job_id, job in spec.jobs.items()}
+    counts = engine.assert_non_empty(frames)
+    assert counts == {"job_a": 3, "job_b": 7}
+
+
 def test_projection_mode(spark, tmp_path):
     spec = make_spec(
         tmp_path,

@@ -54,10 +54,66 @@ def test_decode_images_deterministic(media):
     assert a == b
 
 
-def test_decode_images_real_kernel_gated(media):
-    # real decode must fail loudly, not silently fake
-    with pytest.raises(Exception, match="NotImplementedError|image codec"):
+def test_decode_images_unsupported_format_gated(media):
+    # compressed/unknown formats must fail loudly, not silently fake
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.decode_images(media, fake=False).collect()
+
+
+def _ppm_bytes(width: int, height: int, pixels: bytes) -> bytes:
+    return f"P6\n{width} {height}\n255\n".encode() + pixels
+
+
+def _bmp_bytes(width: int, height: int, rows_rgb: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal 24bpp bottom-up BMP writer (pure test helper)."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    pixel_data = bytearray()
+    for row in reversed(rows_rgb):  # bottom-up
+        for r, g, b in row:
+            pixel_data += bytes([b, g, r])
+        pixel_data += b"\x00" * (stride - width * 3)
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_data), 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    return header + dib + bytes(pixel_data)
+
+
+def test_decode_images_real_ppm(spark):
+    # 2x1 image: red pixel then pixel (10, 20, 30)
+    content = _ppm_bytes(2, 1, bytes([255, 0, 0, 10, 20, 30]))
+    df = spark.createDataFrame([(1, content, "image/x-portable-pixmap", None)], multimodal.MEDIA_SCHEMA)
+    [row] = multimodal.decode_images(df, fake=False).collect()
+    assert (row["width"], row["height"]) == (2, 1)
+    feats = row["features"]
+    assert feats[0] == pytest.approx((255 + 10) / 2)  # mean R
+    assert feats[1] == pytest.approx((0 + 20) / 2)  # mean G
+    assert feats[2] == pytest.approx((0 + 30) / 2)  # mean B
+
+
+def test_decode_images_real_ppm_with_comment(spark):
+    content = b"P6\n# a comment\n1 1\n255\n" + bytes([7, 8, 9])
+    df = spark.createDataFrame([(1, content, "image/x-portable-pixmap", None)], multimodal.MEDIA_SCHEMA)
+    [row] = multimodal.decode_images(df, fake=False).collect()
+    assert (row["width"], row["height"]) == (1, 1)
+    assert row["features"][:3] == [7.0, 8.0, 9.0]
+
+
+def test_decode_images_real_bmp(spark):
+    # 3x2 BMP exercises row padding (3*3=9 bytes -> stride 12) + bottom-up order
+    rows_rgb = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    content = _bmp_bytes(3, 2, rows_rgb)
+    df = spark.createDataFrame([(1, content, "image/bmp", None)], multimodal.MEDIA_SCHEMA)
+    [row] = multimodal.decode_images(df, fake=False).collect()
+    assert (row["width"], row["height"]) == (3, 2)
+    flat = [c for r in rows_rgb for px in r for c in px]
+    assert row["features"][0] == pytest.approx(sum(flat[0::3]) / 6)  # mean R
+    assert row["features"][1] == pytest.approx(sum(flat[1::3]) / 6)  # mean G
+    assert row["features"][2] == pytest.approx(sum(flat[2::3]) / 6)  # mean B
 
 
 def test_null_payload_rows_survive(spark):
@@ -91,8 +147,39 @@ def test_audio_features_fake(media):
         assert all(-1.0 <= f <= 1.0 for f in r["mfcc_like"])
 
 
-def test_audio_features_real_gated(media):
-    import pytest as _pytest
-
-    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+def test_audio_features_unsupported_format_gated(media):
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.extract_audio_features(media, fake=False).collect()
+
+
+def _wav_bytes(samples: list[int], sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """Minimal PCM WAV writer (pure test helper)."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_audio_features_real_wav(spark):
+    samples = [0] * 8000 + [16384] * 8000  # 1 second at 16 kHz: silence then half amplitude
+    content = _wav_bytes(samples)
+    df = spark.createDataFrame([(1, content, "audio/wav", None)], multimodal.MEDIA_SCHEMA)
+    [row] = multimodal.extract_audio_features(df, fake=False).collect()
+    assert row["duration_est_s"] == pytest.approx(1.0)
+    feats = row["mfcc_like"]
+    assert len(feats) == multimodal.FEATURE_DIM
+    # first half silent, second half RMS = 16384/32768 = 0.5
+    assert all(f == pytest.approx(0.0) for f in feats[:4])
+    assert all(f == pytest.approx(0.5) for f in feats[4:])
+
+
+def test_audio_features_real_wav_stereo(spark):
+    # stereo: L=1000, R=3000 -> mono mean 2000
+    interleaved = [1000, 3000] * 800
+    content = _wav_bytes(interleaved, sample_rate=8000, channels=2)
+    df = spark.createDataFrame([(1, content, "audio/wav", None)], multimodal.MEDIA_SCHEMA)
+    [row] = multimodal.extract_audio_features(df, fake=False).collect()
+    assert row["duration_est_s"] == pytest.approx(800 / 8000)
+    assert all(f == pytest.approx(2000 / 32768.0) for f in row["mfcc_like"])

@@ -14,6 +14,8 @@ round 1 (CORRECTNESS_r01.json):
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 from pyspark.sql import types as T
 
@@ -82,6 +84,19 @@ def test_query_returns_scalar_columns_only(name, spark, sf_dir):
     assert not bad, (
         f"{name} returns non-scalar columns {bad}; the driver's value hash "
         "cannot canonicalize them — stringify with array_join(sort_array(...))"
+    )
+
+
+def test_coverage_totals_match_registry():
+    """COVERAGE.md's totals line is regenerated from the registry, not by
+    hand (it drifted once in round 1)."""
+    n_queries = len(REGISTRY)
+    n_oracles = sum(1 for q in REGISTRY.values() if q.oracle is not None)
+    text = (Path(__file__).resolve().parent.parent / "COVERAGE.md").read_text()
+    expected = f"**Totals: {n_queries} registry queries, {n_oracles} with DuckDB oracles**"
+    assert expected in text, (
+        f"COVERAGE.md totals drifted — expected the line {expected!r} "
+        f"(registry: {n_queries} queries, {n_oracles} oracles)"
     )
 
 
