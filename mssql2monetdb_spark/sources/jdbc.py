@@ -27,16 +27,19 @@ DEFAULT_NUM_PARTITIONS = 32
 
 
 def jdbc_read_options(source: SourceSpec, job: CopyJob) -> dict[str, str]:
-    """Build the spark.read.format('jdbc') option map for a copy job."""
+    """Build the spark.read.format('jdbc') option map for a copy job.
+
+    Table mode always uses ``dbtable`` — a declared column projection is
+    applied as a Spark-side ``.select`` in :func:`jdbc_reader`, which the
+    JDBC source compiles into a pruned SELECT with *dialect-quoted*
+    identifiers (hand-built ``SELECT a, b FROM t`` strings break on
+    case-normalizing databases; CopyTable.java:314-322 is the reference's
+    equivalent pushdown).
+    """
     opts = dict(source.options)
     mode, payload = job.select_source()
     if mode == "table":
-        table, columns = payload
-        if columns:
-            # push projection into the source query (CopyTable.java:314-322)
-            opts["query"] = f"SELECT {', '.join(columns)} FROM {table}"
-        else:
-            opts["dbtable"] = table
+        opts["dbtable"] = payload[0]
     else:
         opts["query"] = payload
     # partitioned scan when the spec names a partition column
@@ -50,7 +53,13 @@ def jdbc_read_options(source: SourceSpec, job: CopyJob) -> dict[str, str]:
 
 
 def jdbc_reader(spark: SparkSession, source: SourceSpec, job: CopyJob) -> DataFrame:
-    return spark.read.format("jdbc").options(**jdbc_read_options(source, job)).load()
+    df = spark.read.format("jdbc").options(**jdbc_read_options(source, job)).load()
+    mode, payload = job.select_source()
+    if mode == "table" and payload[1]:
+        # column pruning: compiled into the source-side SELECT by the JDBC
+        # relation (visible as a narrowed ReadSchema), dialect-quoted
+        df = df.select(*payload[1])
+    return df
 
 
 def jdbc_write_options(source: SourceSpec, table: str, *, locked_mode: bool = True) -> dict[str, str]:

@@ -69,7 +69,9 @@ def test_jdbc_option_builders():
     src = SourceSpec(name="s", format="jdbc", options={"url": "jdbc:postgresql://h/db"})
     job = CopyJob(job_id="j", from_table="t", from_columns=("a", "b"), to_table="t")
     opts = jdbc_read_options(src, job)
-    assert opts["query"] == "SELECT a, b FROM t"  # projection pushed to source
+    # projection is applied Spark-side in jdbc_reader (dialect-quoted pruned
+    # SELECT); the option map stays in table mode
+    assert opts["dbtable"] == "t" and "query" not in opts
     assert opts["fetchsize"] == "10000"  # reference batch.size default
 
     job2 = CopyJob(job_id="j2", from_table="t", to_table="t")
