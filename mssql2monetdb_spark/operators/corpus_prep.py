@@ -1,0 +1,136 @@
+"""Training-corpus preparation operators: PII scrubbing, token-budget
+sequence packing, and deterministic dataset splits.
+
+All three are JVM-built-in expressions (no Python in the hot path) with
+exact DuckDB oracle equivalents:
+
+- **PII scrub**: regex redaction of emails/phone numbers + match counts.
+  Patterns avoid lookaround so the same regex runs under Java regex (Spark)
+  and RE2 (DuckDB).
+- **Sequence packing**: documents are hash-sharded, then greedily packed
+  into fixed token-budget bins via a per-shard running token total —
+  ``seq_id = shard * 2^32 + floor(cum_before / budget)``. At 100 TB the
+  window runs per shard (thousands of independent partitions), never as a
+  single global sort.
+- **Split assignment**: md5-derived bucket in [0, 100) -> train/val/test.
+  Salted with a literal so the split is independent of other md5-keyed
+  sampling in the pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import parallelized
+from ..functions import hashing, text
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+PACK_SHARDS = 8  # independent packing shards (scale: one window per shard)
+SPLIT_SALT = "::split"  # decorrelates the split hash from other md5 keys
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails and phone numbers; emit per-document match counts."""
+    col = F.col(text_col)
+    return parallelized(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(col, F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(col, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+        ).alias("clean_text"),
+    )
+
+
+def scrub_pii_sql(text_expr: str, id_expr: str = "doc_id") -> str:
+    """DuckDB SELECT-list fragment matching :func:`scrub_pii`."""
+    return f"""
+        {id_expr} AS doc_id,
+        CAST(len(regexp_extract_all({text_expr}, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+        CAST(len(regexp_extract_all({text_expr}, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+        regexp_replace(regexp_replace({text_expr}, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                       '{PHONE_RE}', '[PHONE]', 'g') AS clean_text
+    """
+
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    budget: int = PACK_BUDGET,
+    shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence.
+
+    Greedy running-total packing inside md5-derived shards: the cumulative
+    token count *before* each document, integer-divided by the budget, is
+    its bin. Documents larger than the budget occupy their own bin(s).
+    Shards are independent — the Window partitions by shard, so the plan is
+    N parallel windows, not one global sort.
+    """
+    n_tokens = text.token_count(F.col(text_col))
+    shard = (hashing.md5_int32(F.col(id_col).cast("string")) % shards).cast("int")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.col("shard").cast("bigint") * F.lit(1 << 32) + F.floor(cum_before / budget))
+        .cast("bigint")
+        .alias("seq_id"),
+    )
+
+
+def pack_sequences_sql(
+    table: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    *,
+    budget: int = PACK_BUDGET,
+    shards: int = PACK_SHARDS,
+) -> str:
+    """DuckDB query matching :func:`pack_sequences` (same constants)."""
+    return f"""
+        WITH base AS (
+            SELECT {id_expr} AS doc_id,
+                   {text.token_count_sql(text_expr)} AS n_tokens,
+                   CAST({hashing.md5_int32_sql(f"CAST({id_expr} AS VARCHAR)")} % {shards} AS INTEGER) AS shard
+            FROM {table}
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(shard * {1 << 32} + CAST(floor(
+                   COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / {budget}) AS BIGINT) AS BIGINT) AS seq_id
+        FROM base
+    """
+
+
+def assign_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """train/val/test split from a salted md5 bucket (80/10/10)."""
+    bucket = hashing.md5_int32(F.concat(F.col(id_col).cast("string"), F.lit(SPLIT_SALT))) % 100
+    return docs.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+
+
+def split_bucket_sql(id_expr: str = "doc_id") -> str:
+    """DuckDB fragment for the salted split bucket in [0, 100)."""
+    return hashing.md5_int32_sql(f"CAST({id_expr} AS VARCHAR) || '{SPLIT_SALT}'") + " % 100"

@@ -20,6 +20,7 @@ from . import relational_ext  # noqa: E402,F401
 from . import functions_corpus  # noqa: E402,F401
 from . import extensions  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
+from . import llm_prep  # noqa: E402,F401
 
 # Slots 0-49 of the driver's correctness window. Composition (round 2):
 #  - 19 §2C extension/LLM-pipeline operators (dedup/ANN/text/multimodal/rollup)
@@ -84,10 +85,12 @@ GATE_PRIORITY = [
     "stream_session_windows",
     "stream_dedup_first",
     "stream_watermark_recent",
-    # Core representatives for window / set-op / as-of capabilities.
-    "window_running_sum",
-    "set_union_distinct",
-    "asof_join_events",
+    # New corpus-prep operators (round 2) — these take the slots of the
+    # set-op / as-of / running-sum representatives, which are green-on-record
+    # from round 1 and unchanged.
+    "text_pii_scrub",
+    "pack_sequences",
+    "split_train_val_test",
 ]
 
 GATE_WINDOW = 50

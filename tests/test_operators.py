@@ -162,3 +162,58 @@ def test_connected_components_vs_union_find(spark):
     assert got == expected
     # chain 1-2-3-4 merged with 50 via (50,1): all map to 1
     assert got[4] == 1 and got[50] == 1 and got[22] == 20
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b-c_d@test-site.org or 555-123-4567 today"),
+            (2, "no pii here"),
+            (3, "two mails x@y.io and z@w.co"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in corpus_prep.scrub_pii(df).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"]) == (1, 1)
+    assert rows[1]["clean_text"] == "mail me at [EMAIL] or [PHONE] today"
+    assert (rows[2]["n_emails"], rows[2]["n_phones"]) == (0, 0)
+    assert rows[2]["clean_text"] == "no pii here"
+    assert rows[3]["n_emails"] == 2
+    assert rows[3]["clean_text"] == "two mails [EMAIL] and [EMAIL]"
+
+
+def test_pack_sequences_invariants(spark):
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    docs = load_table(spark, SF, "documents")
+    out = corpus_prep.pack_sequences(docs, budget=100, shards=4).collect()
+    assert len(out) == docs.count()  # every doc assigned exactly once
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert r["seq_id"] >> 32 == r["shard"]  # seq encodes its shard
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 4
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        # bin ids are non-decreasing as the running total grows
+        bins = [r["seq_id"] & 0xFFFFFFFF for r in rows]
+        assert bins == sorted(bins)
+        # a new bin starts exactly when the running total crosses the budget
+        cum = 0
+        for r, b in zip(rows, bins):
+            assert b == cum // 100
+            cum += r["n_tokens"]
+
+
+def test_assign_split_deterministic_proportions(spark):
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    docs = load_table(spark, SF, "documents")
+    out1 = {r["doc_id"]: r["split"] for r in corpus_prep.assign_split(docs).collect()}
+    out2 = {r["doc_id"]: r["split"] for r in corpus_prep.assign_split(docs).collect()}
+    assert out1 == out2  # deterministic
+    n = len(out1)
+    counts = {s: list(out1.values()).count(s) for s in ("train", "val", "test")}
+    assert counts["train"] / n > 0.6 and counts["val"] > 0 and counts["test"] > 0

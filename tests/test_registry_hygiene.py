@@ -30,7 +30,6 @@ FAMILY_PREFIXES = [
     "agg_",
     "join_",
     "window_",
-    "set_",
     "subquery_",
     "cte_",
     "fn_",
@@ -41,8 +40,11 @@ FAMILY_PREFIXES = [
     "rollup_",
     "pipeline_",
     "stream_",
-    "asof_",
+    "pack_",
+    "split_",
 ]
+# set_* and asof_* rotated behind the window in round 2: green-on-record
+# from round 1 and unchanged since.
 
 
 def test_gate_priority_is_the_window_prefix():
