@@ -134,3 +134,50 @@ def assign_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def split_bucket_sql(id_expr: str = "doc_id") -> str:
     """DuckDB fragment for the salted split bucket in [0, 100)."""
     return hashing.md5_int32_sql(f"CAST({id_expr} AS VARCHAR) || '{SPLIT_SALT}'") + " % 100"
+
+
+def domain_mixture(docs: DataFrame, source_col: str = "source") -> DataFrame:
+    """Per-domain sampling weights toward a uniform target mixture.
+
+    ``share = n_domain / n_total``; ``weight = (1 / n_domains) / share`` — the
+    resampling factor that flattens the corpus mixture. The corpus stats are
+    one aggregate row broadcast onto a domain-sized relation, so cost is a
+    single pass regardless of corpus size.
+    """
+    per_domain = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    totals = per_domain.agg(
+        F.sum("n_docs").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("n_domains"),
+    )
+    share = F.col("n_docs").cast("double") / F.col("n_total")
+    return (
+        per_domain.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            share.alias("share"),
+            ((F.lit(1.0) / F.col("n_domains")) / share).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def domain_mixture_sql(table: str, source_expr: str = "source") -> str:
+    """DuckDB query matching :func:`domain_mixture`."""
+    return f"""
+        WITH per_domain AS (
+            SELECT {source_expr} AS source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM {table} GROUP BY 1
+        ), totals AS (
+            SELECT CAST(SUM(n_docs) AS DOUBLE) AS n_total,
+                   CAST(COUNT(*) AS DOUBLE) AS n_domains
+            FROM per_domain
+        )
+        SELECT source, n_docs,
+               CAST(n_docs AS DOUBLE) / n_total AS share,
+               (1.0 / n_domains) / (CAST(n_docs AS DOUBLE) / n_total) AS weight
+        FROM per_domain CROSS JOIN totals
+        ORDER BY source
+    """

@@ -1,0 +1,180 @@
+"""Corpus ranking / statistics operators: BM25-style retrieval scoring and
+corpus-level n-gram counting.
+
+Cross-engine determinism: the BM25 variant here uses a *rational* idf,
+``(N - df + 0.5) / (df + 0.5)``, instead of the usual log — log/ln are libm
+calls whose last ulp differs between the JVM and DuckDB, while +,-,*,/ are
+IEEE-exact-rounded and bit-identical in both engines when the expression
+tree is identical. Ranking behavior is preserved (the transform is monotone
+per term); only the score scale differs from textbook BM25. Per-document
+term sums are written as a FIXED-ORDER expression over pivoted tf columns,
+never a float groupBy-sum, so partition order cannot change the result.
+
+At 100 TB: term stats are one explode + two map-side-combined aggregates;
+the per-term document-frequency relation is tiny (vocabulary-sized) and
+broadcasts; nothing pairwise exists anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import parallelized
+from ..functions import text
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _grams(tok, n: int):
+    """Non-distinct word n-grams (counting, unlike text.word_shingles)."""
+    if n == 1:
+        return tok
+    count = F.size(tok) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(tok, i, n), " "),
+    )
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _grams_sql(tok_expr: str, n: int) -> str:
+    if n == 1:
+        return tok_expr
+    return (
+        f"CASE WHEN len({tok_expr}) - {n - 1} >= 1 THEN "
+        f"list_transform(generate_series(1, len({tok_expr}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({tok_expr}, i, i + {n - 1}), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top: int = 20,
+) -> DataFrame:
+    """Top documents for a bag of query terms under rational-idf BM25.
+
+    Plan shape: one explode -> per-(doc, term-of-interest) counts via
+    conditional aggregation (exact ints), corpus stats (N, avgdl, per-term
+    df) reduced to scalars/broadcast rows, then a fixed-order double
+    expression per document. One shuffle on doc_id; the stats join is a
+    broadcast of one row.
+    """
+    tok = text.tokens(F.col(text_col))
+    base = parallelized(docs).select(
+        F.col(id_col).alias("doc_id"), tok.alias("tok"), F.size(tok).alias("dl")
+    )
+    # pivoted per-doc term frequencies: exact ints from one pass.
+    # (closure factory, NOT a default-arg lambda: F.filter treats a 2-arg
+    # lambda as (element, index) and would bind the index to the default)
+    def term_eq(term: str):
+        return lambda w: w == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("tok"), term_eq(t))).alias(f"tf_{i}") for i, t in enumerate(terms)
+    ]
+    per_doc = base.select("doc_id", F.col("dl").cast("double").alias("dl"), *tf_cols)
+    # corpus stats: N, avgdl, df per term — one aggregate row, broadcast
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).cast("double").alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    score = F.lit(0.0)
+    for i in range(len(terms)):  # fixed term order -> deterministic fold
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        score = score + idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    return (
+        joined.select("doc_id", score.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(top)
+    )
+
+
+def bm25_scores_sql(
+    table: str,
+    terms: list[str],
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    *,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top: int = 20,
+) -> str:
+    """DuckDB query matching :func:`bm25_scores` term-for-term."""
+    tok = text.tokens_sql(text_expr)
+    tf_exprs = ", ".join(
+        f"CAST(len(list_filter(tok, w -> w = '{t}')) AS INTEGER) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score = "0.0"
+    for i in range(len(terms)):
+        tf = f"CAST(tf_{i} AS DOUBLE)"
+        idf = f"((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        score = (
+            f"{score} + {idf} * ({tf} * ({k1} + 1.0)) / "
+            f"({tf} + {k1} * (1.0 - {b} + {b} * dl / (sum_dl / n_docs)))"
+        )
+    return f"""
+        WITH base AS (
+            SELECT {id_expr} AS doc_id, {tok} AS tok
+            FROM {table}
+        ), per_doc AS (
+            SELECT doc_id, CAST(len(tok) AS DOUBLE) AS dl, {tf_exprs} FROM base
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl, {df_exprs}
+            FROM per_doc
+        )
+        SELECT doc_id, ({score}) AS bm25
+        FROM per_doc CROSS JOIN stats
+        ORDER BY bm25 DESC, doc_id LIMIT {top}
+    """
+
+
+def ngram_topk(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level top-k n-grams by occurrence count (non-distinct grams).
+
+    One explode + one map-side-combined count; top-k is
+    TakeOrderedAndProject, never a full sort.
+    """
+    tok = text.tokens(F.col(text_col))
+    return (
+        parallelized(docs)
+        .select(F.explode(_grams(tok, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+        .limit(k)
+    )
+
+
+def ngram_topk_sql(table: str, n: int = 2, k: int = 50, text_expr: str = "text") -> str:
+    tok = text.tokens_sql(text_expr)
+    return f"""
+        SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM (SELECT unnest({_grams_sql(tok, n)}) AS ngram FROM {table})
+        GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT {k}
+    """

@@ -252,3 +252,66 @@ def topk_ivf(
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+def quantize_int8(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization summary.
+
+    ``scale = max(|x|) / 127``; ``q_i = floor(x_i / scale + 0.5)`` clamped to
+    [-127, 127]. ``floor(x + 0.5)`` replaces ``round`` deliberately: round's
+    half-tie behavior differs across engines while floor is exact, so the
+    quantized ints are bit-reproducible. Zero vectors quantize to all-zero.
+    Emits scalar diagnostics (not the int array) per the driver's
+    hashability contract: scale, sum/min/max of q, and saturation count.
+
+    At scale this is a narrow per-row transform — no shuffle, no Python.
+    """
+    as_double = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(as_double, F.abs))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        as_double,
+        lambda x: F.when(scale == 0.0, F.lit(0.0))
+        .otherwise(
+            F.greatest(F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / scale + 0.5).cast("double")))
+        )
+        .cast("bigint"),
+    )
+    return parallelized(emb_df).select(
+        F.col(id_col).alias("vec_id"),
+        scale.alias("qscale"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("sum_q"),
+        F.array_min(q).cast("bigint").alias("min_q"),
+        F.array_max(q).cast("bigint").alias("max_q"),
+        F.size(F.filter(q, lambda x: (x == -127) | (x == 127))).alias("n_saturated"),
+    )
+
+
+def quantize_int8_sql(table: str, id_expr: str = "vec_id", emb_expr: str = "embedding") -> str:
+    """DuckDB query matching :func:`quantize_int8`."""
+    as_double = f"list_transform({emb_expr}, x -> CAST(x AS DOUBLE))"
+    return f"""
+        WITH base AS (
+            SELECT {id_expr} AS vec_id,
+                   list_reduce(list_transform({as_double}, x -> abs(x)),
+                               (a, b) -> greatest(a, b)) / 127.0 AS qscale,
+                   {as_double} AS xs
+            FROM {table}
+        ), quant AS (
+            SELECT vec_id, qscale,
+                   list_transform(xs, x -> CASE WHEN qscale = 0.0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(greatest(-127.0, least(127.0, floor(x / qscale + 0.5))) AS BIGINT)
+                   END) AS q
+            FROM base
+        )
+        SELECT vec_id, qscale,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), q), (a, b) -> a + b) AS sum_q,
+               list_reduce(q, (a, b) -> least(a, b)) AS min_q,
+               list_reduce(q, (a, b) -> greatest(a, b)) AS max_q,
+               CAST(len(list_filter(q, x -> x = -127 OR x = 127)) AS INTEGER) AS n_saturated
+        FROM quant
+    """

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
-from ..operators import corpus_prep
+from ..operators import corpus_prep, ranking, similarity
 from .registry import query
 
 
@@ -95,3 +95,50 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+BM25_TERMS = ["spark", "join", "data"]
+
+
+@query(
+    "rank_bm25",
+    oracle=ranking.bm25_scores_sql("documents", BM25_TERMS),
+)
+def rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rational-idf BM25 retrieval over the corpus for a fixed term bag
+    (idf kept rational — no log — so both engines produce identical bits;
+    see operators/ranking.py)."""
+    t = Tables(spark, sf_dir)
+    return ranking.bm25_scores(t.documents, BM25_TERMS)
+
+
+@query(
+    "ngram_topk",
+    oracle=ranking.ngram_topk_sql("documents"),
+)
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 bigrams by occurrence (non-distinct counting —
+    the CCNet-style corpus statistic, one explode + one combined count)."""
+    t = Tables(spark, sf_dir)
+    return ranking.ngram_topk(t.documents)
+
+
+@query(
+    "embed_quantize_int8",
+    oracle=similarity.quantize_int8_sql("embeddings") + " ORDER BY vec_id",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization summary (floor(x/scale + 0.5)
+    instead of round — exact cross-engine, no half-tie ambiguity)."""
+    t = Tables(spark, sf_dir)
+    return similarity.quantize_int8(t.embeddings).orderBy("vec_id")
+
+
+@query(
+    "mix_domain_weights",
+    oracle=corpus_prep.domain_mixture_sql("documents"),
+)
+def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain resampling weights toward a uniform source mixture."""
+    t = Tables(spark, sf_dir)
+    return corpus_prep.domain_mixture(t.documents)
