@@ -83,3 +83,51 @@ def test_no_cartesian_in_theta_join(spark):
 def test_dedup_no_cartesian(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_windows_per_shard(spark):
+    plan = plan_of(spark, "pack_sequences")
+    # the running total must partition by shard (N independent windows),
+    # and the only exchanges are the shard hash + the ORDER BY contract
+    assert "hashpartitioning(shard" in plan
+    window_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert window_lines and all("shard" in l for l in window_lines)
+
+
+def test_bm25_broadcasts_corpus_stats(spark):
+    plan = plan_of(spark, "rank_bm25")
+    # the 1-row stats relation joins via broadcast, and top-k never global-sorts
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ngram_topk_partial_agg_and_take_ordered(spark):
+    plan = plan_of(spark, "ngram_topk")
+    assert plan.count("HashAggregate") >= 2  # map-side combine before shuffle
+    assert "TakeOrderedAndProject" in plan  # top-k, not Sort+Limit
+
+
+def test_quantize_is_narrow(spark):
+    plan = plan_of(spark, "embed_quantize_int8")
+    # per-row transform: nothing but the ORDER BY contract may shuffle
+    assert "rangepartitioning" in plan  # the ORDER BY
+    assert "hashpartitioning" not in plan  # no grouping/join shuffle
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan  # JVM-only
+
+
+def test_split_assignment_is_two_phase_agg(spark):
+    plan = plan_of(spark, "split_train_val_test")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_pii_scrub_stays_jvm_side(spark):
+    plan = plan_of(spark, "text_pii_scrub")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_image_decode_single_pandas_stage(spark):
+    plan = plan_of(spark, "multimodal_image_decode")
+    # one Arrow-batched kernel (tree node + its detail block), no extra Python
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
