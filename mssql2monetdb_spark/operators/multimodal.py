@@ -9,8 +9,9 @@ Decode support without external codecs:
   ``NotImplementedError`` unless ``fake=True``.
 - **Audio**: real decoder for PCM WAV (RIFF header + int16 samples).
   Compressed audio raises unless ``fake=True``.
-- **Video**: every container format needs a real codec — the kernel stays
-  a stub (``fake=True`` slices bytes deterministically).
+- **Video**: real frame sampler for uncompressed Y4M (YUV4MPEG2 — text
+  header + raw planar frames). Compressed containers raise unless
+  ``fake=True``.
 
 ``fake=True`` keeps the deterministic byte-derived kernels for formats the
 container cannot decode, so the Spark-side plumbing — schema, batching,
@@ -188,11 +189,57 @@ def decode_images(media: DataFrame, *, fake: bool = False) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
 
 
+def _parse_y4m(content: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse uncompressed Y4M (YUV4MPEG2): text header, then per-frame
+    ``FRAME...\\n`` markers followed by raw planar YUV bytes.
+
+    Supports C420 (default, 1.5 bytes/px) and C444 (3 bytes/px). Returns
+    (width, height, raw frame payloads).
+    """
+    nl = content.index(0x0A)
+    header = content[:nl].decode("ascii", "strict")
+    fields = header.split(" ")
+    if fields[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = 0
+    colorspace = "C420"
+    for f in fields[1:]:
+        if f.startswith("W"):
+            width = int(f[1:])
+        elif f.startswith("H"):
+            height = int(f[1:])
+        elif f.startswith("C"):
+            colorspace = f
+    if width <= 0 or height <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace.startswith("C420"):
+        frame_size = width * height * 3 // 2
+    elif colorspace == "C444":
+        frame_size = width * height * 3
+    else:
+        raise NotImplementedError(f"Y4M colorspace {colorspace} not supported")
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(content):
+        marker_end = content.index(0x0A, pos)
+        if content[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        pos = marker_end + 1
+        frames.append(content[pos : pos + frame_size])
+        pos += frame_size
+    return width, height, frames
+
+
 def sample_video_frames(media: DataFrame, *, every_n: int = 30, fake: bool = False) -> DataFrame:
-    """Frame-sampling plumbing for video payloads (stubbed decode).
+    """Sample every ``every_n``-th frame from video payloads.
+
+    Real decode (``fake=False``) parses uncompressed Y4M with the
+    pure-Python reader above and emits the raw YUV bytes of each sampled
+    frame; compressed containers need a codec and raise NotImplementedError.
+    ``fake=True`` keeps the deterministic byte-slicing kernel (every_n is a
+    byte stride there).
 
     Output: one row per sampled frame (media_id, frame_idx, frame: binary).
-    The fake kernel slices the payload bytes deterministically.
     """
     schema = StructType(
         [
@@ -208,14 +255,19 @@ def sample_video_frames(media: DataFrame, *, every_n: int = 30, fake: bool = Fal
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "video decode requires a codec library (e.g. PyAV); pass "
-                        "fake=True for the deterministic test kernel"
-                    )
                 content = bytes(content)
-                for i, off in enumerate(range(0, len(content), every_n)):
-                    out.append((media_id, i, content[off : off + every_n]))
+                if fake:
+                    for i, off in enumerate(range(0, len(content), every_n)):
+                        out.append((media_id, i, content[off : off + every_n]))
+                    continue
+                if content[:9] != b"YUV4MPEG2":
+                    raise NotImplementedError(
+                        "only uncompressed Y4M decodes without a codec library; "
+                        "pass fake=True for the deterministic test kernel"
+                    )
+                _, _, frames = _parse_y4m(content)
+                for i, frame in enumerate(frames[::every_n]):
+                    out.append((media_id, i, frame))
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
 
     return media.select("media_id", "content").mapInPandas(kernel, schema)

@@ -133,9 +133,44 @@ def test_frame_sampling_fake(media):
         assert sorted(idxs) == list(range(len(idxs)))  # contiguous frame indices
 
 
-def test_frame_sampling_real_gated(media):
+def test_frame_sampling_unsupported_format_gated(media):
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.sample_video_frames(media.limit(1), fake=False).collect()
+
+
+def _y4m_bytes(width: int, height: int, n_frames: int) -> bytes:
+    """Minimal C420 Y4M writer; frame k is filled with byte value k."""
+    frame_size = width * height * 3 // 2
+    out = f"YUV4MPEG2 W{width} H{height} F30:1 Ip A1:1 C420\n".encode()
+    for k in range(n_frames):
+        out += b"FRAME\n" + bytes([k]) * frame_size
+    return out
+
+
+def test_frame_sampling_real_y4m(spark):
+    content = _y4m_bytes(4, 4, 10)
+    df = spark.createDataFrame([(1, content, "video/x-y4m", None)], multimodal.MEDIA_SCHEMA)
+    rows = multimodal.sample_video_frames(df, every_n=3, fake=False).collect()
+    # frames 0, 3, 6, 9 sampled, re-indexed 0..3
+    assert [(r["frame_idx"], bytes(r["frame"])[0]) for r in sorted(rows, key=lambda r: r["frame_idx"])] == [
+        (0, 0),
+        (1, 3),
+        (2, 6),
+        (3, 9),
+    ]
+    frame_size = 4 * 4 * 3 // 2
+    assert all(len(bytes(r["frame"])) == frame_size for r in rows)
+    assert all(len(set(bytes(r["frame"]))) == 1 for r in rows)  # constant fill survives
+
+
+def test_parse_y4m_c444_and_errors():
+    from mssql2monetdb_spark.operators.multimodal import _parse_y4m
+
+    c444 = b"YUV4MPEG2 W2 H2 C444\n" + b"FRAME\n" + bytes(range(12))
+    w, h, frames = _parse_y4m(c444)
+    assert (w, h) == (2, 2) and frames == [bytes(range(12))]
+    with pytest.raises(ValueError, match="FRAME"):
+        _parse_y4m(b"YUV4MPEG2 W2 H2 C444\n" + b"JUNK!\n" + bytes(12))
 
 
 def test_audio_features_fake(media):
