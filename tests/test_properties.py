@@ -76,3 +76,62 @@ def test_progress_math(total, done):
     assert msg is not None and f"{done}/{total}" in msg
     pct = float(msg.split("(")[1].split("%")[0])
     assert abs(pct - 100.0 * done / total) < 0.051
+
+
+# --- codec-free decoders: write/parse roundtrips on random payloads --------
+
+from mssql2monetdb_spark.operators.multimodal import (  # noqa: E402
+    _decode_ppm,
+    _decode_wav,
+    _parse_y4m,
+)
+
+
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.data(),
+)
+@settings(max_examples=50)
+def test_ppm_roundtrip(w, h, data):
+    pixels = bytes(data.draw(st.binary(min_size=w * h * 3, max_size=w * h * 3)))
+    content = f"P6\n{w} {h}\n255\n".encode() + pixels
+    rw, rh, px = _decode_ppm(content)
+    assert (rw, rh) == (w, h)
+    assert px.tobytes() == pixels
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=50)
+def test_wav_roundtrip_mono(samples, rate):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    decoded, out_rate = _decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert out_rate == rate and len(decoded) == len(samples)
+    assert all(abs(d - s / 32768.0) < 1e-12 for d, s in zip(decoded, samples))
+
+
+@given(
+    st.integers(min_value=1, max_value=8).map(lambda x: x * 2),  # even dims for C420
+    st.integers(min_value=1, max_value=8).map(lambda x: x * 2),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=50)
+def test_y4m_roundtrip(w, h, n_frames):
+    frame_size = w * h * 3 // 2
+    frames = [bytes([k % 256]) * frame_size for k in range(n_frames)]
+    content = f"YUV4MPEG2 W{w} H{h} F25:1 C420\n".encode() + b"".join(
+        b"FRAME\n" + f for f in frames
+    )
+    rw, rh, out = _parse_y4m(content)
+    assert (rw, rh) == (w, h) and out == frames
