@@ -22,6 +22,12 @@ from . import extensions  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 from . import llm_prep  # noqa: E402,F401
 
+# ROTATION PLAN (round 3+): once CORRECTNESS_r02 lands green, swap the
+# bulk of these now-verified entries back out and rotate in whatever still
+# lacks a fresh verdict — at minimum the round-2 additions registered
+# behind the window (rank_bm25, ngram_topk, embed_quantize_int8,
+# mix_domain_weights) plus any query changed that round. Keep ~5 canaries.
+#
 # Slots 0-49 of the driver's correctness window. Composition (round 2):
 #  - 19 §2C extension/LLM-pipeline operators (dedup/ANN/text/multimodal/rollup)
 #  - 15 functions-corpus queries (string/datetime/math/json/array/null/cast)

@@ -174,19 +174,20 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey FROM customer
         WHERE c_custkey NOT IN (
-            SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         )
         ORDER BY c_custkey
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join against a restricted build side so both relations are
-    non-empty at every SF — an unrestricted anti (every customer has an
-    order) returns 0 rows and the verdict would be vacuous."""
+    """Anti join against a restricted build side so BOTH the kept and the
+    excluded customer sets are large at every SF — an unrestricted anti
+    (every customer has an order) returns 0 rows and the verdict would be
+    vacuous; ~14% of customers have no urgent order."""
     t = Tables(spark, sf_dir)
-    big_orders = t.orders.filter(F.col("o_totalprice") > 100000)
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
     return (
-        t.customer.join(big_orders, t.customer.c_custkey == big_orders.o_custkey, "left_anti")
+        t.customer.join(urgent, t.customer.c_custkey == urgent.o_custkey, "left_anti")
         .select("c_custkey")
         .orderBy("c_custkey")
     )

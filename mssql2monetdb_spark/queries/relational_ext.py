@@ -521,25 +521,35 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "subquery_not_in_nulls",
     oracle="""
-        SELECT c_custkey FROM customer
+        SELECT 'with_nulls' AS arm, c_custkey FROM customer
         WHERE c_custkey NOT IN (
             SELECT NULLIF(o_custkey, 3) FROM orders WHERE o_custkey < 50)
-        ORDER BY c_custkey
+        UNION ALL
+        SELECT 'no_nulls' AS arm, c_custkey FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_custkey < 50 AND o_custkey <> 3)
+        ORDER BY arm, c_custkey
     """,
 )
 def subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT IN against a subquery CONTAINING NULLs — three-valued logic makes
-    the whole result empty iff any NULL is present and no match... the ANSI
-    trap both engines must agree on (null-aware anti join in Spark)."""
+    """NOT IN three-valued-logic trap, asserted from both sides: the
+    null-containing arm must be EMPTY (any NULL in the subquery makes NOT IN
+    never-true — a null-naive engine would emit rows here and fail the row
+    count), while the equivalent null-free arm is non-empty, so the green
+    verdict is never vacuous."""
     t = Tables(spark, sf_dir)
     t.customer.createOrReplaceTempView("customer")
     t.orders.createOrReplaceTempView("orders")
     return spark.sql(
         """
-        SELECT c_custkey FROM customer
+        SELECT 'with_nulls' AS arm, c_custkey FROM customer
         WHERE c_custkey NOT IN (
             SELECT NULLIF(o_custkey, 3) FROM orders WHERE o_custkey < 50)
-        ORDER BY c_custkey
+        UNION ALL
+        SELECT 'no_nulls' AS arm, c_custkey FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_custkey < 50 AND o_custkey <> 3)
+        ORDER BY arm, c_custkey
         """
     )
 

@@ -102,6 +102,27 @@ def test_coverage_totals_match_registry():
     )
 
 
+def test_window_oracles_non_vacuous():
+    """Every gate-window oracle must return rows at sf0.01 — a 0-row result
+    makes the green verdict vacuous (the round-1 join_anti lesson). Runs on
+    DuckDB only, so it's cheap enough to gate every commit."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.01/{t}.parquet'")
+    empty = []
+    for name in GATE_PRIORITY:
+        oracle = REGISTRY[name].oracle
+        if oracle is None:
+            continue
+        if con.sql(f"SELECT COUNT(*) FROM ({oracle})").fetchone()[0] == 0:
+            empty.append(name)
+    assert not empty, f"vacuous (0-row) window oracles at sf0.01: {empty}"
+
+
 def test_every_window_query_has_an_oracle():
     """A slot spent on a rows-only query wastes verification budget — keep
     oracle-less queries (if any ever return) behind the window."""
