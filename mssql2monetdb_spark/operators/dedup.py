@@ -44,8 +44,15 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def shingle_rows(docs: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
-    """(id, h32, h64) — one row per distinct shingle per document.
+def shingle_rows(
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int, *, distinct: bool = True
+) -> DataFrame:
+    """(id, h32, h64) — one row per (distinct) shingle per document.
+
+    ``distinct=False`` skips the dedup shuffle for consumers whose
+    aggregates are duplicate-insensitive (MIN) or dedup inside the
+    aggregation (collect_set) — the window exchange already partitions by
+    id, so such consumers pay exactly ONE shuffle of the exploded tokens.
 
     Explode tokens FIRST, then build n-grams with window ``lead`` and hash
     with scalar md5 — every step after the single tokenize+explode is
@@ -75,11 +82,12 @@ def shingle_rows(docs: DataFrame, text_col: str, id_col: str, shingle_n: int) ->
             "id", F.concat_ws(" ", *[F.col(f"w{k}") for k in range(shingle_n)]).alias("sh_str")
         )
     m = F.md5(F.col("sh_str"))  # WSCG eliminates the common md5 subexpression
-    return rows.select(
+    out = rows.select(
         "id",
         F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("h32"),
         F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint").alias("h64"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, shingle_n: int = 3) -> DataFrame:
@@ -91,15 +99,18 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     return _signatures_from_rows(shingle_rows(docs, text_col, id_col, shingle_n))
 
 
-def _signatures_from_rows(rows: DataFrame) -> DataFrame:
-    sig_cols = [
+def _sig_agg_cols() -> list:
+    return [
         F.min(
             (F.lit(hashing.MINHASH_A[i]) * F.col("h32") + F.lit(hashing.MINHASH_B[i]))
             % F.lit(hashing.MINHASH_PRIME)
         ).alias(f"mh{i}")
         for i in range(hashing.MINHASH_K)
     ]
-    return rows.groupBy("id").agg(*sig_cols)
+
+
+def _signatures_from_rows(rows: DataFrame) -> DataFrame:
+    return rows.groupBy("id").agg(*_sig_agg_cols())
 
 
 def lsh_bands(sigs: DataFrame) -> DataFrame:
@@ -133,13 +144,26 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verification.
 
-    Pipeline: shingle -> minhash (k=16) -> band (4x4) -> bucket join ->
-    distinct candidate pairs -> exact Jaccard -> threshold. Returns
-    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    Pipeline: shingle -> ONE fused per-doc aggregation (16 MIN signature
+    columns + the distinct-shingle set via collect_set) -> band (4x4) ->
+    bucket join -> distinct candidate pairs -> exact Jaccard -> threshold.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    The fused aggregation replaces the round-1 shape (distinct shuffle +
+    two separate groupBys over a cached shingle relation): MIN is
+    duplicate-insensitive and collect_set dedups inside the agg, and the
+    shingle window already hash-partitions by id, so the whole signature+set
+    phase costs exactly one shuffle of the exploded tokens and caches one
+    doc-sized relation (measured ~20% faster at sf0.1).
     """
-    rows = shingle_rows(docs, text_col, id_col, shingle_n).cache()
-    sigs = _signatures_from_rows(rows)
-    bands = lsh_bands(sigs)
+    rows = shingle_rows(docs, text_col, id_col, shingle_n, distinct=False)
+    per_doc = (
+        rows.groupBy("id")
+        .agg(*_sig_agg_cols(), F.sort_array(F.collect_set("h64")).alias("hs"))
+        .withColumn("sz", F.size("hs"))
+        .cache()
+    )
+    bands = lsh_bands(per_doc.select("id", *[f"mh{i}" for i in range(hashing.MINHASH_K)]))
     left = bands.select(F.col("id").alias("doc_a"), "band", "bkey")
     right = bands.select(F.col("id").alias("doc_b"), "band", "bkey")
     candidates = (
@@ -148,16 +172,11 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verify: per-pair set intersection on collected (sorted) hash arrays —
-    # two candidate-keyed joins + a scalar HOF per pair, instead of
-    # re-exploding the whole corpus through two shuffle joins. Candidate
+    # verify: per-pair set intersection on the collected (sorted) hash
+    # arrays — two candidate-keyed joins + a scalar HOF per pair. Candidate
     # count, not corpus size, drives the cost; arrays are per-doc (bounded).
-    sets = rows.groupBy("id").agg(
-        F.sort_array(F.collect_list("h64")).alias("hs"),
-        F.count(F.lit(1)).alias("sz"),
-    )
-    sa = sets.select(F.col("id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a"))
-    sb = sets.select(F.col("id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b"))
+    sa = per_doc.select(F.col("id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a"))
+    sb = per_doc.select(F.col("id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     return (
         candidates.join(sa, "doc_a")
@@ -242,8 +261,18 @@ def ngram_jaccard_pairs(
     computed for candidates only. DF pruning is what keeps the shingle join
     from exploding on hot n-grams at scale — hot shingles carry no signal.
     """
-    rows = shingle_rows(docs, text_col, id_col, ngram_n).cache()
-    exploded = rows.select("id", F.col("h64").alias("sh"))
+    # one fused per-doc aggregation (collect_set dedups in the agg, riding
+    # the shingle window's id-partitioning — no distinct shuffle), cached
+    # doc-sized; the per-shingle relation for DF counts re-explodes the
+    # cached sets instead of re-scanning the corpus
+    rows = shingle_rows(docs, text_col, id_col, ngram_n, distinct=False)
+    sets = (
+        rows.groupBy("id")
+        .agg(F.sort_array(F.collect_set("h64")).alias("hs"))
+        .withColumn("sz", F.size("hs"))
+        .cache()
+    )
+    exploded = sets.select("id", F.explode("hs").alias("sh"))
     rare = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count")).filter(F.col("df_count") <= df_max)
     rare_exploded = exploded.join(rare.select("sh"), "sh")
     la = rare_exploded.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_j"))
@@ -256,10 +285,6 @@ def ngram_jaccard_pairs(
     )
     # exact Jaccard per candidate pair via array_intersect on the full
     # shingle sets (same verification strategy as minhash_lsh_pairs)
-    sets = rows.groupBy("id").agg(
-        F.sort_array(F.collect_list("h64")).alias("hs"),
-        F.count(F.lit(1)).alias("sz"),
-    )
     sa = sets.select(F.col("id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a"))
     sb = sets.select(F.col("id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
