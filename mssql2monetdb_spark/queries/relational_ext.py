@@ -704,3 +704,31 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "agg_approx_quantile",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS exact_median,
+               1 AS within_tolerance
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantile sketch (Greenwald-Khanna). Like
+    agg_approx_count_distinct, the sketch value is algorithm-specific, so
+    the verifiable contract is the invariant: approx_percentile at 1%
+    relative error must land within ±5% of the exact median. Both engines
+    return (exact median, flag=1)."""
+    t = Tables(spark, sf_dir)
+    exact = F.percentile("l_extendedprice", 0.5)
+    approx = F.percentile_approx("l_extendedprice", 0.5, 100)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            exact.alias("exact_median"),
+            approx.between(exact * 0.95, exact * 1.05).cast("int").alias("within_tolerance"),
+        )
+        .orderBy("l_returnflag")
+    )
