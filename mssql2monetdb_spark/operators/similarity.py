@@ -183,24 +183,22 @@ def topk_lsh(
 # IVF (inverted-file) ANN — the other classic scale path besides LSH
 # ---------------------------------------------------------------------------
 
-IVF_K = 8  # coarse cells; centroids are the first K vectors (deterministic
-           # k-means stand-in — a real system would train, the plan shape is
-           # identical: assign via argmin distance, probe matching cells)
+IVF_K = 8  # coarse cells, seeded from the first K vectors
+IVF_REFINE_ITERS = 1  # Lloyd iterations from the seed (k-means-lite)
 
 
-def ivf_assign(emb_df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
-    """Assign every vector to its nearest coarse centroid.
+def _argmin_assign(
+    emb_df: DataFrame, centroids: DataFrame, id_col: str, emb_col: str
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (relational argmin).
 
-    Relational argmin: broadcast the K centroids against the corpus, compute
-    squared L2 via a deterministic left fold, keep rank-1 per vector. One
-    broadcast join + one tiny window — the corpus itself never shuffles by
-    more than the final window on (id).
+    Broadcast the K centroids against the corpus, compute squared L2 via a
+    deterministic left fold, keep rank-1 per vector (ties broken by cid).
+    One broadcast join + one tiny window — the corpus itself never shuffles
+    by more than the final window on (id).
     """
     from pyspark.sql.window import Window
 
-    centroids = emb_df.filter(F.col(id_col) < IVF_K).select(
-        F.col(id_col).alias("cid"), F.col(emb_col).alias("cvec")
-    )
     dist2 = F.reduce(
         F.zip_with(
             F.col(emb_col), F.col("cvec"),
@@ -209,7 +207,7 @@ def ivf_assign(emb_df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedd
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    scored = parallelized(emb_df).crossJoin(F.broadcast(centroids)).select(
+    scored = emb_df.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col), F.col(emb_col), F.col("cid"), dist2.alias("dist2")
     )
     w = Window.partitionBy(id_col).orderBy("dist2", "cid")
@@ -218,6 +216,55 @@ def ivf_assign(emb_df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedd
         .filter(F.col("_rn") == 1)
         .select(F.col(id_col), F.col(emb_col), F.col("cid").alias("cell"))
     )
+
+
+def _recompute_centroids(assigned: DataFrame, emb_col: str) -> DataFrame:
+    """Per-cell mean vectors (one Lloyd step), hash-stable cross-engine.
+
+    Per-dimension means go through DECIMAL(24,8) sums — exact and
+    order-independent, so the refined centroids are bit-identical no matter
+    how partitions combine — then the array is rebuilt in dimension order.
+    Cost: one explode of the assigned corpus + a (K x dims)-sized aggregate.
+    """
+    dims = assigned.select("cell", F.posexplode(F.col(emb_col)).alias("dim", "val"))
+    means = dims.groupBy("cell", "dim").agg(
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(24,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_val")
+    )
+    return means.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+            lambda s: s.mean_val,
+        ).alias("cvec")
+    ).select(F.col("cell").alias("cid"), "cvec")
+
+
+def ivf_assign(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    *,
+    refine_iters: int = IVF_REFINE_ITERS,
+) -> DataFrame:
+    """Assign every vector to its coarse IVF cell.
+
+    Centroids are k-means-lite: seeded deterministically from the first K
+    vectors, then refined with ``refine_iters`` Lloyd iterations (assign ->
+    per-cell decimal-exact mean -> reassign). Each iteration costs one
+    broadcast-argmin pass plus one explode+aggregate; the corpus never
+    shuffles on anything wider than (id).
+    """
+    emb_df = parallelized(emb_df)
+    centroids = emb_df.filter(F.col(id_col) < IVF_K).select(
+        F.col(id_col).cast("int").alias("cid"), F.col(emb_col).alias("cvec")
+    )
+    assigned = _argmin_assign(emb_df, centroids, id_col, emb_col)
+    for _ in range(refine_iters):
+        centroids = _recompute_centroids(assigned, emb_col)
+        assigned = _argmin_assign(emb_df, centroids, id_col, emb_col)
+    return assigned
 
 
 def topk_ivf(

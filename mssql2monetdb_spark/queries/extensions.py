@@ -461,9 +461,30 @@ def _ivf_oracle() -> str:
     )
     cos = vectors.cosine_sql("cd.q_emb", "cd.c_emb")
     ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    # mirrors similarity.ivf_assign with one Lloyd refinement: argmin over
+    # the deterministic seed, decimal-exact per-dimension means (bit-stable
+    # regardless of aggregation order), then a second argmin
     return f"""
-    WITH centroids AS (
-        SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {similarity.IVF_K}
+    WITH seed AS (
+        SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < {similarity.IVF_K}
+    ), scored0 AS (
+        SELECT e.vec_id, e.embedding, c.cid, {dist2} AS dist2
+        FROM embeddings e CROSS JOIN seed c
+    ), a0 AS (
+        SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+            FROM scored0
+        ) WHERE rn = 1
+    ), dims AS (
+        SELECT cell, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+        FROM a0, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ), centroids AS (
+        SELECT cell AS cid, list(mean_val ORDER BY dim) AS cvec FROM (
+            SELECT cell, dim,
+                   CAST(SUM(CAST(val AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*) AS mean_val
+            FROM dims GROUP BY cell, dim
+        ) GROUP BY cell
     ), scored AS (
         SELECT e.vec_id, e.embedding, c.cid, {dist2} AS dist2
         FROM embeddings e CROSS JOIN centroids c
