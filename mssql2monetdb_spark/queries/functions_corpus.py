@@ -459,3 +459,50 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").try_cast("bigint").alias("seg_num"),
         F.col("c_custkey").cast("string").try_cast("bigint").alias("roundtrip"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "fn_levenshtein",
+    oracle="""
+        SELECT p_partkey,
+               CAST(levenshtein(p_brand, p_type) AS INTEGER) AS brand_type_dist,
+               CAST(levenshtein(lower(substring(p_name, 1, 12)), lower(p_type)) AS INTEGER) AS name_type_dist,
+               CAST(levenshtein(p_name, p_name) AS INTEGER) AS self_dist
+        FROM part ORDER BY p_partkey
+    """,
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance (the fuzzy-matching primitive for near-dup short
+    strings); self-distance pins the zero case."""
+    t = Tables(spark, sf_dir)
+    p = t.part
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").cast("int").alias("brand_type_dist"),
+        F.levenshtein(F.lower(F.substring("p_name", 1, 12)), F.lower(F.col("p_type"))).cast("int").alias("name_type_dist"),
+        F.levenshtein("p_name", "p_name").cast("int").alias("self_dist"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "fn_format",
+    oracle="""
+        SELECT o_orderkey,
+               printf('%08d', o_orderkey) AS key_padded,
+               printf('%s/%s', o_orderstatus, o_orderpriority) AS status_pri,
+               printf('%.2f', ROUND(CAST(CAST(o_totalprice AS DECIMAL(24,8)) AS DOUBLE), 2)) AS price_str
+        FROM orders ORDER BY o_orderkey
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting; the float is routed through an exact DECIMAL
+    round first so the rendered string is identical cross-engine."""
+    t = Tables(spark, sf_dir)
+    o = t.orders
+    price = F.round(F.col("o_totalprice").cast("decimal(24,8)").cast("double"), 2)
+    return o.select(
+        "o_orderkey",
+        F.format_string("%08d", F.col("o_orderkey")).alias("key_padded"),
+        F.format_string("%s/%s", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_pri"),
+        F.format_string("%.2f", price).alias("price_str"),
+    ).orderBy("o_orderkey")
