@@ -101,6 +101,9 @@ class CopyJob:
     sort_by: tuple[str, ...] | None = None
     # hive-style partition directories -> partition pruning on these cols
     partition_by: tuple[str, ...] | None = None
+    # multi-column Morton clustering (numeric cols): data skipping on EVERY
+    # listed column, not just the leading sort key
+    zorder_by: tuple[str, ...] | None = None
 
     def select_source(self) -> tuple[str, object]:
         """(mode, payload): from-name wins over from-query
@@ -190,7 +193,13 @@ def load_spec(spec: dict | str, env: dict[str, str] | None = None) -> JobSpec:
             incremental=bool(j.get("incremental", False)),
             sort_by=tuple(j["sort_by"]) if j.get("sort_by") else None,
             partition_by=tuple(j["partition_by"]) if j.get("partition_by") else None,
+            zorder_by=tuple(j["zorder_by"]) if j.get("zorder_by") else None,
         )
+        if jobs[job_id].sort_by and jobs[job_id].zorder_by:
+            raise SpecError(
+                f"table {job_id!r}: sort_by and zorder_by are mutually exclusive "
+                "(both control within-file clustering)"
+            )
     if not jobs:
         raise SpecError("spec defines no tables")
 

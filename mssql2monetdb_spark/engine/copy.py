@@ -101,6 +101,31 @@ class CopyEngine:
         df = read_source(self.spark, src, job)
         return normalized_dataframe(df, auto_trim=job.auto_trim)
 
+    def _zorder_cluster(self, df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+        """Morton-cluster the load on ``cols`` (numeric) before writing.
+
+        Bounds come from one MIN/MAX probe over the extracted frame — the
+        same cheap probe shape as the watermark trigger; file count follows
+        the upstream partitioning.
+        """
+        from pyspark.sql import functions as F
+
+        from .zorder import ZCol, cluster_by_zorder
+
+        aggs = []
+        for c in cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"hi_{c}")]
+        stats = df.agg(*aggs).collect()[0]
+        specs = []
+        for c in cols:
+            lo, hi = stats[f"lo_{c}"], stats[f"hi_{c}"]
+            if lo is None or hi is None:
+                raise ValueError(f"zorder_by column {c!r} is non-numeric or all-NULL")
+            specs.append(ZCol(c, lo, hi))
+        num_files = max(1, df.rdd.getNumPartitions())
+        return cluster_by_zorder(df, specs, num_files=num_files)
+
     def count_source(self, job: CopyJob, df: DataFrame) -> int:
         """Pre-scan count (op #4, ``CopyTool.java:643-649``): the declared
         ``count_query`` (evaluated natively — reference ships it to the
@@ -208,6 +233,8 @@ class CopyEngine:
                     self.catalog.version_dir(job.schema_name, current)
                 ).schema
                 df = evolve_to_union(df, published_schema)
+            if job.zorder_by:
+                df = self._zorder_cluster(df, job.zorder_by)
             target = job.to_table if job.use_fast_view_switching else f"tmp_{job.to_table}"
             physical = self.catalog.write_version(
                 df, job.schema_name, target, load_date,

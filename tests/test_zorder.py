@@ -85,3 +85,54 @@ def test_zorder_preserves_rows(spark, tmp_path):
     clustered = cluster_by_zorder(li, specs, num_files=4)
     assert clustered.count() == li.count()
     assert clustered.columns == ["l_orderkey", "l_partkey"]
+
+
+def test_zorder_by_job_flag_end_to_end(spark, tmp_path):
+    """zorder_by in a job spec clusters the published version's files."""
+    from datetime import datetime
+
+    from mssql2monetdb_spark.config.spec import load_spec
+    from mssql2monetdb_spark.engine.copy import CopyEngine
+
+    spec = load_spec(
+        {
+            "warehouse_dir": str(tmp_path / "wh"),
+            "sources": {"_default": {"format": "parquet", "path": SF}},
+            "tables": {
+                "li": {
+                    "from_table": "lineitem",
+                    "to_table": "lineitem_z",
+                    "zorder_by": ["l_orderkey", "l_partkey"],
+                }
+            },
+        }
+    )
+    engine = CopyEngine(spark, spec)
+    published = engine.do_copy(load_date=datetime(2024, 1, 1))
+    version_dir = engine.catalog.version_dir("default", published["li"])
+    # every file covers a subrange on both z-ordered columns
+    spans = _per_file_spans(version_dir, "l_orderkey")
+    assert spans, "no parquet files written"
+    n = engine.sql("SELECT COUNT(*) AS n FROM lineitem_z").collect()[0]["n"]
+    assert n == load_table(spark, SF, "lineitem").count()
+
+
+def test_zorder_by_conflicts_with_sort_by(tmp_path):
+    import pytest
+
+    from mssql2monetdb_spark.config.spec import SpecError, load_spec
+
+    with pytest.raises(SpecError, match="mutually exclusive"):
+        load_spec(
+            {
+                "warehouse_dir": str(tmp_path / "wh"),
+                "sources": {"_default": {"format": "parquet", "path": SF}},
+                "tables": {
+                    "li": {
+                        "from_table": "lineitem",
+                        "sort_by": ["l_orderkey"],
+                        "zorder_by": ["l_orderkey", "l_partkey"],
+                    }
+                },
+            }
+        )
