@@ -181,3 +181,83 @@ def domain_mixture_sql(table: str, source_expr: str = "source") -> str:
         FROM per_domain CROSS JOIN totals
         ORDER BY source
     """
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    *,
+    default_rate: float = 1.0,
+    salt: str = "::stratum",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (domain rebalancing execution).
+
+    A row survives iff its salted md5 bucket (0..9999) falls under its
+    stratum's rate — reproducible across runs/engines, no rand(). The rates
+    relation is a literal map compiled into a CASE expression, so the plan
+    is scan -> filter with zero joins.
+    """
+    bucket = hashing.md5_int32(F.concat(F.col(id_col).cast("string"), F.lit(salt))) % 10000
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return docs.filter(bucket < rate * 10000)
+
+
+def sample_stratified_sql(
+    table: str,
+    rates: dict[str, float],
+    source_expr: str = "source",
+    id_expr: str = "doc_id",
+    *,
+    default_rate: float = 1.0,
+    salt: str = "::stratum",
+) -> str:
+    bucket = hashing.md5_int32_sql(f"CAST({id_expr} AS VARCHAR) || '{salt}'") + " % 10000"
+    rate = str(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = f"CASE WHEN {source_expr} = '{stratum}' THEN {float(r)} ELSE {rate} END"
+    return f"SELECT * FROM {table} WHERE {bucket} < ({rate}) * 10000"
+
+
+def contaminated_test_docs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Train/test contamination: test-split documents whose exact content
+    hash also appears in the train split.
+
+    Composition of the split assignment and exact-dedup keys: one md5
+    projection + one semi join on the hash — at 100 TB both sides shuffle
+    only (hash, id) pairs. (Near-dup contamination = swap the md5 key for
+    the MinHash band keys; same join shape.)
+    """
+    hashed = assign_split(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+        "split",
+    )
+    train = hashed.filter(F.col("split") == "train").select("content_hash")
+    test = hashed.filter(F.col("split") == "test")
+    return (
+        test.join(train, "content_hash", "left_semi")
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    )
+
+
+def contaminated_test_docs_sql(table: str, text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    bucket = split_bucket_sql(id_expr)
+    return f"""
+        WITH hashed AS (
+            SELECT {id_expr} AS doc_id, md5({text_expr}) AS content_hash,
+                   CASE WHEN {bucket} < 80 THEN 'train'
+                        WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
+            FROM {table}
+        )
+        SELECT doc_id, content_hash FROM hashed
+        WHERE split = 'test'
+          AND content_hash IN (SELECT content_hash FROM hashed WHERE split = 'train')
+        ORDER BY doc_id
+    """

@@ -120,3 +120,53 @@ def fingerprint_sql(text_expr: str) -> str:
         f"list_reduce(list_concat([CAST(0 AS BIGINT)], {hashes}), "
         f"(acc, h) -> (acc * {FINGERPRINT_MUL} + h) % {FINGERPRINT_MOD})"
     )
+
+
+def repetition_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, ngram_n: int = 2) -> DataFrame:
+    """Intra-document repetition: share of the text's n-grams taken by its
+    single most frequent n-gram (the boilerplate/spam signal used by corpus
+    quality filters).
+
+    One explode + (doc, gram) count + per-doc max/sum — all map-side
+    combinable aggregates; nothing pairwise.
+    """
+    tok = text.tokens(F.col(text_col))
+    count = F.size(tok) - (ngram_n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(tok, i, ngram_n), " "),
+    )
+    safe = F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        parallelized(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(safe).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.max("c").cast("int").alias("top_ngram_count"),
+        F.sum("c").cast("bigint").alias("n_ngrams"),
+        (F.max("c").cast("double") / F.sum("c")).alias("repetition_ratio"),
+    )
+
+
+def repetition_score_sql(table: str, text_expr: str = "text", id_expr: str = "doc_id", *, ngram_n: int = 2) -> str:
+    tok = text.tokens_sql(text_expr)
+    grams = (
+        f"CASE WHEN len({tok}) - {ngram_n - 1} >= 1 THEN "
+        f"list_transform(generate_series(1, len({tok}) - {ngram_n - 1}), "
+        f"i -> array_to_string(list_slice({tok}, i, i + {ngram_n - 1}), ' ')) "
+        f"ELSE [] END"
+    )
+    return f"""
+        WITH per_gram AS (
+            SELECT doc_id, g, COUNT(*) AS c FROM (
+                SELECT {id_expr} AS doc_id, unnest({grams}) AS g FROM {table}
+            ) GROUP BY doc_id, g
+        )
+        SELECT doc_id,
+               CAST(MAX(c) AS INTEGER) AS top_ngram_count,
+               CAST(SUM(c) AS BIGINT) AS n_ngrams,
+               CAST(MAX(c) AS DOUBLE) / SUM(c) AS repetition_ratio
+        FROM per_gram GROUP BY doc_id
+    """

@@ -26,7 +26,8 @@ from . import llm_prep  # noqa: E402,F401
 # bulk of these now-verified entries back out and rotate in whatever still
 # lacks a fresh verdict — at minimum the round-2 additions registered
 # behind the window (rank_bm25, ngram_topk, embed_quantize_int8,
-# mix_domain_weights) plus any query changed that round. Keep ~5 canaries.
+# mix_domain_weights, sample_stratified, decontaminate_test_split,
+# fn_string2) plus any query changed that round. Keep ~5 canaries.
 #
 # Slots 0-49 of the driver's correctness window. Composition (round 2):
 #  - 19 §2C extension/LLM-pipeline operators (dedup/ANN/text/multimodal/rollup)
@@ -53,7 +54,6 @@ GATE_PRIORITY = [
     "agg_histogram_bins",
     # Functions corpus.
     "fn_string",
-    "fn_string2",
     "fn_datetime",
     "fn_datetime2",
     "fn_math",
@@ -81,6 +81,7 @@ GATE_PRIORITY = [
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
+    "text_repetition",
     "multimodal_binary_meta",
     "multimodal_image_decode",
     "rollup_time_buckets",

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
-from ..operators import corpus_prep, ranking, similarity
+from ..operators import corpus_prep, ranking, similarity, textstats
 from .registry import query
 
 
@@ -142,3 +142,60 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain resampling weights toward a uniform source mixture."""
     t = Tables(spark, sf_dir)
     return corpus_prep.domain_mixture(t.documents)
+
+
+# strata named after the fixture's actual source values (src0..src19) so
+# the downsampling genuinely drops rows — rates over absent strata would
+# fall through to the default and make the verdict vacuous
+STRATIFIED_RATES = {"src0": 0.5, "src1": 0.25, "src2": 0.1, "src3": 0.0}
+
+
+@query(
+    "sample_stratified",
+    oracle=corpus_prep.sample_stratified_sql(
+        "(SELECT doc_id, source FROM documents)", STRATIFIED_RATES
+    )
+    + " ORDER BY doc_id",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling by salted hash bucket —
+    the execution half of domain reweighting (mix_domain_weights computes
+    the targets; this applies them without rand())."""
+    t = Tables(spark, sf_dir)
+    return corpus_prep.sample_stratified(
+        t.documents.select("doc_id", "source"), STRATIFIED_RATES
+    ).orderBy("doc_id")
+
+
+@query(
+    "decontaminate_test_split",
+    oracle=corpus_prep.contaminated_test_docs_sql(
+        """(SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)"""
+    ),
+)
+def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: exact-hash semi join between the
+    test and train splits. The fixture has no natural exact duplicates, so
+    the corpus is seeded with deterministic clones (every 5th doc, shifted
+    id) — the clone's split hash differs from its original's, so some
+    clones land in test with their twin in train and the verdict is
+    non-vacuous."""
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    clones = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return corpus_prep.contaminated_test_docs(base.unionAll(clones))
+
+
+@query(
+    "text_repetition",
+    oracle=textstats.repetition_score_sql("documents") + " ORDER BY doc_id",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio (top bigram share) — the
+    boilerplate/spam quality signal."""
+    t = Tables(spark, sf_dir)
+    return textstats.repetition_score(t.documents).orderBy("doc_id")
