@@ -261,3 +261,77 @@ def contaminated_test_docs_sql(table: str, text_expr: str = "text", id_expr: str
           AND content_hash IN (SELECT content_hash FROM hashed WHERE split = 'train')
         ORDER BY doc_id
     """
+
+
+def filter_length_outliers(
+    docs: DataFrame,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents whose token length lies inside the corpus
+    [lo_pct, hi_pct] percentile band (length-outlier trimming).
+
+    Percentiles are computed over the LENGTH HISTOGRAM, not the corpus: the
+    per-length counts aggregate map-side to a distinct-lengths-sized
+    relation, the cumulative window runs on that tiny relation (the one
+    global window, documented reporting-shape), and the kept-lengths set
+    broadcasts back for a semi join. No global sort of the corpus, no
+    percentile interpolation — the band test is all-integer
+    (100*cum_le > lo*total AND 100*cum_lt < hi*total), so Spark and DuckDB
+    agree exactly even at tie-heavy boundaries.
+    """
+    tok_len = F.size(text.tokens(F.col(text_col)))
+    lens = parallelized(docs).select(
+        F.col(id_col).alias("doc_id"), tok_len.cast("int").alias("n_tokens")
+    )
+    hist = lens.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "n_tokens",
+        F.sum("c").over(w).alias("cum_le"),
+        (F.sum("c").over(w) - F.col("c")).alias("cum_lt"),
+    )
+    total = hist.agg(F.sum("c").alias("total"))
+    kept = (
+        cum.crossJoin(F.broadcast(total))
+        .filter(
+            (100 * F.col("cum_le") > lo_pct * F.col("total"))
+            & (100 * F.col("cum_lt") < hi_pct * F.col("total"))
+        )
+        .select("n_tokens")
+    )
+    return lens.join(F.broadcast(kept), "n_tokens", "left_semi").select(
+        "doc_id", "n_tokens"
+    )
+
+
+def filter_length_outliers_sql(
+    table: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    tok = text.tokens_sql(text_expr)
+    return f"""
+        WITH lens AS (
+            SELECT {id_expr} AS doc_id, CAST(len({tok}) AS INTEGER) AS n_tokens
+            FROM {table}
+        ),
+        hist AS (SELECT n_tokens, COUNT(*) AS c FROM lens GROUP BY n_tokens),
+        cum AS (
+            SELECT n_tokens,
+                   SUM(c) OVER (ORDER BY n_tokens) AS cum_le,
+                   SUM(c) OVER (ORDER BY n_tokens) - c AS cum_lt
+            FROM hist
+        ),
+        total AS (SELECT SUM(c) AS total FROM hist),
+        kept AS (
+            SELECT n_tokens FROM cum CROSS JOIN total
+            WHERE 100 * cum_le > {lo_pct} * total AND 100 * cum_lt < {hi_pct} * total
+        )
+        SELECT doc_id, n_tokens FROM lens
+        WHERE n_tokens IN (SELECT n_tokens FROM kept)
+    """

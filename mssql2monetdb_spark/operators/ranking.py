@@ -178,3 +178,63 @@ def ngram_topk_sql(table: str, n: int = 2, k: int = 50, text_expr: str = "text")
         FROM (SELECT unnest({_grams_sql(tok, n)}) AS ngram FROM {table})
         GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT {k}
     """
+
+
+def oov_rate(
+    docs: DataFrame,
+    k: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-k vocabulary
+    (the tokenizer-coverage signal used to spot mis-languaged or garbage docs).
+
+    Two scans of the corpus: one to build the vocabulary (explode + map-side
+    count + TakeOrderedAndProject top-k — never a full sort), one to score
+    documents against it. The vocabulary is k rows and broadcasts, so the
+    scoring pass is scan -> broadcast-join -> per-doc agg with zero wide
+    shuffles. Ties at the vocabulary boundary break by token ASC in both
+    engines, and oov_ratio divides the same bigint operands, so the double
+    is bit-identical cross-engine.
+    """
+    tok = text.tokens(F.col(text_col))
+    toks = parallelized(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(tok).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(k)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn("oov_ratio", F.col("n_oov").cast("double") / F.col("n_tokens"))
+    )
+
+
+def oov_rate_sql(table: str, k: int = 30, text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    tok = text.tokens_sql(text_expr)
+    return f"""
+        WITH toks AS (
+            SELECT {id_expr} AS doc_id, unnest({tok}) AS tok FROM {table}
+        ),
+        vocab AS (
+            SELECT tok FROM toks GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT {k}
+        )
+        SELECT toks.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS oov_ratio
+        FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok
+        GROUP BY toks.doc_id
+    """

@@ -199,3 +199,27 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/spam quality signal."""
     t = Tables(spark, sf_dir)
     return textstats.repetition_score(t.documents).orderBy("doc_id")
+
+
+# k=20 against the fixture's 31 distinct tokens so ~1/3 of token types are
+# genuinely OOV — k=30 would leave a single OOV type and a near-vacuous verdict
+@query(
+    "vocab_oov_rate",
+    oracle=ranking.oov_rate_sql("documents", k=20) + " ORDER BY doc_id",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus top-k vocabulary
+    — tokenizer-coverage signal for spotting mis-languaged/garbage docs."""
+    t = Tables(spark, sf_dir)
+    return ranking.oov_rate(t.documents, k=20).orderBy("doc_id")
+
+
+@query(
+    "filter_length_outliers",
+    oracle=corpus_prep.filter_length_outliers_sql("documents") + " ORDER BY doc_id",
+)
+def filter_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs inside the [p5, p95] token-length band — histogram-based
+    percentile trim with all-integer boundary tests."""
+    t = Tables(spark, sf_dir)
+    return corpus_prep.filter_length_outliers(t.documents).orderBy("doc_id")
