@@ -335,3 +335,78 @@ def filter_length_outliers_sql(
         SELECT doc_id, n_tokens FROM lens
         WHERE n_tokens IN (SELECT n_tokens FROM kept)
     """
+
+
+def ngram_overlap_contamination(
+    docs: DataFrame,
+    n: int = 3,
+    min_overlap_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup train/test contamination via n-gram overlap: for each
+    test-split document, the share of its distinct word n-grams that also
+    appear anywhere in the train split (the standard eval-decontamination
+    method; exact-hash contamination is ``contaminated_test_docs``).
+
+    The train shingle set is corpus-sized, so the probe is a keyed
+    shuffle join on the shingle — never a broadcast — and the per-doc
+    roll-up is a map-side-combinable count. The flag test is all-integer
+    (100*matched >= pct*total), bit-identical cross-engine.
+    """
+    tok = text.tokens(F.col(text_col))
+    sh = assign_split(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        "split",
+        F.explode(text.word_shingles(tok, n)).alias("shingle"),
+    )
+    train = sh.filter(F.col("split") == "train").select("shingle").distinct()
+    test = sh.filter(F.col("split") == "test").select("doc_id", "shingle")
+    per_doc = (
+        test.join(train.withColumn("hit", F.lit(1)), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_matched"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_matched",
+        (100 * F.col("n_matched") >= min_overlap_pct * F.col("n_shingles"))
+        .cast("int")
+        .alias("contaminated"),
+    )
+
+
+def ngram_overlap_contamination_sql(
+    table: str,
+    n: int = 3,
+    min_overlap_pct: int = 50,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    bucket = split_bucket_sql(id_expr)
+    sh_expr = text.word_shingles_sql(text.tokens_sql(text_expr), n)
+    return f"""
+        WITH sh AS (
+            SELECT {id_expr} AS doc_id,
+                   CASE WHEN {bucket} < 80 THEN 'train'
+                        WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split,
+                   unnest({sh_expr}) AS shingle
+            FROM {table}
+        ),
+        train AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+        test AS (SELECT doc_id, shingle FROM sh WHERE split = 'test')
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN tr.shingle IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_matched,
+               CAST(100 * SUM(CASE WHEN tr.shingle IS NULL THEN 0 ELSE 1 END)
+                    >= {min_overlap_pct} * COUNT(*) AS INTEGER) AS contaminated
+        FROM test t LEFT JOIN train tr ON t.shingle = tr.shingle
+        GROUP BY t.doc_id
+    """

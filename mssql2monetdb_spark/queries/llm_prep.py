@@ -223,3 +223,17 @@ def filter_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile trim with all-integer boundary tests."""
     t = Tables(spark, sf_dir)
     return corpus_prep.filter_length_outliers(t.documents).orderBy("doc_id")
+
+
+# trigrams against the 31-token fixture vocabulary: overlaps span 30-100%
+# (avg ~58%), so the 50% threshold splits the test docs non-vacuously both
+# ways; bigrams saturate at 100% and would make the flag constant
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=corpus_prep.ngram_overlap_contamination_sql("documents") + " ORDER BY doc_id",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup contamination: share of each test doc's distinct trigrams
+    that appear anywhere in the train split, flagged at 50% overlap."""
+    t = Tables(spark, sf_dir)
+    return corpus_prep.ngram_overlap_contamination(t.documents).orderBy("doc_id")
