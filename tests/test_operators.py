@@ -217,3 +217,88 @@ def test_assign_split_deterministic_proportions(spark):
     n = len(out1)
     counts = {s: list(out1.values()).count(s) for s in ("train", "val", "test")}
     assert counts["train"] / n > 0.6 and counts["val"] > 0 and counts["test"] > 0
+
+
+# --- round-2 corpus-prep additions ---------------------------------------
+
+
+def test_sample_stratified_rates(spark):
+    from pyspark.sql import functions as F
+
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "source")
+    total = docs.count()
+    # rate 1.0 everywhere keeps every row; rate 0.0 drops the stratum entirely
+    assert corpus_prep.sample_stratified(docs, {}).count() == total
+    zeroed = corpus_prep.sample_stratified(docs, {"src0": 0.0})
+    assert zeroed.filter(F.col("source") == "src0").count() == 0
+    assert zeroed.count() < total
+    # deterministic: identical result on re-run
+    a = sorted(r["doc_id"] for r in corpus_prep.sample_stratified(docs, {"src0": 0.5}).collect())
+    b = sorted(r["doc_id"] for r in corpus_prep.sample_stratified(docs, {"src0": 0.5}).collect())
+    assert a == b
+
+
+def test_filter_length_outliers_band(spark):
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    docs = load_table(spark, SF, "documents")
+    total = docs.count()
+    kept = corpus_prep.filter_length_outliers(docs).count()
+    # trims at most the outer 10% by construction, and trims something
+    # unless every length is inside the band
+    assert 0.85 * total <= kept <= total
+    # degenerate band keeps everything
+    assert corpus_prep.filter_length_outliers(docs, lo_pct=0, hi_pct=100).count() == total
+
+
+def test_oov_rate_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from mssql2monetdb_spark.operators import ranking
+
+    docs = load_table(spark, SF, "documents")
+    scored = ranking.oov_rate(docs, k=10).collect()
+    assert all(0 <= r["n_oov"] <= r["n_tokens"] for r in scored)
+    assert any(r["n_oov"] > 0 for r in scored)  # k=10 < vocab size
+    # a vocabulary larger than the corpus vocabulary has zero OOV
+    full = ranking.oov_rate(docs, k=100000)
+    assert full.agg(F.sum("n_oov")).collect()[0][0] == 0
+
+
+def test_ngram_overlap_flags_planted_clone(spark):
+    from pyspark.sql import functions as F
+
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    # clone every doc with a shifted id: clones landing in the test split
+    # have a 100%-overlap twin in train whenever the twin landed in train
+    clones = docs.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    seeded = docs.unionAll(clones)
+    split = {r["doc_id"]: r["split"] for r in corpus_prep.assign_split(seeded).collect()}
+    expect_full = {
+        d
+        for d in split
+        if d >= 500000 and split[d] == "test" and split.get(d - 500000) == "train"
+    }
+    result = {r["doc_id"]: r for r in corpus_prep.ngram_overlap_contamination(seeded).collect()}
+    assert expect_full  # the planted layout must actually produce such docs
+    for d in expect_full:
+        assert result[d]["contaminated"] == 1
+        assert result[d]["n_matched"] == result[d]["n_shingles"]
+
+
+def test_repetition_score_extremes(spark):
+    from mssql2monetdb_spark.operators import textstats
+
+    rows = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"), (2, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.repetition_score(rows).collect()}
+    # all-identical bigrams -> ratio 1.0; all-distinct bigrams -> 1/n
+    assert out[1]["repetition_ratio"] == 1.0
+    assert out[1]["top_ngram_count"] == 4
+    assert abs(out[2]["repetition_ratio"] - 1.0 / 5.0) < 1e-12
