@@ -410,3 +410,58 @@ def ngram_overlap_contamination_sql(
         FROM test t LEFT JOIN train tr ON t.shingle = tr.shingle
         GROUP BY t.doc_id
     """
+
+
+def pack_sequences_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    budget: int = PACK_BUDGET,
+    shards: int = PACK_SHARDS,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize packed training sequences: the documents of each
+    token-budget bin concatenated in doc_id order (the write-side half of
+    ``pack_sequences``).
+
+    One extra shuffle on seq_id after the per-shard packing window; the
+    collected per-bin array is bounded by the token budget (plus at most
+    one overflowing document), so collect_list never accumulates more than
+    a sequence's worth of text regardless of corpus size.
+    """
+    assigned = pack_sequences(docs, text_col, id_col, budget=budget, shards=shards)
+    with_text = assigned.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")),
+        "doc_id",
+    )
+    parts = F.transform(
+        F.sort_array(F.collect_list(F.struct("doc_id", "t"))), lambda s: s["t"]
+    )
+    return with_text.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.array_join(parts, sep).alias("sequence_text"),
+    )
+
+
+def pack_sequences_text_sql(
+    table: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    *,
+    budget: int = PACK_BUDGET,
+    shards: int = PACK_SHARDS,
+    sep: str = "\n\n",
+) -> str:
+    packed = pack_sequences_sql(table, text_expr, id_expr, budget=budget, shards=shards)
+    return f"""
+        WITH packed AS ({packed})
+        SELECT packed.seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(packed.n_tokens) AS BIGINT) AS n_tokens,
+               string_agg(src.{text_expr}, '{sep}' ORDER BY packed.doc_id)
+                   AS sequence_text
+        FROM packed JOIN {table} src ON packed.doc_id = src.{id_expr}
+        GROUP BY packed.seq_id
+    """

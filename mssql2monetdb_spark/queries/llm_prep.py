@@ -237,3 +237,15 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     that appear anywhere in the train split, flagged at 50% overlap."""
     t = Tables(spark, sf_dir)
     return corpus_prep.ngram_overlap_contamination(t.documents).orderBy("doc_id")
+
+
+@query(
+    "pack_sequences_text",
+    oracle=corpus_prep.pack_sequences_text_sql("documents") + " ORDER BY seq_id",
+)
+def pack_sequences_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training sequences: per-bin doc count, token sum,
+    and the concatenated text in doc_id order — the write-side half of
+    pack_sequences."""
+    t = Tables(spark, sf_dir)
+    return corpus_prep.pack_sequences_text(t.documents).orderBy("seq_id")
