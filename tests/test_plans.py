@@ -131,3 +131,36 @@ def test_image_decode_single_pandas_stage(spark):
     # one Arrow-batched kernel (tree node + its detail block), no extra Python
     assert plan.count("MapInPandas") == 2
     assert "BatchEvalPython" not in plan
+
+
+def test_oov_vocab_is_takeordered_and_broadcast(spark):
+    plan = plan_of(spark, "vocab_oov_rate")
+    # top-k vocabulary must be per-partition top-k + merge, never Sort+Limit,
+    # and the k-row vocabulary must broadcast onto the token relation
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_length_outlier_semi_join_broadcasts(spark):
+    plan = plan_of(spark, "filter_length_outliers")
+    # the kept-lengths set (histogram-sized) broadcasts back as a semi join;
+    # the corpus itself is never globally sorted
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_overlap_join_is_keyed(spark):
+    plan = plan_of(spark, "decontaminate_ngram_overlap")
+    # the shingle probe must be an equi join on the shingle key (broadcast at
+    # tiny SF, shuffle at scale) — never a nested-loop/cartesian pair blowup
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_text_windows_per_shard(spark):
+    plan = plan_of(spark, "pack_sequences_text")
+    # the packing window partitions by shard — a global (empty-partition)
+    # window here would single-thread the whole corpus
+    assert "windowspecdefinition(shard" in plan
+    assert "CartesianProduct" not in plan
