@@ -465,3 +465,33 @@ def pack_sequences_text_sql(
         FROM packed JOIN {table} src ON packed.doc_id = src.{id_expr}
         GROUP BY packed.seq_id
     """
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    files_per_split: int = PACK_SHARDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Export the corpus as training shards: parquet partitioned by split
+    (train/val/test directories), a deterministic number of files per
+    split, rows hash-routed so the layout is reproducible across runs.
+
+    ``repartition(files_per_split, shard)`` routes by the salted md5 shard
+    — not round-robin — so a retried/speculated write produces bit-identical
+    shards. Readers prune on the split directory (partition pruning), and
+    files_per_split is the knob that matches shard count to the training
+    job's data-loader parallelism.
+    """
+    shard = (hashing.md5_int32(F.col(id_col).cast("string")) % files_per_split).cast("int")
+    (
+        assign_split(docs, id_col)
+        .withColumn("shard", shard)
+        .repartition(files_per_split, "shard")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(out_dir)
+    )

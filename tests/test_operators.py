@@ -302,3 +302,40 @@ def test_repetition_score_extremes(spark):
     assert out[1]["repetition_ratio"] == 1.0
     assert out[1]["top_ngram_count"] == 4
     assert abs(out[2]["repetition_ratio"] - 1.0 / 5.0) < 1e-12
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    import os
+
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    corpus_prep.write_training_shards(docs, out, files_per_split=4)
+    # split directories exist and reading back preserves every row exactly
+    splits = sorted(d for d in os.listdir(out) if d.startswith("split="))
+    assert splits == ["split=test", "split=train", "split=val"]
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+    # deterministic layout: a second write produces identical per-split
+    # row-to-file routing (same doc_ids in the same shard files)
+    out2 = str(tmp_path / "shards2")
+    corpus_prep.write_training_shards(docs, out2, files_per_split=4)
+
+    def layout(root):
+        m = {}
+        for split in os.listdir(root):
+            if not split.startswith("split="):
+                continue
+            for f in sorted(os.listdir(os.path.join(root, split))):
+                if f.endswith(".parquet"):
+                    rows = spark.read.parquet(os.path.join(root, split, f))
+                    # part index is stable; the rest of the name is a run UUID
+                    part = f.split("-")[1]
+                    m[(split, part)] = tuple(sorted(r["doc_id"] for r in rows.collect()))
+        return m
+
+    assert layout(out) == layout(out2)
