@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import parallelized
 from ..functions import hashing, text
+from . import textstats
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\d{3}-\d{3}-\d{4}"
@@ -464,6 +465,277 @@ def pack_sequences_text_sql(
                    AS sequence_text
         FROM packed JOIN {table} src ON packed.doc_id = src.{id_expr}
         GROUP BY packed.seq_id
+    """
+
+
+BOILERPLATE_N = 2  # span width (word n-gram) for boilerplate detection
+BOILERPLATE_DF_PCT = 8  # span is boilerplate when present in >= 8% of docs
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    n: int = BOILERPLATE_N,
+    min_df_pct: int = BOILERPLATE_DF_PCT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the C4/RefinedWeb step): word
+    n-gram spans that appear in at least ``min_df_pct`` percent of documents
+    are dropped from every document, and the cleaned text is reassembled in
+    token order.
+
+    Every pairwise step is keyed — positional spans shuffle on the shingle
+    string to meet the document-frequency set (which is corpus-derived, so
+    a keyed join, never a broadcast), covered token positions are an
+    anti-join on (doc, pos), and reconstruction is a per-doc aggregate whose
+    state is bounded by document length. The frequency test is all-integer
+    (``100*df >= pct*n_docs``), bit-identical cross-engine, and the
+    threshold is relative so the operator behaves the same at any corpus
+    scale.
+    """
+    tok = text.tokens(F.col(text_col))
+    base = parallelized(docs).select(F.col(id_col).alias("doc_id"), tok.alias("tok"))
+    n_spans = F.size("tok") - (n - 1)
+    spans = base.select(
+        "doc_id",
+        F.explode(
+            F.when(n_spans >= 1, F.sequence(F.lit(1), n_spans)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("start"),
+        "tok",
+    ).select(
+        "doc_id",
+        "start",
+        F.array_join(F.slice("tok", F.col("start"), n), " ").alias("shingle"),
+    )
+    ndocs = base.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    frequent = (
+        spans.select("doc_id", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(ndocs))
+        .filter(100 * F.col("df") >= min_df_pct * F.col("n_docs"))
+        .select("shingle")
+    )
+    covered = (
+        spans.join(frequent, "shingle")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = base.select("doc_id", F.posexplode("tok").alias("p0", "token")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "token"
+    )
+    rebuilt = (
+        toks.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("tok").cast("int").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def remove_boilerplate_sql(
+    table: str,
+    n: int = BOILERPLATE_N,
+    min_df_pct: int = BOILERPLATE_DF_PCT,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB query matching :func:`remove_boilerplate`."""
+    tok = text.tokens_sql(text_expr)
+    return f"""
+        WITH base AS (
+            SELECT {id_expr} AS doc_id, {tok} AS tok FROM {table}
+        ),
+        starts AS (
+            SELECT doc_id, unnest(generate_series(1, greatest(len(tok) - {n - 1}, 0)))
+                       AS start, tok
+            FROM base
+        ),
+        sh AS (
+            SELECT doc_id, start,
+                   array_to_string(list_slice(tok, start, start + {n - 1}), ' ') AS shingle
+            FROM starts
+        ),
+        ndocs AS (SELECT COUNT(*) AS n_docs FROM base),
+        dfc AS (
+            SELECT shingle, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, shingle FROM sh) GROUP BY shingle
+        ),
+        frequent AS (
+            SELECT shingle FROM dfc CROSS JOIN ndocs
+            WHERE 100 * df >= {min_df_pct} * n_docs
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, pos FROM (
+                SELECT doc_id, unnest(generate_series(start, start + {n - 1})) AS pos
+                FROM sh WHERE shingle IN (SELECT shingle FROM frequent)
+            )
+        ),
+        tk AS (
+            SELECT doc_id, pos, tok[pos] AS token FROM (
+                SELECT doc_id, unnest(generate_series(1, len(tok))) AS pos, tok
+                FROM base
+            )
+        ),
+        rebuilt AS (
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS INTEGER) AS n_kept,
+                   string_agg(t.token, ' ' ORDER BY t.pos) AS clean_text
+            FROM tk t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+            WHERE c.pos IS NULL
+            GROUP BY t.doc_id
+        )
+        SELECT b.doc_id,
+               CAST(len(b.tok) AS INTEGER) AS n_tokens,
+               CAST(len(b.tok) - COALESCE(r.n_kept, 0) AS INTEGER) AS n_removed,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+    """
+
+
+QSAMPLE_SALT = "::qsample"  # decorrelates quality sampling from other md5 keys
+
+
+def sample_quality_weighted(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    salt: str = QSAMPLE_SALT,
+) -> DataFrame:
+    """Quality-proportional deterministic sampling: a document survives iff
+    its salted md5 bucket (0..9999) falls below ``quality * 10000`` — keep
+    probability equals the quality score, reproducible across runs and
+    engines (no ``rand()``).
+
+    The score is the same exact arithmetic on int-derived doubles as
+    :func:`textstats.quality_score` (identical expression tree on both
+    engines, so the double compare is bit-identical); the plan is a single
+    scan -> project -> filter with zero joins.
+    """
+    scored = textstats.quality_score(docs, text_col, id_col)
+    bucket = hashing.md5_int32(F.concat(F.col("doc_id").cast("string"), F.lit(salt))) % 10000
+    return scored.filter(bucket.cast("double") < F.col("quality") * 10000.0)
+
+
+def sample_quality_weighted_sql(
+    quality_query: str, *, salt: str = QSAMPLE_SALT
+) -> str:
+    """DuckDB query matching :func:`sample_quality_weighted`; wraps a query
+    producing (doc_id, n_tokens, quality)."""
+    bucket = hashing.md5_int32_sql(f"CAST(doc_id AS VARCHAR) || '{salt}'") + " % 10000"
+    return f"""
+        SELECT doc_id, n_tokens, quality FROM ({quality_query})
+        WHERE CAST({bucket} AS DOUBLE) < quality * 10000.0
+    """
+
+
+SHORT_DOC_TOKENS = 20  # health report: docs under this token count are "short"
+
+
+def corpus_health(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    *,
+    short_tokens: int = SHORT_DOC_TOKENS,
+) -> DataFrame:
+    """Per-source corpus health report: doc/token counts, language spread,
+    exact-duplicate pressure, and short-doc share — the aggregate a pipeline
+    operator watches to catch a broken source before training on it.
+
+    One corpus-wide md5 aggregate finds duplicated content hashes; the flag
+    joins back on the hash (keyed, corpus-sized — a source holding copies of
+    another source's documents is charged for them), then everything rolls
+    up into a single source-keyed aggregate. All counters are exact
+    integers; the one double (avg_tokens) is a single exact division.
+    """
+    base = parallelized(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.md5(F.col(text_col)).alias("h"),
+        text.token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    dup_hashes = (
+        base.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        base.join(dup_hashes, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("bigint").alias("n_dup_docs"),
+            F.sum((F.col("n_tokens") < short_tokens).cast("int"))
+            .cast("bigint")
+            .alias("n_short_docs"),
+        )
+        .withColumn("avg_tokens", F.col("total_tokens").cast("double") / F.col("n_docs"))
+    )
+
+
+def corpus_health_sql(
+    table: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    source_expr: str = "source",
+    lang_expr: str = "lang",
+    *,
+    short_tokens: int = SHORT_DOC_TOKENS,
+) -> str:
+    """DuckDB query matching :func:`corpus_health`."""
+    return f"""
+        WITH base AS (
+            SELECT {id_expr} AS doc_id, {source_expr} AS source, {lang_expr} AS lang,
+                   md5({text_expr}) AS h,
+                   {text.token_count_sql(text_expr)} AS n_tokens
+            FROM {table}
+        ),
+        dup_hashes AS (
+            SELECT h, 1 AS is_dup FROM base GROUP BY h HAVING COUNT(*) > 1
+        )
+        SELECT b.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(b.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT b.lang) AS BIGINT) AS n_langs,
+               CAST(SUM(COALESCE(d.is_dup, 0)) AS BIGINT) AS n_dup_docs,
+               CAST(SUM(CASE WHEN b.n_tokens < {short_tokens} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_short_docs,
+               CAST(SUM(b.n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+        FROM base b LEFT JOIN dup_hashes d ON b.h = d.h
+        GROUP BY b.source
     """
 
 

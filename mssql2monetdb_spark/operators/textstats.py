@@ -57,6 +57,28 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def quality_score_sql(table: str, text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    """DuckDB query matching :func:`quality_score` (doc_id, n_tokens, quality)."""
+    tok = text.tokens_sql(text_expr)
+    stop_list = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
+    return f"""
+    WITH t AS (SELECT {id_expr} AS doc_id, {tok} AS tok FROM {table}),
+    s AS (
+        SELECT doc_id,
+               CAST(len(tok) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) AS diversity,
+               CAST(len(list_filter(tok, w -> list_contains({stop_list}, w))) AS DOUBLE)
+                   / len(tok) AS stopword_ratio
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             + diversity * 0.4
+             + (1.0 - stopword_ratio) * 0.2 AS quality
+    FROM s
+    """
+
+
 # Marker tokens per language for the n-gram/stopword language-ID heuristic.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "of", "and", "is"),

@@ -28,8 +28,9 @@ from . import llm_prep  # noqa: E402,F401
 # behind the window (rank_bm25, ngram_topk, embed_quantize_int8,
 # mix_domain_weights, sample_stratified, decontaminate_test_split,
 # vocab_oov_rate, filter_length_outliers, decontaminate_ngram_overlap,
-# pack_sequences_text, fn_string2) plus any query changed that round.
-# Keep ~5 canaries.
+# pack_sequences_text, fn_string2, boilerplate_span_removal,
+# sample_quality_weighted, report_corpus_health) plus any query changed
+# that round. Keep ~5 canaries.
 #
 # Slots 0-49 of the driver's correctness window. Composition (round 2):
 #  - 19 §2C extension/LLM-pipeline operators (dedup/ANN/text/multimodal/rollup)

@@ -304,24 +304,7 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_oracle() -> str:
-    tok = text.tokens_sql("text")
-    stop_list = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
-    return f"""
-    WITH t AS (SELECT doc_id, {tok} AS tok FROM documents),
-    s AS (
-        SELECT doc_id,
-               CAST(len(tok) AS INTEGER) AS n_tokens,
-               CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) AS diversity,
-               CAST(len(list_filter(tok, w -> list_contains({stop_list}, w))) AS DOUBLE)
-                   / len(tok) AS stopword_ratio
-        FROM t
-    )
-    SELECT doc_id, n_tokens,
-           LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-             + diversity * 0.4
-             + (1.0 - stopword_ratio) * 0.2 AS quality
-    FROM s ORDER BY doc_id
-    """
+    return f"SELECT * FROM ({textstats.quality_score_sql('documents')}) ORDER BY doc_id"
 
 
 @query("text_quality_score", oracle=_quality_oracle())

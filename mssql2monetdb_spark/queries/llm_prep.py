@@ -249,3 +249,58 @@ def pack_sequences_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack_sequences."""
     t = Tables(spark, sf_dir)
     return corpus_prep.pack_sequences_text(t.documents).orderBy("seq_id")
+
+
+@query(
+    "boilerplate_span_removal",
+    oracle="SELECT * FROM ("
+    + corpus_prep.remove_boilerplate_sql("documents")
+    + ") ORDER BY doc_id",
+)
+def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (C4-style): bigram spans present
+    in >= 8% of documents are dropped everywhere and the cleaned text is
+    reassembled in token order. At sf0.01 the threshold removes ~4.5% of
+    spans — non-vacuous in both directions (some text removed, most kept)."""
+    t = Tables(spark, sf_dir)
+    return corpus_prep.remove_boilerplate(t.documents).orderBy("doc_id")
+
+
+@query(
+    "sample_quality_weighted",
+    oracle=corpus_prep.sample_quality_weighted_sql(
+        textstats.quality_score_sql("documents")
+    )
+    + " ORDER BY doc_id",
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional deterministic sampling: keep probability equals
+    the document's quality score, decided by a salted md5 bucket rather
+    than rand(). The fixture's score distribution (~0.5-0.7) drops roughly
+    a third of the corpus, so the verdict exercises both outcomes."""
+    t = Tables(spark, sf_dir)
+    return corpus_prep.sample_quality_weighted(t.documents).orderBy("doc_id")
+
+
+@query(
+    "report_corpus_health",
+    oracle="SELECT * FROM ("
+    + corpus_prep.corpus_health_sql(
+        """(SELECT doc_id, text, lang, source FROM documents
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, text, lang, source
+            FROM documents WHERE doc_id % 7 = 0)"""
+    )
+    + ") ORDER BY source",
+)
+def report_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report (docs, tokens, language spread,
+    exact-dup pressure, short-doc share). The fixture has no natural exact
+    duplicates, so the corpus is seeded with deterministic clones (every
+    7th doc, shifted id) to exercise the dup counter non-vacuously."""
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text", "lang", "source")
+    clones = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang", "source"
+    )
+    return corpus_prep.corpus_health(base.unionAll(clones)).orderBy("source")

@@ -339,3 +339,75 @@ def test_write_training_shards_layout(spark, tmp_path):
         return m
 
     assert layout(out) == layout(out2)
+
+
+def test_remove_boilerplate_semantics(spark):
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    # "hot span" appears in 3/4 docs (75% >= 8% threshold); "cold words"
+    # appear once. doc 4 is pure boilerplate and must survive as ''.
+    rows = [
+        (1, "alpha hot span beta"),
+        (2, "hot span gamma"),
+        (3, "delta epsilon zeta"),
+        (4, "hot span"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in corpus_prep.remove_boilerplate(docs, n=2, min_df_pct=50).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta" and out[1]["n_removed"] == 2
+    assert out[2]["clean_text"] == "gamma"
+    # untouched doc: zero removed, text reassembled identically
+    assert out[3]["clean_text"] == "delta epsilon zeta" and out[3]["n_removed"] == 0
+    # fully-boilerplate doc is preserved as a row with empty text
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == out[4]["n_tokens"] == 2
+
+
+def test_remove_boilerplate_overlapping_spans(spark):
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    # "a b" and "b c" both frequent: coverage union removes a,b,c once each,
+    # not double-counting the shared middle token
+    rows = [(1, "x a b c y"), (2, "a b c"), (3, "a b c")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in corpus_prep.remove_boilerplate(docs, n=2, min_df_pct=60).collect()
+    }
+    assert out[1]["clean_text"] == "x y" and out[1]["n_removed"] == 3
+
+
+def test_sample_quality_weighted_deterministic_subset(spark):
+    from mssql2monetdb_spark.operators import corpus_prep, textstats
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    kept = corpus_prep.sample_quality_weighted(docs)
+    n_docs, n_kept = docs.count(), kept.count()
+    assert 0 < n_kept < n_docs  # both outcomes exercised
+    # kept rows are a subset of the scored relation, repeatable across runs
+    again = {r["doc_id"] for r in corpus_prep.sample_quality_weighted(docs).collect()}
+    assert {r["doc_id"] for r in kept.collect()} == again
+    scores = {r["doc_id"]: r["quality"] for r in textstats.quality_score(docs).collect()}
+    for r in kept.collect():
+        assert scores[r["doc_id"]] == r["quality"]
+
+
+def test_corpus_health_counters(spark):
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    rows = [
+        (1, "one two three four five", "s1", "en"),
+        (2, "one two three four five", "s1", "en"),  # exact dup of 1
+        (3, "short", "s1", "de"),
+        (4, "unique text here", "s2", "en"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source", "lang"])
+    out = {r["source"]: r for r in corpus_prep.corpus_health(docs, short_tokens=4).collect()}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 3 and s1["n_dup_docs"] == 2 and s1["n_langs"] == 2
+    assert s1["n_short_docs"] == 1 and s1["total_tokens"] == 11
+    assert abs(s1["avg_tokens"] - 11.0 / 3.0) < 1e-12
+    s2 = out["s2"]
+    assert s2["n_docs"] == 1 and s2["n_dup_docs"] == 0 and s2["n_short_docs"] == 1
