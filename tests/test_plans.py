@@ -164,3 +164,36 @@ def test_pack_text_windows_per_shard(spark):
     # window here would single-thread the whole corpus
     assert "windowspecdefinition(shard" in plan
     assert "CartesianProduct" not in plan
+
+
+def _nodes(plan: str, op: str) -> int:
+    """Count physical nodes in a formatted plan (each node prints twice:
+    once in the tree, once as a '(N) Op' detail header)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {op}", plan, flags=re.MULTILINE))
+
+
+def test_boilerplate_no_cartesian_and_keyed_joins(spark):
+    plan = plan_of(spark, "boilerplate_span_removal")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join is the 1-row corpus-count broadcast
+    assert _nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    # per-doc reconstruction aggregates, never a global sort of tokens
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_quality_sample_is_scan_project_filter(spark):
+    plan = plan_of(spark, "sample_quality_weighted")
+    # zero joins: the keep decision is per-row arithmetic on the scan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan
+    # only the session repartition and the ORDER BY contract exchange data
+    assert _nodes(plan, "Exchange") <= 2
+
+
+def test_corpus_health_single_rollup(spark):
+    plan = plan_of(spark, "report_corpus_health")
+    assert "CartesianProduct" not in plan
+    # dup-hash detection partial-aggregates map-side before any shuffle
+    assert "partial_count" in plan.lower() or "HashAggregate" in plan
