@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..catalog import Tables
 from ..functions import hashing, text, vectors
 from ..operators import dedup, multimodal, similarity, textstats
+from ..operators import events as events_ops
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -534,6 +535,35 @@ def rollup_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return time_bucket_rollup(t.events, "ts", "value").orderBy("grain", "bucket")
+
+
+@query(
+    "funnel_stages",
+    oracle="SELECT * FROM ("
+    + events_ops.funnel_stages_sql("events")
+    + ") ORDER BY user_id",
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view->click->purchase funnel per user: earliest
+    step-1 event, earliest step-2 after it, earliest step-3 after that,
+    each within a 1-day conversion window (at sf0.01 the stages split
+    150/60/25, so every stage value is exercised); stage = completed
+    steps. User-keyed aggregate/join chain."""
+    t = Tables(spark, sf_dir)
+    return events_ops.funnel_stages(t.events).orderBy("user_id")
+
+
+@query(
+    "retention_cohorts",
+    oracle="SELECT * FROM ("
+    + events_ops.retention_cohorts_sql("events")
+    + ") ORDER BY cohort_day, day_offset",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen day-cohort retention: distinct active users per
+    (cohort, day-offset) cell; all-integer date arithmetic."""
+    t = Tables(spark, sf_dir)
+    return events_ops.retention_cohorts(t.events).orderBy("cohort_day", "day_offset")
 
 
 def _components_oracle() -> str:

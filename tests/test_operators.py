@@ -411,3 +411,55 @@ def test_corpus_health_counters(spark):
     assert abs(s1["avg_tokens"] - 11.0 / 3.0) < 1e-12
     s2 = out["s2"]
     assert s2["n_docs"] == 1 and s2["n_dup_docs"] == 0 and s2["n_short_docs"] == 1
+
+
+def test_funnel_stages_ordering_and_window(spark):
+    from datetime import datetime
+
+    from mssql2monetdb_spark.operators import events as events_ops
+
+    def ts(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    rows = [
+        # user 1: full funnel in order, inside the window
+        (1, ts(1), "view"), (1, ts(2), "click"), (1, ts(3), "purchase"),
+        # user 2: click BEFORE the first view — not a conversion
+        (2, ts(1), "click"), (2, ts(2), "view"), (2, ts(3), "purchase"),
+        # user 3: click after view but outside the window
+        (3, ts(1), "view"), (3, ts(4), "click"),
+        # user 4: never views — outside the funnel entirely
+        (4, ts(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r["user_id"]: r
+        for r in events_ops.funnel_stages(df, within_s=7200).collect()
+    }
+    assert out[1]["stage"] == 3 and out[1]["t_step3"] == ts(3)
+    # purchase without a post-view click never counts, even though both exist
+    assert out[2]["stage"] == 1 and out[2]["t_step2"] is None
+    assert out[3]["stage"] == 1  # window expired
+    assert 4 not in out
+
+
+def test_retention_cohorts_counts(spark):
+    from datetime import datetime
+
+    from mssql2monetdb_spark.operators import events as events_ops
+
+    rows = [
+        (1, datetime(2024, 1, 1, 5)), (1, datetime(2024, 1, 2, 6)),
+        (1, datetime(2024, 1, 2, 7)),  # same day twice: counted once
+        (2, datetime(2024, 1, 1, 8)),
+        (3, datetime(2024, 1, 2, 9)), (3, datetime(2024, 1, 4, 1)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["cohort_day"].date().isoformat(), r["day_offset"]): r["n_users"]
+        for r in events_ops.retention_cohorts(df).collect()
+    }
+    assert out[("2024-01-01", 0)] == 2  # users 1 and 2 on their first day
+    assert out[("2024-01-01", 1)] == 1  # user 1 returns next day
+    assert out[("2024-01-02", 0)] == 1 and out[("2024-01-02", 2)] == 1  # user 3
+    assert len(out) == 4
