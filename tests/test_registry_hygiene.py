@@ -63,16 +63,37 @@ def test_every_capability_family_inside_window():
     assert not missing, f"families with no query in the driver window: {missing}"
 
 
-def test_all_extension_operators_inside_window():
-    """Every §2C / LLM-pipeline operator must hold a verification slot."""
+def _driver_green_names() -> set[str]:
+    """Names with a recorded green driver verdict in any CORRECTNESS_r*.json
+    — these may rotate behind the window without losing their verdict."""
+    import json
+
+    green: set[str] = set()
+    for path in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(path.read_text()).items():
+            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                green.add(name)
+    return green
+
+
+def test_all_extension_operators_verified_or_inside_window():
+    """Every §2C / LLM-pipeline operator must hold a verification slot —
+    unless it already has a green verdict on record from a previous round
+    (the round-3+ rotation path: verified operators rotate out to free
+    slots for unverified ones)."""
     window = set(ALL_NAMES[:GATE_WINDOW])
     extension_prefixes = ("dedup_", "ann_", "text_", "multimodal_", "rollup_", "pipeline_", "stream_")
+    green = _driver_green_names()
     outside = [
         name
         for name in ALL_NAMES
-        if name.startswith(extension_prefixes) and name not in window
+        if name.startswith(extension_prefixes)
+        and name not in window
+        and name not in green
     ]
-    assert not outside, f"extension operators outside the driver window: {outside}"
+    assert not outside, (
+        f"extension operators with no driver verdict and no window slot: {outside}"
+    )
 
 
 def _atomic(dt: T.DataType) -> bool:
