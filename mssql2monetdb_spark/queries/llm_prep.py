@@ -282,6 +282,82 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_prep.sample_quality_weighted(t.documents).orderBy("doc_id")
 
 
+def _pretraining_pipeline_oracle() -> str:
+    """Composed CTE chain mirroring corpus_pretraining_pipeline: clone-seeded
+    corpus -> boilerplate removal -> quality re-score on cleaned text ->
+    split -> cross-split exact decontamination -> sequence packing."""
+    seeded = """(SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0)"""
+    bp = corpus_prep.remove_boilerplate_sql(seeded)
+    quality = textstats.quality_score_sql("(SELECT doc_id, clean_text AS text FROM cleaned)")
+    bucket = corpus_prep.split_bucket_sql("doc_id")
+    packed = corpus_prep.pack_sequences_sql(
+        "(SELECT doc_id, clean_text AS text FROM decon)", "text"
+    )
+    return f"""
+        WITH cleaned AS ({bp}),
+        q AS ({quality}),
+        kept AS (SELECT doc_id FROM q WHERE quality >= 0.5 AND n_tokens >= 10),
+        split AS (
+            SELECT doc_id, clean_text,
+                   CASE WHEN {bucket} < 80 THEN 'train'
+                        WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
+            FROM cleaned
+        ),
+        train AS (
+            SELECT s.doc_id, s.clean_text FROM split s
+            WHERE s.split = 'train' AND s.doc_id IN (SELECT doc_id FROM kept)
+        ),
+        decon AS (
+            SELECT t.doc_id, t.clean_text FROM train t
+            WHERE md5(t.clean_text) NOT IN
+                  (SELECT md5(clean_text) FROM split WHERE split = 'test')
+        ),
+        packed AS ({packed})
+        SELECT seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM packed GROUP BY seq_id ORDER BY seq_id
+    """
+
+
+@query("corpus_pretraining_pipeline", oracle=_pretraining_pipeline_oracle())
+def corpus_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-corpus materialization: boilerplate-clean the
+    (clone-seeded) corpus, re-score quality on the cleaned text, keep the
+    train split passing the quality bar, drop train docs whose cleaned
+    content hash appears in the test split, and pack survivors into
+    token-budget sequences. One composition of four verified operators;
+    every stage is keyed (no broadcast of corpus-sized state)."""
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    clones = base.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    cleaned = corpus_prep.remove_boilerplate(base.unionAll(clones))
+    cdocs = cleaned.select("doc_id", F.col("clean_text").alias("text"))
+    q = textstats.quality_score(cdocs)
+    kept = q.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10)).select("doc_id")
+    split = corpus_prep.assign_split(cdocs)
+    train = split.filter(F.col("split") == "train").join(kept, "doc_id").select("doc_id", "text")
+    test_hashes = (
+        split.filter(F.col("split") == "test").select(F.md5("text").alias("h")).distinct()
+    )
+    decon = train.join(
+        test_hashes, F.md5(F.col("text")) == F.col("h"), "left_anti"
+    )
+    packed = corpus_prep.pack_sequences(decon)
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("seq_id")
+    )
+
+
 @query(
     "report_corpus_health",
     oracle="SELECT * FROM ("
