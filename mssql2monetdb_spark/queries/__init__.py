@@ -30,8 +30,8 @@ from . import llm_prep  # noqa: E402,F401
 # vocab_oov_rate, filter_length_outliers, decontaminate_ngram_overlap,
 # pack_sequences_text, fn_string2, boilerplate_span_removal,
 # sample_quality_weighted, report_corpus_health, funnel_stages,
-# retention_cohorts, corpus_pretraining_pipeline) plus any query changed
-# that round. Keep ~5 canaries.
+# retention_cohorts, corpus_pretraining_pipeline, agg_corr_regression)
+# plus any query changed that round. Keep ~5 canaries.
 #
 # Slots 0-49 of the driver's correctness window. Composition (round 2):
 #  - 19 §2C extension/LLM-pipeline operators (dedup/ANN/text/multimodal/rollup)

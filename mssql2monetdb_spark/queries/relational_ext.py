@@ -732,3 +732,86 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_corr_regression",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS covar_pop,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+               (CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS intercept
+        FROM s ORDER BY l_returnflag
+    """,
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical/regression aggregates (Pearson corr, population
+    covariance, least-squares slope/intercept) per return flag.
+
+    Built-in F.corr/F.covar_pop are float aggregates whose result depends
+    on partition merge order — they can never hash-match across engines.
+    Instead the moment sums accumulate as exact DECIMAL (associative and
+    partition-order independent), and the closed-form expressions are
+    evaluated on the sums in one fixed double-arithmetic tree replicated
+    verbatim in the oracle: +,-,*,/,sqrt are all IEEE exact-rounded, so
+    the doubles match bit-for-bit. Same discipline as helpers.dsum
+    (oracle-determinism rule: no order-dependent float aggregation)."""
+    t = Tables(spark, sf_dir)
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_num = nd * sxy - sx * sy
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    slope = cov_num / var_x
+    return s.select(
+        "l_returnflag",
+        "n",
+        (cov_num / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_xy"),
+        (cov_num / nd / nd).alias("covar_pop"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / nd).alias("intercept"),
+    ).orderBy("l_returnflag")
