@@ -21,6 +21,7 @@ from . import functions_corpus  # noqa: E402,F401
 from . import extensions  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 from . import llm_prep  # noqa: E402,F401
+from . import tpch_full  # noqa: E402,F401
 
 # ROTATION PLAN (round 3+): once CORRECTNESS_r02 lands green, swap the
 # bulk of these now-verified entries back out and rotate in whatever still
@@ -30,7 +31,9 @@ from . import llm_prep  # noqa: E402,F401
 # vocab_oov_rate, filter_length_outliers, decontaminate_ngram_overlap,
 # pack_sequences_text, fn_string2, boilerplate_span_removal,
 # sample_quality_weighted, report_corpus_health, funnel_stages,
-# retention_cohorts, corpus_pretraining_pipeline, agg_corr_regression)
+# retention_cohorts, corpus_pretraining_pipeline, agg_corr_regression),
+# the 13 round-2 TPC-H additions (tpch_full.py: q2/q7/q8/q9/q11/q13/q15/
+# q16/q17/q19/q20/q21/q22), and the de-vacuized tpch_q4/tpch_q6/set_except,
 # plus any query changed that round. Keep ~5 canaries.
 #
 # Slots 0-49 of the driver's correctness window. Composition (round 2):

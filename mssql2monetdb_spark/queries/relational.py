@@ -701,14 +701,19 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT
-        SELECT s_nationkey AS nationkey FROM supplier
+        SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000.0
         ORDER BY nationkey
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT with a restricted right side so the difference is non-empty
+    at every SF (both operand nation sets are full otherwise — the round-1
+    vacuous-green lesson)."""
     t = Tables(spark, sf_dir)
     c = t.customer.select(F.col("c_nationkey").alias("nationkey"))
-    s = t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    s = t.supplier.filter(F.col("s_acctbal") > 8000.0).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
     return c.subtract(s).orderBy("nationkey")  # EXCEPT = set semantics
 
 

@@ -26,8 +26,8 @@ from .registry import query
     oracle=f"""
         SELECT {oracle_dsum('l_extendedprice * l_discount', 'revenue')}
         FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-          AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
     """,
@@ -36,8 +36,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: pure filter+aggregate — every predicate pushes to the scan."""
     t = Tables(spark, sf_dir)
     li = t.lineitem.filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     )
@@ -49,8 +49,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority, COUNT(*) AS order_count
         FROM orders o
-        WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-          AND o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
           AND EXISTS (SELECT 1 FROM lineitem l
                       WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
         GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -64,8 +64,8 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     o = t.orders.filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
     )
     li = t.lineitem.select("l_orderkey", "l_shipdate")
     semi = o.join(
