@@ -45,11 +45,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLE_NAMES}")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): read as epoch-nanos LONG
-        # (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros with
-        # integer division — same floor semantics as DuckDB's ns->us read,
-        # and exact (a double division would lose precision above 2^53 ns).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # events.ts stored as parquet TIMESTAMP(NANOS): read as
+            # epoch-nanos LONG (spark.sql.legacy.parquet.nanosAsLong) and
+            # truncate to micros with integer division — same floor
+            # semantics as DuckDB's ns->us read, and exact (a double
+            # division would lose precision above 2^53 ns).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # micros-precision fixture: align with the session-local
+            # TIMESTAMP type the rest of the corpus (and DuckDB) uses.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
