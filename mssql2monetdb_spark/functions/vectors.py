@@ -46,6 +46,22 @@ def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a deterministic left fold (same order both engines)."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return F.reduce(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2sq_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
 def const_array(values: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])
 

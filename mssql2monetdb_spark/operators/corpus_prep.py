@@ -767,3 +767,173 @@ def write_training_shards(
         .partitionBy("split")
         .parquet(out_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking with overlap (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = SIZE - STRIDE)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap.
+
+    ``n_chunks = 1 + ceil(max(n_tokens - size, 0) / stride)`` — every token
+    lands in at least one chunk and a short document still yields exactly
+    one chunk (never zero, so no document silently disappears from the
+    retrieval index).
+
+    The whole operator is narrow (tokenize -> sequence -> explode -> slice):
+    no shuffle, no Python, fully pipelined inside one codegen stage. At
+    100 TB the chunk explosion multiplies rows ~n_tokens/stride x, but each
+    output row is bounded (``size`` tokens), so downstream embedding /
+    indexing stages see uniformly-sized units — this is what makes the
+    operator preferable to shipping whole documents to an embedder.
+    """
+    toks = text.tokens(F.col(text_col))
+    d = parallelized(docs).select(
+        F.col(id_col),
+        toks.alias("toks"),
+    )
+    n_extra = F.greatest(F.size("toks") - F.lit(size), F.lit(0))
+    n_chunks = (F.lit(1) + F.floor((n_extra + F.lit(stride - 1)) / F.lit(stride))).cast("int")
+    e = d.select(
+        F.col(id_col),
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+    )
+    start = (F.col("chunk_id") * stride + 1).cast("int")
+    piece = F.slice(F.col("toks"), start, size)
+    return e.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    ).orderBy(id_col, "chunk_id")
+
+
+def chunk_documents_sql(
+    table: str,
+    *,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> str:
+    tok = text.tokens_sql(text_expr)
+    lo = "chunk_id * {s} + 1".format(s=stride)
+    hi = "chunk_id * {s} + {z}".format(s=stride, z=size)
+    return f"""
+        WITH d AS (
+            SELECT {id_expr} AS doc_id, {tok} AS toks FROM {table}
+        ), n AS (
+            SELECT doc_id, toks,
+                   1 + ((greatest(len(toks) - {size}, 0) + {stride - 1}) // {stride}) AS n_chunks
+            FROM d
+        ), e AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+            FROM n
+        )
+        SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+               CAST(len(toks[{lo} : {hi}]) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(toks[{lo} : {hi}], ' ') AS chunk_text
+        FROM e
+    """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + per-domain dedup (RefinedWeb/CCNet-style)
+# ---------------------------------------------------------------------------
+
+URL_SCHEME_RE = r"^[a-z]+://"
+URL_WWW_RE = r"^www\."
+URL_QUERY_RE = r"\?.*$"
+URL_TRAILING_SLASH_RE = r"/+$"
+
+
+def normalize_url(col):
+    """Canonicalize a URL: lowercase, strip scheme, leading ``www.``,
+    query string, and trailing slashes. Pure regex chain — identical
+    semantics under Java regex and RE2, no Python."""
+    out = F.lower(col)
+    for pat in (URL_SCHEME_RE, URL_WWW_RE, URL_QUERY_RE, URL_TRAILING_SLASH_RE):
+        out = F.regexp_replace(out, pat, "")
+    return out
+
+
+def normalize_url_sql(expr: str) -> str:
+    out = f"lower({expr})"
+    for pat in (URL_SCHEME_RE, URL_WWW_RE, URL_QUERY_RE, URL_TRAILING_SLASH_RE):
+        out = f"regexp_replace({out}, '{pat}', '')"
+    return out
+
+
+def url_dedup_domain_summary(
+    docs: DataFrame,
+    *,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-URL dedup rolled up per domain.
+
+    Two map-side-combinable aggregations: URLs normalize row-wise, the
+    keep-one-per-URL rule is ``min(doc_id)`` per canonical URL (one
+    groupBy), and the domain rollup is a second, much smaller groupBy.
+    At 100 TB the first shuffle is keyed on the canonical URL — high
+    cardinality, naturally uniform; hot domains do NOT hot-spot it because
+    the key is the full URL, not the domain.
+    """
+    norm = normalize_url(F.col(url_col))
+    per_url = (
+        parallelized(docs)
+        .select(F.col(id_col), norm.alias("norm_url"))
+        .withColumn("domain", F.regexp_extract("norm_url", r"^([^/]+)", 1))
+        .groupBy("domain", "norm_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return (
+        per_url.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_unique_urls"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            (F.sum("n_docs") - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
+            F.min("keep_id").cast("bigint").alias("first_keep_id"),
+        )
+        .orderBy("domain")
+    )
+
+
+def url_dedup_domain_summary_sql(seeded_cte: str, *, url_expr: str = "url") -> str:
+    """Oracle mirror of :func:`url_dedup_domain_summary` over a seeded CTE."""
+    norm = normalize_url_sql(url_expr)
+    return f"""
+        WITH seeded AS ({seeded_cte}),
+        per_url AS (
+            SELECT regexp_extract(norm_url, '^([^/]+)', 1) AS domain,
+                   norm_url,
+                   MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n_docs
+            FROM (SELECT doc_id, {norm} AS norm_url FROM seeded)
+            GROUP BY 1, 2
+        )
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_urls,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS n_dropped,
+               CAST(MIN(keep_id) AS BIGINT) AS first_keep_id
+        FROM per_url
+        GROUP BY domain
+    """

@@ -362,3 +362,58 @@ def quantize_int8_sql(table: str, id_expr: str = "vec_id", emb_expr: str = "embe
                CAST(len(list_filter(q, x -> x = -127 OR x = 127)) AS INTEGER) AS n_saturated
         FROM quant
     """
+
+
+def semantic_dedup_cells(
+    emb_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster, then dedup within clusters.
+
+    Structure follows SemDeDup (Abbas et al., 2023, arXiv:2303.09540):
+    assign every vector to a coarse centroid cell (relational argmin over
+    the deterministic seed centroids — same as the IVF index), then compare
+    pairs ONLY within a cell and drop every vector whose cosine similarity
+    to a lower-id cell-mate exceeds the threshold. Returns the per-cell
+    summary ``(cell, n_vectors, n_dropped, n_kept)``.
+
+    Scale shape: the pair join is keyed on ``cell``, so cost is
+    sum(|cell|^2) not n^2 — at 100 TB you raise K so cells stay bounded
+    (SemDeDup uses ~50k clusters for billions of docs); the cluster
+    assignment itself is one broadcast join. Keep-rule is min-id within a
+    similar pair: deterministic, no iterative clustering required.
+    """
+    seed = emb_df.filter(F.col(id_col) < IVF_K).select(
+        F.col(id_col).cast("int").alias("cid"), F.col(emb_col).alias("cvec")
+    )
+    assigned = _argmin_assign(emb_df, seed, id_col, emb_col)
+    a = assigned.select("cell", F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
+    b = assigned.select("cell", F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cell",
+            "id_b",
+            vectors.cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    dropped = pairs.select("cell", "id_b").distinct()
+    n_by_cell = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    d_by_cell = dropped.groupBy("cell").agg(F.count(F.lit(1)).alias("n_dropped"))
+    return (
+        n_by_cell.join(d_by_cell, "cell", "left")
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.col("n_vectors") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("cell")
+    )

@@ -31,7 +31,8 @@ from . import tpch_full  # noqa: E402,F401
 # vocab_oov_rate, filter_length_outliers, decontaminate_ngram_overlap,
 # pack_sequences_text, fn_string2, boilerplate_span_removal,
 # sample_quality_weighted, report_corpus_health, funnel_stages,
-# retention_cohorts, corpus_pretraining_pipeline, agg_corr_regression),
+# retention_cohorts, corpus_pretraining_pipeline, agg_corr_regression,
+# doc_chunk_overlap, fn_datetime2, subquery_correlated_min),
 # the 13 round-2 TPC-H additions (tpch_full.py: q2/q7/q8/q9/q11/q13/q15/
 # q16/q17/q19/q20/q21/q22), and the de-vacuized tpch_q4/tpch_q6/set_except,
 # plus any query changed that round. Keep ~5 canaries.
@@ -52,17 +53,18 @@ GATE_PRIORITY = [
     "join_anti",
     "agg_array_collect",
     "agg_approx_count_distinct",
-    # Relational queries with no round-1 verdict.
+    # Relational queries with no round-1 verdict. (subquery_correlated_min
+    # rotates out — the correlated-subquery family is represented by
+    # subquery_not_in_nulls, and round-1 verified subquery_correlated.)
     "subquery_not_in_nulls",
     "cte_with_clause",
-    "subquery_correlated_min",
     "window_range_frame",
     "agg_filter_clause",
     "agg_histogram_bins",
-    # Functions corpus.
+    # Functions corpus. (fn_datetime2 rotates out — the datetime family is
+    # represented by fn_datetime; fn_datetime2 follows in round 3.)
     "fn_string",
     "fn_datetime",
-    "fn_datetime2",
     "fn_math",
     "fn_conditional",
     "fn_json",
@@ -81,6 +83,8 @@ GATE_PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_connected_components",
+    "dedup_semantic_cells",
+    "dedup_url_normalized",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

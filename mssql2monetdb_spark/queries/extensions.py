@@ -649,3 +649,45 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")
     )
+
+
+def _semantic_dedup_oracle(threshold: float) -> str:
+    dist2 = vectors.l2sq_sql("e.embedding", "c.cvec")
+    cos = vectors.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH seed AS (
+        SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < {similarity.IVF_K}
+    ), scored AS (
+        SELECT e.vec_id, e.embedding, c.cid, {dist2} AS dist2
+        FROM embeddings e CROSS JOIN seed c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), dropped AS (
+        SELECT DISTINCT a.cell, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {cos} >= {threshold}
+    ), n_by_cell AS (
+        SELECT cell, COUNT(*) AS n_vectors FROM assigned GROUP BY cell
+    ), d_by_cell AS (
+        SELECT cell, COUNT(*) AS n_dropped FROM dropped GROUP BY cell
+    )
+    SELECT CAST(n.cell AS INTEGER) AS cell,
+           CAST(n.n_vectors AS BIGINT) AS n_vectors,
+           CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(n.n_vectors - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
+    FROM n_by_cell n LEFT JOIN d_by_cell d ON n.cell = d.cell
+    ORDER BY cell
+    """
+
+
+@query("dedup_semantic_cells", oracle=_semantic_dedup_oracle(0.4))
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: coarse centroid cells (broadcast
+    argmin assignment), within-cell cosine pairs only, min-id keep rule;
+    per-cell kept/dropped summary (operators/similarity.py)."""
+    t = Tables(spark, sf_dir)
+    return similarity.semantic_dedup_cells(t.embeddings, threshold=0.4)

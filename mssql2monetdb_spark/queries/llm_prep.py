@@ -380,3 +380,48 @@ def report_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang", "source"
     )
     return corpus_prep.corpus_health(base.unionAll(clones)).orderBy("source")
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=corpus_prep.chunk_documents_sql("documents") + " ORDER BY doc_id, chunk_id",
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (64-token windows, stride 48)
+    — the retrieval/context-window prep step of a RAG or embedding
+    pipeline. Narrow tokenize->sequence->explode->slice, no shuffle."""
+    t = Tables(spark, sf_dir)
+    return corpus_prep.chunk_documents(t.documents)
+
+
+_URL_SEED_SQL = """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END)
+           || source || '.example.com/page/' || CAST(doc_id % 40 AS VARCHAR)
+           || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+           || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END) AS url
+    FROM documents
+"""
+
+
+@query(
+    "dedup_url_normalized",
+    oracle=corpus_prep.url_dedup_domain_summary_sql(_URL_SEED_SQL) + " ORDER BY domain",
+)
+def dedup_url_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + keep-first-per-URL dedup, rolled up per
+    domain (RefinedWeb-style). URLs are seeded deterministically from the
+    fixture (mixed-case schemes, www prefixes, utm query strings, trailing
+    slashes) so the normalizer's every rule is genuinely exercised."""
+    t = Tables(spark, sf_dir)
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("http://"))
+    url = F.concat(
+        scheme,
+        F.col("source"),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+    )
+    seeded = t.documents.select("doc_id", url.alias("url"))
+    return corpus_prep.url_dedup_domain_summary(seeded)

@@ -463,3 +463,79 @@ def test_retention_cohorts_counts(spark):
     assert out[("2024-01-01", 1)] == 1  # user 1 returns next day
     assert out[("2024-01-02", 0)] == 1 and out[("2024-01-02", 2)] == 1  # user 3
     assert len(out) == 4
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(100))),  # 100 toks -> 2 chunks
+            (2, "short doc"),  # 2 toks -> exactly 1 chunk
+            (3, " ".join(f"w{i}" for i in range(64))),  # == size -> 1 chunk
+            (4, " ".join(f"w{i}" for i in range(65))),  # size+1 -> 2 chunks
+        ],
+        "doc_id long, text string",
+    )
+    rows = corpus_prep.chunk_documents(docs, size=64, stride=48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 2 and len(by_doc[2]) == 1
+    assert len(by_doc[3]) == 1 and len(by_doc[4]) == 2
+    # chunk 0 is the full window; chunk 1 starts at stride -> 16-token overlap
+    c0, c1 = by_doc[1]
+    assert c0.n_chunk_tokens == 64 and c1.n_chunk_tokens == 100 - 48
+    assert c0.chunk_text.split()[48:] == c1.chunk_text.split()[:16]
+    # every token of the document appears in at least one chunk
+    covered = set(c0.chunk_text.split()) | set(c1.chunk_text.split())
+    assert covered == {f"w{i}" for i in range(100)}
+
+
+def test_normalize_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    cases = [
+        ("HTTPS://WWW.Example.COM/A/b/?x=1", "example.com/a/b"),
+        ("http://example.com/a/b", "example.com/a/b"),
+        ("https://example.com/a/b///", "example.com/a/b"),
+        ("http://www.example.com/a/b?utm=z", "example.com/a/b"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(corpus_prep.normalize_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_keeps_one_per_canonical_url(spark):
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://www.a.com/x"),
+            (2, "HTTP://A.COM/x/"),  # same canonical URL as 1
+            (3, "https://a.com/y"),
+            (4, "https://b.com/x?utm=1"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r.domain: r for r in corpus_prep.url_dedup_domain_summary(docs).collect()}
+    assert rows["a.com"].n_docs == 3 and rows["a.com"].n_unique_urls == 2
+    assert rows["a.com"].n_dropped == 1 and rows["a.com"].first_keep_id == 1
+    assert rows["b.com"].n_dropped == 0
+
+
+def test_semantic_dedup_cells_invariants(spark, sf_dir):
+    from mssql2monetdb_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.semantic_dedup_cells(emb, threshold=0.4).collect()
+    n_total = emb.count()
+    assert sum(r.n_vectors for r in rows) == n_total  # partition of the corpus
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_vectors
+        assert r.n_kept >= 1  # min-id keep rule retains at least one per cell
+    # a self-duplicate corpus collapses: threshold 1.01 never drops anything
+    none = similarity.semantic_dedup_cells(emb, threshold=1.01).collect()
+    assert all(r.n_dropped == 0 for r in none)
