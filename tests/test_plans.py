@@ -197,3 +197,30 @@ def test_corpus_health_single_rollup(spark):
     assert "CartesianProduct" not in plan
     # dup-hash detection partial-aggregates map-side before any shuffle
     assert "partial_count" in plan.lower() or "HashAggregate" in plan
+
+
+def test_chunking_is_narrow_until_output_sort(spark):
+    plan = plan_of(spark, "doc_chunk_overlap")
+    # tokenize -> sequence -> explode -> slice is one narrow pipeline: the
+    # only exchanges allowed are the local-parallelism repartition and the
+    # final deterministic output sort — never a hash shuffle
+    assert "Generate" in plan  # the explode
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_url_dedup_two_phase_aggregations(spark):
+    plan = plan_of(spark, "dedup_url_normalized")
+    # both groupBys (per-URL, then per-domain) must have map-side partials
+    assert plan.count("HashAggregate") >= 4
+    # the shuffle key is the canonical URL (high cardinality), not the
+    # domain alone — hot domains cannot hot-spot the first exchange
+    assert "norm_url" in plan
+
+
+def test_semantic_dedup_broadcasts_centroids(spark):
+    plan = plan_of(spark, "dedup_semantic_cells")
+    # centroid assignment is argmin over a BROADCAST of K centroids — the
+    # corpus never shuffles for the assignment itself
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
