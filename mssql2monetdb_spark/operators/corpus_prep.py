@@ -937,3 +937,60 @@ def url_dedup_domain_summary_sql(seeded_cte: str, *, url_expr: str = "url") -> s
         FROM per_url
         GROUP BY domain
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document quota (RefinedWeb-style source balancing)
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 10
+
+
+def sample_domain_cap(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    cap: int = DOMAIN_CAP,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain, best-quality first.
+
+    Ranking is a per-domain window (quality desc, id asc for determinism);
+    the rank<=cap filter is recognized by Spark as a group limit, so each
+    partition keeps only ``cap`` rows per key before the shuffle merges
+    them (WindowGroupLimit — pinned in test_plans). A hot domain therefore
+    contributes ``cap`` rows per map partition, not its full row count:
+    the quota itself is what defuses domain skew at 100 TB.
+    """
+    w = Window.partitionBy(source_col).orderBy(F.col(quality_col).desc(), F.col(id_col))
+    return (
+        parallelized(docs)
+        .select(F.col(source_col), F.col(id_col), F.col(quality_col))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= cap)
+        .orderBy(source_col, "rnk")
+    )
+
+
+def sample_domain_cap_sql(
+    table: str,
+    *,
+    source_expr: str = "source",
+    id_expr: str = "doc_id",
+    quality_expr: str = "n_chars",
+    cap: int = DOMAIN_CAP,
+) -> str:
+    return f"""
+        SELECT {source_expr} AS source, {id_expr} AS doc_id,
+               {quality_expr} AS n_chars, CAST(rnk AS INTEGER) AS rnk
+        FROM (
+            SELECT {source_expr}, {id_expr}, {quality_expr},
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {source_expr}
+                       ORDER BY {quality_expr} DESC, {id_expr}
+                   ) AS rnk
+            FROM {table}
+        )
+        WHERE rnk <= {cap}
+    """

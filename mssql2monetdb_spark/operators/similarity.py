@@ -417,3 +417,55 @@ def semantic_dedup_cells(
         )
         .orderBy("cell")
     )
+
+
+def cross_split_contamination(
+    emb_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Semantic train/test contamination: train vectors too similar to any
+    test vector, compared only within shared centroid cells.
+
+    The n-gram decontamination pass (corpus_prep) catches verbatim overlap;
+    this catches paraphrase-level leakage the way SemDeDup-style dedup
+    catches near-duplicates: cell assignment bounds the candidate set, the
+    train x test comparison is keyed on ``cell``, and each contaminated
+    train vector reports its single most-similar test vector
+    (deterministic argmax: cosine desc, test id). At 100 TB the test split
+    is tiny relative to train, so the per-cell join's small side is
+    broadcast-size — the train corpus itself never re-shuffles beyond the
+    one assignment pass.
+    """
+    from ..operators import corpus_prep
+
+    seed = emb_df.filter(F.col(id_col) < IVF_K).select(
+        F.col(id_col).cast("int").alias("cid"), F.col(emb_col).alias("cvec")
+    )
+    assigned = corpus_prep.assign_split(
+        _argmin_assign(emb_df, seed, id_col, emb_col), id_col
+    )
+    train = assigned.filter(F.col("split") == "train").select(
+        "cell", F.col(id_col).alias("train_id"), F.col(emb_col).alias("emb_t")
+    )
+    test = assigned.filter(F.col("split") == "test").select(
+        "cell", F.col(id_col).alias("test_id"), F.col(emb_col).alias("emb_q")
+    )
+    scored = (
+        train.join(F.broadcast(test), "cell")
+        .select(
+            "train_id",
+            "test_id",
+            vectors.cosine(F.col("emb_t"), F.col("emb_q")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    w = Window.partitionBy("train_id").orderBy(F.col("cos_sim").desc(), F.col("test_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("train_id", "test_id", "cos_sim")
+        .orderBy("train_id")
+    )

@@ -32,7 +32,8 @@ from . import tpch_full  # noqa: E402,F401
 # pack_sequences_text, fn_string2, boilerplate_span_removal,
 # sample_quality_weighted, report_corpus_health, funnel_stages,
 # retention_cohorts, corpus_pretraining_pipeline, agg_corr_regression,
-# doc_chunk_overlap, fn_datetime2, subquery_correlated_min),
+# doc_chunk_overlap, fn_datetime2, subquery_correlated_min,
+# agg_histogram_bins, sample_domain_cap, decontaminate_semantic),
 # the 13 round-2 TPC-H additions (tpch_full.py: q2/q7/q8/q9/q11/q13/q15/
 # q16/q17/q19/q20/q21/q22), and the de-vacuized tpch_q4/tpch_q6/set_except,
 # plus any query changed that round. Keep ~5 canaries.
@@ -60,7 +61,6 @@ GATE_PRIORITY = [
     "cte_with_clause",
     "window_range_frame",
     "agg_filter_clause",
-    "agg_histogram_bins",
     # Functions corpus. (fn_datetime2 rotates out — the datetime family is
     # represented by fn_datetime; fn_datetime2 follows in round 3.)
     "fn_string",
@@ -103,6 +103,7 @@ GATE_PRIORITY = [
     "stream_session_windows",
     "stream_dedup_first",
     "stream_watermark_recent",
+    "stream_static_enrich",
     # New corpus-prep operators (round 2) — these take the slots of the
     # set-op / as-of / running-sum representatives, which are green-on-record
     # from round 1 and unchanged.

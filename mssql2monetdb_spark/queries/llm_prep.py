@@ -425,3 +425,67 @@ def dedup_url_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeded = t.documents.select("doc_id", url.alias("url"))
     return corpus_prep.url_dedup_domain_summary(seeded)
+
+
+@query(
+    "sample_domain_cap",
+    oracle=corpus_prep.sample_domain_cap_sql("documents") + " ORDER BY source, rnk",
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota (keep the 10 highest-quality docs per
+    source) — RefinedWeb-style source balancing via a group-limited window."""
+    t = Tables(spark, sf_dir)
+    return corpus_prep.sample_domain_cap(t.documents)
+
+
+def _semantic_contamination_oracle(threshold: float) -> str:
+    from ..functions import vectors
+    from ..operators import similarity as sim
+
+    dist2 = vectors.l2sq_sql("e.embedding", "c.cvec")
+    cos = vectors.cosine_sql("t.emb_t", "q.emb_q")
+    bucket = corpus_prep.split_bucket_sql("vec_id")
+    return f"""
+    WITH seed AS (
+        SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < {sim.IVF_K}
+    ), scored0 AS (
+        SELECT e.vec_id, e.embedding, c.cid, {dist2} AS dist2
+        FROM embeddings e CROSS JOIN seed c
+    ), assigned AS (
+        SELECT vec_id, embedding, cell,
+               CASE WHEN ({bucket}) < 80 THEN 'train'
+                    WHEN ({bucket}) < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT vec_id, embedding, cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+            FROM scored0
+        ) WHERE rn = 1
+    ), t AS (
+        SELECT cell, vec_id AS train_id, embedding AS emb_t FROM assigned
+        WHERE split = 'train'
+    ), q AS (
+        SELECT cell, vec_id AS test_id, embedding AS emb_q FROM assigned
+        WHERE split = 'test'
+    ), pairs AS (
+        SELECT t.train_id, q.test_id, {cos} AS cos_sim
+        FROM t JOIN q ON t.cell = q.cell
+        WHERE {cos} >= {threshold}
+    ), ranked AS (
+        SELECT train_id, test_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY train_id ORDER BY cos_sim DESC, test_id) AS rn
+        FROM pairs
+    )
+    SELECT train_id, test_id, cos_sim FROM ranked WHERE rn = 1 ORDER BY train_id
+    """
+
+
+@query("decontaminate_semantic", oracle=_semantic_contamination_oracle(0.4))
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paraphrase-level train/test contamination: train vectors whose
+    cosine to a test-split vector (within the same centroid cell) exceeds
+    0.4, each reporting its most-similar test vector. Complements the
+    verbatim n-gram decontamination pass."""
+    t = Tables(spark, sf_dir)
+    return similarity.cross_split_contamination(t.embeddings, threshold=0.4)

@@ -157,3 +157,38 @@ def stream_watermark_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("w_start"), "n_events", "sum_value")
         .orderBy("w_start")
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle=f"""
+        SELECT date_trunc('hour', e.ts) AS w_start,
+               c.c_mktsegment AS segment,
+               COUNT(*) AS n_events,
+               {oracle_dsum('e.value', 'sum_value')}
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2 ORDER BY w_start, segment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (batch equivalent): events enriched
+    with the broadcast customer dimension, hourly window x market segment.
+    The true readStream pipeline is streaming/pipelines.py:
+    enriched_windowed_stream, pinned against this shape in pytest."""
+    t = Tables(spark, sf_dir)
+    enriched = t.events.join(
+        F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+        on=F.col("user_id") == F.col("c_custkey"),
+        how="inner",
+    )
+    return (
+        enriched.groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("w_start", "segment")
+    )

@@ -80,6 +80,44 @@ def sessionized_stream(events: DataFrame, *, gap: str = "10 minutes", watermark:
     )
 
 
+def enriched_windowed_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    join_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    segment_col: str = "c_mktsegment",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a static
+    dimension (broadcast — the dimension never shuffles the stream), then
+    windowed aggregate per segment.
+
+    This is the canonical "enrich the event stream with reference data"
+    shape: the static side is re-read per micro-batch by Spark, so a
+    versioned-catalog publish (engine/publish.py) is picked up without
+    restarting the query. State is bounded by watermark x segment count.
+    """
+    enriched = events.withWatermark("ts", watermark).join(
+        F.broadcast(dim.select(F.col(dim_key), F.col(segment_col))),
+        on=F.col(join_key) == F.col(dim_key),
+        how="inner",
+    )
+    return (
+        enriched.groupBy(F.window("ts", "1 hour").alias("w"), F.col(segment_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(24,8)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col(segment_col).alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stateful_dedup_stream(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup on (user_id, event_type) within the watermark — the
     streaming analog of the keep-first batch dedup (stream_dedup_first)."""

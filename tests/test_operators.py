@@ -539,3 +539,41 @@ def test_semantic_dedup_cells_invariants(spark, sf_dir):
     # a self-duplicate corpus collapses: threshold 1.01 never drops anything
     none = similarity.semantic_dedup_cells(emb, threshold=1.01).collect()
     assert all(r.n_dropped == 0 for r in none)
+
+
+def test_sample_domain_cap_quota_and_order(spark):
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 30 else "b", 1000 - i) for i in range(40)],
+        "doc_id long, source string, n_chars long",
+    )
+    rows = corpus_prep.sample_domain_cap(docs, cap=10).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["a"]) == 10  # 30 docs capped to 10
+    assert len(by_src["b"]) == 10  # exactly at quota
+    # best-quality-first: domain a keeps its 10 largest docs (ids 0..9)
+    assert sorted(r.doc_id for r in by_src["a"]) == list(range(10))
+    assert [r.rnk for r in by_src["a"]] == list(range(1, 11))
+
+
+def test_cross_split_contamination_semantics(spark, sf_dir):
+    from mssql2monetdb_spark.operators import corpus_prep, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cross_split_contamination(emb, threshold=-2.0)
+    rows = out.collect()
+    # at threshold -2 every train vector sharing a cell with a test vector
+    # is reported exactly once (the argmax dedups)
+    assert len(rows) == len({r.train_id for r in rows})
+    splits = {
+        r.vec_id: r.split for r in corpus_prep.assign_split(emb, "vec_id").collect()
+    }
+    for r in rows:
+        assert splits[r.train_id] == "train" and splits[r.test_id] == "test"
+    # tightening the threshold can only shrink the result
+    tight = similarity.cross_split_contamination(emb, threshold=0.4).collect()
+    assert len(tight) <= len(rows)
+    assert all(r.cos_sim >= 0.4 for r in tight)

@@ -224,3 +224,24 @@ def test_semantic_dedup_broadcasts_centroids(spark):
     # corpus never shuffles for the assignment itself
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_domain_cap_uses_window_group_limit(spark):
+    plan = plan_of(spark, "sample_domain_cap")
+    # the rank<=cap filter must become a group limit so hot domains keep
+    # only `cap` rows per map partition before the shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_stream_static_enrich_broadcasts_dimension(spark):
+    plan = plan_of(spark, "stream_static_enrich")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_contamination_broadcasts_test_split(spark):
+    plan = plan_of(spark, "decontaminate_semantic")
+    # the test split (small side) must broadcast; the train corpus never
+    # shuffles for the contamination join itself
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

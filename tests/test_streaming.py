@@ -187,3 +187,37 @@ def test_stream_to_versioned_publish(spark, stream_src, tmp_path):
     catalog.register_view(spark, "default", "events_live")
     n = spark.sql("SELECT COUNT(*) AS n FROM events_live").collect()[0]["n"]
     assert n == spark.read.parquet(stream_src).count()
+
+
+def test_enriched_stream_matches_batch(spark, stream_src, tmp_path):
+    from mssql2monetdb_spark.streaming.pipelines import enriched_windowed_stream
+
+    dim = load_table(spark, SF, "customer")
+    stream = enriched_windowed_stream(events_stream(spark, stream_src), dim)
+    run_available_now(stream, str(tmp_path / "ckpt"), "enriched_win")
+    streamed = {
+        (r["w_start"], r["segment"], r["n_events"], r["sum_value"])
+        for r in spark.table("enriched_win").collect()
+    }
+    batch_df = (
+        spark.read.parquet(stream_src)
+        .join(
+            F.broadcast(dim.select("c_custkey", "c_mktsegment")),
+            on=F.col("user_id") == F.col("c_custkey"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(24,8)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    batch = {
+        (r["w_start"], r["segment"], r["n_events"], r["sum_value"]) for r in batch_df.collect()
+    }
+    assert streamed == batch and len(batch) > 0
