@@ -33,7 +33,8 @@ from . import tpch_full  # noqa: E402,F401
 # sample_quality_weighted, report_corpus_health, funnel_stages,
 # retention_cohorts, corpus_pretraining_pipeline, agg_corr_regression,
 # doc_chunk_overlap, fn_datetime2, subquery_correlated_min,
-# agg_histogram_bins, sample_domain_cap, decontaminate_semantic),
+# agg_histogram_bins, sample_domain_cap, decontaminate_semantic,
+# fn_bitwise, fn_greatest_least),
 # the 13 round-2 TPC-H additions (tpch_full.py: q2/q7/q8/q9/q11/q13/q15/
 # q16/q17/q19/q20/q21/q22), and the de-vacuized tpch_q4/tpch_q6/set_except,
 # plus any query changed that round. Keep ~5 canaries.
@@ -61,8 +62,9 @@ GATE_PRIORITY = [
     "cte_with_clause",
     "window_range_frame",
     "agg_filter_clause",
-    # Functions corpus. (fn_datetime2 rotates out — the datetime family is
-    # represented by fn_datetime; fn_datetime2 follows in round 3.)
+    # Functions corpus. (fn_datetime2, fn_bitwise, fn_greatest_least rotate
+    # out — extras-beyond-survey variants; they follow in round 3. The
+    # datetime family is represented by fn_datetime.)
     "fn_string",
     "fn_datetime",
     "fn_math",
@@ -70,10 +72,8 @@ GATE_PRIORITY = [
     "fn_json",
     "fn_array",
     "fn_explode_posexplode",
-    "fn_bitwise",
     "fn_null_semantics",
     "join_nullsafe",
-    "fn_greatest_least",
     "fn_array_setops",
     "fn_try_cast",
     # §2C extension / LLM-pipeline operators.
@@ -95,6 +95,8 @@ GATE_PRIORITY = [
     "text_repetition",
     "multimodal_binary_meta",
     "multimodal_image_decode",
+    "multimodal_audio_decode",
+    "multimodal_video_frames",
     "rollup_time_buckets",
     "pipeline_clean_corpus",
     # Streaming batch-equivalents.

@@ -691,3 +691,109 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell kept/dropped summary (operators/similarity.py)."""
     t = Tables(spark, sf_dir)
     return similarity.semantic_dedup_cells(t.embeddings, threshold=0.4)
+
+
+# 44-byte canonical PCM WAV header: mono, 16 kHz, 16-bit, 16-byte data chunk
+# (8 samples). Precomputed with struct.pack — constant because every
+# synthesized payload carries exactly the 16 md5 digest bytes as samples.
+_WAV_HEADER_HEX = (
+    "524946463400000057415645666d7420100000000100010080"
+    "3e0000007d0000020010006461746110000000"
+)
+
+
+def _wav_byte(j: int) -> str:
+    """DuckDB: unsigned byte j (0-based) of md5(text) from its hex form."""
+    return f"('0x' || substr(md5(text), {2 * j + 1}, 2))::INT"
+
+
+def _wav_feature(i: int) -> str:
+    """DuckDB: |int16 LE sample i| / 32768 — exact (k/2^15 is exact in
+    float32 and double), so it matches the kernel's float32 RMS bit-for-bit
+    after the widening cast."""
+    s = f"({_wav_byte(2 * i)} + 256 * {_wav_byte(2 * i + 1)})"
+    signed = f"(CASE WHEN {s} >= 32768 THEN {s} - 65536 ELSE {s} END)"
+    return f"(abs({signed}) / 32768.0)"
+
+
+@query(
+    "multimodal_audio_decode",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CAST(60 AS BIGINT) AS n_bytes,
+               CAST(CAST(0.0005 AS REAL) AS DOUBLE) AS duration_s,
+               {", ".join(f"{_wav_feature(i)} AS f{i}" for i in range(8))}
+        FROM documents ORDER BY media_id
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode end-to-end: synthesize a PCM WAV per document
+    (44-byte canonical header + the 16 md5 digest bytes as 8 LE int16
+    samples), run the real pure-Python RIFF/WAV decode kernel
+    (fake=False), and emit duration + the 8 per-segment RMS features.
+    With 8 samples each RMS window holds exactly one sample, so
+    feature_i = |sample_i| / 32768 — recomputed independently by the
+    oracle from the md5 hex. Driver-verifies the whole mapInPandas
+    audio path (operators/multimodal.py:extract_audio_features)."""
+    t = Tables(spark, sf_dir)
+    digest = F.md5(F.encode(F.col("text"), "UTF-8"))
+    media = t.documents.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.concat(F.unhex(F.lit(_WAV_HEADER_HEX)), F.unhex(digest)).alias("content"),
+    )
+    decoded = multimodal.extract_audio_features(media, fake=False)
+    return decoded.select(
+        "media_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("duration_est_s").cast("double").alias("duration_s"),
+        *[
+            F.element_at("mfcc_like", i + 1).cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
+    ).orderBy("media_id")
+
+
+@query(
+    "multimodal_video_frames",
+    oracle="""
+        SELECT doc_id AS media_id, 0 AS frame_idx,
+               CAST(12 AS BIGINT) AS n_frame_bytes,
+               substr(md5(text), 1, 24) AS frame_hex
+        FROM documents
+        UNION ALL
+        SELECT doc_id AS media_id, 1 AS frame_idx,
+               CAST(12 AS BIGINT) AS n_frame_bytes,
+               substr(md5(text || 'f2'), 1, 24) AS frame_hex
+        FROM documents
+        ORDER BY media_id, frame_idx
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video frame sampling end-to-end: synthesize a 2-frame 2x2 C444
+    Y4M stream per document (frame payloads = md5 digest bytes), run the
+    real pure-Python YUV4MPEG2 parser (fake=False), and emit each sampled
+    frame's exact payload as hex. The oracle reproduces the payloads
+    directly from the md5 hex, driver-verifying the whole mapInPandas
+    video path (operators/multimodal.py:sample_video_frames)."""
+    t = Tables(spark, sf_dir)
+    d1 = F.md5(F.encode(F.col("text"), "UTF-8"))
+    d2 = F.md5(F.encode(F.concat(F.col("text"), F.lit("f2")), "UTF-8"))
+    header = F.encode(F.lit("YUV4MPEG2 W2 H2 C444\n"), "UTF-8")
+    marker = F.encode(F.lit("FRAME\n"), "UTF-8")
+    media = t.documents.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.concat(
+            header,
+            marker,
+            F.unhex(F.substring(d1, 1, 24)),
+            marker,
+            F.unhex(F.substring(d2, 1, 24)),
+        ).alias("content"),
+    )
+    frames = multimodal.sample_video_frames(media, every_n=1, fake=False)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.octet_length("frame").cast("bigint").alias("n_frame_bytes"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    ).orderBy("media_id", "frame_idx")
