@@ -350,3 +350,40 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+def incremental_exact_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Annotate an incoming batch against an existing corpus: exact dedup
+    for continuous ingest (the corpus-side analog of the reference's
+    watermark-triggered incremental copy, CopyTool.java:332-477).
+
+    Returns every incoming row with ``dup_of`` = the min-id existing
+    document with identical content (NULL -> novel). Scale shape: the
+    incoming batch is small relative to the corpus, so the dup probe
+    BROADCASTS the incoming hashes against the existing relation (the
+    corpus never shuffles), and the resulting dup list — at most
+    batch-sized — broadcasts back onto the batch. The 100 TB corpus is
+    only ever scanned, never exchanged.
+    """
+    inc_hashed = incoming.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    ex_hashed = existing.select(
+        F.col(id_col).alias("ex_id"), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    dups = (
+        ex_hashed.join(F.broadcast(inc_hashed.select("content_hash").distinct()), "content_hash")
+        .groupBy("content_hash")
+        .agg(F.min("ex_id").alias("dup_of"))
+    )
+    return (
+        inc_hashed.join(F.broadcast(dups), "content_hash", "left")
+        .select(F.col(id_col), F.col("dup_of"))
+        .orderBy(id_col)
+    )

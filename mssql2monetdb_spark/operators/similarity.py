@@ -469,3 +469,31 @@ def cross_split_contamination(
         .select("train_id", "test_id", "cos_sim")
         .orderBy("train_id")
     )
+
+
+RP_DIM = 16  # random-projection target dimensionality
+
+#: RP_DIM deterministic projection vectors (LCG seeds disjoint from the
+#: LSH hyperplane seeds so the two geometries are uncorrelated).
+RP_PLANES: list[list[float]] = [_lcg_floats(2000 + i, EMBED_DIM) for i in range(RP_DIM)]
+
+
+def random_projection(
+    emb_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection to RP_DIM dimensions.
+
+    The classic pre-pass that makes downstream ANN / clustering cheaper:
+    distances are approximately preserved while per-vector cost drops
+    EMBED_DIM/RP_DIM x. Pure per-row fold arithmetic (broadcast-free,
+    shuffle-free, no Python); projections are deterministic left-fold dot
+    products so the reduced vectors are bit-identical cross-engine.
+    """
+    cols = [
+        vectors.dot(F.col(emb_col), vectors.const_array(RP_PLANES[j])).alias(f"p{j}")
+        for j in range(RP_DIM)
+    ]
+    return parallelized(emb_df).select(F.col(id_col), *cols).orderBy(id_col)

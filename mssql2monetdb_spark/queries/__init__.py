@@ -34,7 +34,8 @@ from . import tpch_full  # noqa: E402,F401
 # retention_cohorts, corpus_pretraining_pipeline, agg_corr_regression,
 # doc_chunk_overlap, fn_datetime2, subquery_correlated_min,
 # agg_histogram_bins, sample_domain_cap, decontaminate_semantic,
-# fn_bitwise, fn_greatest_least),
+# fn_bitwise, fn_greatest_least, join_nullsafe,
+# embed_random_projection),
 # the 13 round-2 TPC-H additions (tpch_full.py: q2/q7/q8/q9/q11/q13/q15/
 # q16/q17/q19/q20/q21/q22), and the de-vacuized tpch_q4/tpch_q6/set_except,
 # plus any query changed that round. Keep ~5 canaries.
@@ -73,7 +74,6 @@ GATE_PRIORITY = [
     "fn_array",
     "fn_explode_posexplode",
     "fn_null_semantics",
-    "join_nullsafe",
     "fn_array_setops",
     "fn_try_cast",
     # §2C extension / LLM-pipeline operators.
@@ -85,6 +85,7 @@ GATE_PRIORITY = [
     "dedup_connected_components",
     "dedup_semantic_cells",
     "dedup_url_normalized",
+    "dedup_incremental_ingest",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

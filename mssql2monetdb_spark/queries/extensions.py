@@ -797,3 +797,58 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("frame").cast("bigint").alias("n_frame_bytes"),
         F.lower(F.hex("frame")).alias("frame_hex"),
     ).orderBy("media_id", "frame_idx")
+
+
+@query(
+    "dedup_incremental_ingest",
+    oracle="""
+        WITH incoming AS (
+            SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, text || ' novel' FROM documents WHERE doc_id % 4 = 1
+        ), inc AS (
+            SELECT doc_id, md5(text) AS content_hash FROM incoming
+        ), dups AS (
+            SELECT md5(e.text) AS content_hash, MIN(e.doc_id) AS dup_of
+            FROM documents e
+            WHERE md5(e.text) IN (SELECT content_hash FROM inc)
+            GROUP BY 1
+        )
+        SELECT i.doc_id, d.dup_of
+        FROM inc i LEFT JOIN dups d ON i.content_hash = d.content_hash
+        ORDER BY i.doc_id
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: an incoming batch (seeded deterministically —
+    one quarter of the corpus re-ingested verbatim, one quarter genuinely
+    novel) probed against the existing corpus; every incoming doc is
+    annotated with the existing document it duplicates, or NULL if novel.
+    The corpus side is never shuffled (operators/dedup.py:
+    incremental_exact_dedup)."""
+    t = Tables(spark, sf_dir)
+    clones = t.documents.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    novel = t.documents.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" novel")).alias("text"),
+    )
+    return dedup.incremental_exact_dedup(t.documents, clones.unionAll(novel))
+
+
+def _random_projection_oracle() -> str:
+    cols = ", ".join(
+        f"{vectors.dot_sql('embedding', vectors.const_array_sql(similarity.RP_PLANES[j]))} AS p{j}"
+        for j in range(similarity.RP_DIM)
+    )
+    return f"SELECT vec_id, {cols} FROM embeddings ORDER BY vec_id"
+
+
+@query("embed_random_projection", oracle=_random_projection_oracle())
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random projection 64 -> 16 dims (JL transform): the deterministic
+    dimensionality-reduction pre-pass for cheap ANN/clustering
+    (operators/similarity.py:random_projection)."""
+    t = Tables(spark, sf_dir)
+    return similarity.random_projection(t.embeddings)

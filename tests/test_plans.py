@@ -245,3 +245,17 @@ def test_semantic_contamination_broadcasts_test_split(spark):
     # shuffles for the contamination join itself
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_never_shuffles_corpus(spark):
+    plan = plan_of(spark, "dedup_incremental_ingest")
+    # both joins are broadcast (incoming hashes onto the corpus, dup list
+    # back onto the batch) — the existing corpus is scanned, never exchanged
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_random_projection_is_narrow(spark):
+    plan = plan_of(spark, "embed_random_projection")
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
