@@ -34,7 +34,7 @@ from . import tpch_full  # noqa: E402,F401
 # retention_cohorts, corpus_pretraining_pipeline, agg_corr_regression,
 # doc_chunk_overlap, fn_datetime2, subquery_correlated_min,
 # agg_histogram_bins, sample_domain_cap, decontaminate_semantic,
-# fn_bitwise, fn_greatest_least, join_nullsafe,
+# fn_bitwise, fn_greatest_least, join_nullsafe, agg_filter_clause,
 # embed_random_projection),
 # the 13 round-2 TPC-H additions (tpch_full.py: q2/q7/q8/q9/q11/q13/q15/
 # q16/q17/q19/q20/q21/q22), and the de-vacuized tpch_q4/tpch_q6/set_except,
@@ -62,7 +62,6 @@ GATE_PRIORITY = [
     "subquery_not_in_nulls",
     "cte_with_clause",
     "window_range_frame",
-    "agg_filter_clause",
     # Functions corpus. (fn_datetime2, fn_bitwise, fn_greatest_least rotate
     # out — extras-beyond-survey variants; they follow in round 3. The
     # datetime family is represented by fn_datetime.)
@@ -99,6 +98,7 @@ GATE_PRIORITY = [
     "multimodal_audio_decode",
     "multimodal_video_frames",
     "rollup_time_buckets",
+    "rollup_approx_users_daily",
     "pipeline_clean_corpus",
     # Streaming batch-equivalents.
     "stream_tumbling_hourly",
