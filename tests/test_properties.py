@@ -135,3 +135,61 @@ def test_y4m_roundtrip(w, h, n_frames):
     )
     rw, rh, out = _parse_y4m(content)
     assert (rw, rh) == (w, h) and out == frames
+
+
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=2, max_value=128),
+    st.integers(min_value=1, max_value=128),
+)
+def test_chunk_count_formula(n_tokens, size, stride):
+    """The chunk-count closed form used identically by the Spark query and
+    the DuckDB oracle: every token covered, last chunk non-empty, short
+    docs yield exactly one chunk."""
+    stride = min(stride, size)  # operator contract: stride <= size
+    n_chunks = 1 + (max(n_tokens - size, 0) + stride - 1) // stride
+    assert n_chunks >= 1
+    # the final chunk's window must start at or before the last token
+    last_start = (n_chunks - 1) * stride
+    assert last_start < n_tokens
+    # coverage: the last chunk reaches the end of the document
+    assert last_start + size >= n_tokens
+    # no superfluous trailing chunk: the second-to-last chunk (if any)
+    # must NOT already cover the document
+    if n_chunks > 1:
+        assert (n_chunks - 2) * stride + size < n_tokens
+
+
+_URL_CHARS = st.text(
+    alphabet=st.sampled_from("abcdefghij0123456789./-_?&=wW"), min_size=0, max_size=40
+)
+
+
+@given(_URL_CHARS, st.sampled_from(["http://", "https://", "HTTP://", ""]),
+       st.sampled_from(["www.", "WWW.", ""]))
+def test_normalize_url_invariants(rest, scheme, www):
+    """Canonical form is scheme/www/query/slash-free and case-normalized,
+    and equivalent decorated variants of the same URL collapse to the same
+    canonical form — the property that makes keep-first-per-URL dedup
+    well-defined. (The chain is one fixed regex pass, identical on both
+    engines; it deliberately strips only ONE leading www.)"""
+    import re
+
+    def norm(u: str) -> str:
+        out = u.lower()
+        for pat in (r"^[a-z]+://", r"^www\.", r"\?.*$", r"/+$"):
+            out = re.sub(pat, "", out)
+        return out
+
+    once = norm(scheme + www + rest)
+    # the canonical form never keeps a scheme, query string, or trailing /
+    assert not re.match(r"^[a-z]+://", once)
+    assert "?" not in once
+    assert not once.endswith("/")
+    # every scheme/www decoration of the same rest collapses identically
+    # (unless rest itself starts with www. — the chain strips only one,
+    # by design, so such URLs stay distinct from their stripped form)
+    if not rest.lower().startswith("www."):
+        variants = {norm(s + w + rest) for s in ("http://", "HTTPS://", "")
+                    for w in ("www.", "WWW.", "")}
+        assert len(variants) == 1
