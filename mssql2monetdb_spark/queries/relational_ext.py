@@ -815,3 +815,43 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / nd).alias("intercept"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_order,
+               LAST_VALUE(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS last_order,
+               NTH_VALUE(o_orderkey, 2) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_orderkey
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sensitive value window functions: first/last/nth order per
+    customer. LAST_VALUE and NTH_VALUE use an explicit unbounded frame —
+    the default frame ends at CURRENT ROW, a classic cross-engine trap;
+    ordering includes the key so ties are deterministic."""
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    w_default = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_default.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        t.orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.first("o_orderkey").over(w_default).alias("first_order"),
+            F.last("o_orderkey").over(w_full).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+        )
+        .orderBy("o_orderkey")
+    )

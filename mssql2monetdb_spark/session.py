@@ -29,8 +29,10 @@ _BUILD_CONF = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Deterministic timestamps independent of host timezone.
     "spark.sql.session.timeZone": "UTC",
-    # Parquet TIMESTAMP(NANOS) (the events fixture) has no Spark type; read
-    # as raw epoch-nanos LONG and rebuild micros in the loader (catalog.py).
+    # Parquet TIMESTAMP(NANOS) (older events fixtures) has no Spark type;
+    # read as raw epoch-nanos LONG and rebuild micros in the loader
+    # (catalog.py dispatches on the scanned dtype, so micros-typed
+    # fixtures are unaffected by this flag).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # 128 MiB input splits: good parquet scan granularity at scale.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
