@@ -40,13 +40,12 @@ from . import tpch_full  # noqa: E402,F401
 # q16/q17/q19/q20/q21/q22), and the de-vacuized tpch_q4/tpch_q6/set_except,
 # plus any query changed that round. Keep ~5 canaries.
 #
-# Slots 0-49 of the driver's correctness window. Composition (round 2):
-#  - 19 §2C extension/LLM-pipeline operators (dedup/ANN/text/multimodal/rollup)
-#  - 15 functions-corpus queries (string/datetime/math/json/array/null/cast)
-#  - 5 streaming batch-equivalents
-#  - 6 relational queries with no round-1 verdict (subqueries/window/agg extras)
-#  - 4 changed this round (agg_array_collect, agg_approx_count_distinct,
-#    join_anti, fn_array_setops) + 1 core canary
+# Slots 0-49 of the driver's correctness window. Composition (round 2,
+# final): 1 core canary + 3 changed this round (join_anti,
+# agg_array_collect, agg_approx_count_distinct) + 3 relational with no
+# round-1 verdict + 11 functions-corpus + 23 §2C extension/LLM-pipeline
+# operators (9 dedup, 3 ANN, 5 text, 4 multimodal, 2 rollup, 1 pipeline)
+# + 6 streaming batch-equivalents + 3 corpus-prep.
 GATE_PRIORITY = [
     # Canary: the flagship scan+agg representative. (join_broadcast_dims,
     # green in round 1 and plan-pinned in pytest, rotates behind the window
