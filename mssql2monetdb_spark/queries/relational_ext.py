@@ -855,3 +855,57 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+        SELECT l_returnflag,
+               bool_and(l_quantity > 1) AS all_multi,
+               bool_or(l_discount > 0.09) AS any_high_disc,
+               CAST(count_if(l_tax = 0) AS BIGINT) AS n_tax_free
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (EVERY/ANY/COUNT_IF) — the predicate-summary
+    family the delegated-SQL surface exposes as bool_and/bool_or."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.every(F.col("l_quantity") > 1).alias("all_multi"),
+            F.some(F.col("l_discount") > 0.09).alias("any_high_disc"),
+            F.count_if(F.col("l_tax") == 0).cast("bigint").alias("n_tax_free"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+        SELECT o_orderkey, metric, CAST(val AS DOUBLE) AS val
+        FROM (
+            SELECT o_orderkey,
+                   CAST(o_totalprice AS DOUBLE) AS totalprice,
+                   CAST(o_custkey AS DOUBLE) AS custkey
+            FROM orders WHERE o_orderkey < 200
+        )
+        UNPIVOT (val FOR metric IN (totalprice, custkey))
+        ORDER BY o_orderkey, metric
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long reshape), the inverse of agg_pivot — Spark's
+    DataFrame.unpivot / SQL stack(); narrow per-row expansion, no shuffle
+    beyond the output sort."""
+    t = Tables(spark, sf_dir)
+    wide = t.orders.filter(F.col("o_orderkey") < 200).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return wide.unpivot(
+        "o_orderkey", ["totalprice", "custkey"], "metric", "val"
+    ).orderBy("o_orderkey", "metric")
