@@ -36,7 +36,7 @@ from . import tpch_full  # noqa: E402,F401
 # agg_histogram_bins, sample_domain_cap, decontaminate_semantic,
 # fn_bitwise, fn_greatest_least, join_nullsafe, agg_filter_clause,
 # embed_random_projection, window_first_last_nth, agg_boolean,
-# agg_unpivot),
+# agg_unpivot, merge_scd1_upsert),
 # the 13 round-2 TPC-H additions (tpch_full.py: q2/q7/q8/q9/q11/q13/q15/
 # q16/q17/q19/q20/q21/q22), and the de-vacuized tpch_q4/tpch_q6/set_except,
 # plus any query changed that round. Keep ~5 canaries.

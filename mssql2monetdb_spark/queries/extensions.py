@@ -887,3 +887,58 @@ def rollup_approx_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "merge_scd1_upsert",
+    oracle="""
+        WITH incoming AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice * 1.1 AS o_totalprice
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, 'N', 100.0
+            FROM orders WHERE o_orderkey % 11 = 0
+        ), existing AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        ), merged AS (
+            SELECT * FROM existing
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)
+            UNION ALL
+            SELECT * FROM incoming
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,8))) AS DOUBLE) AS sum_price
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def merge_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 upsert (last-write-wins merge) via broadcast anti-join +
+    union — the incremental-sync generalization of the reference's
+    full-reload copy (operators/upsert.py). The incoming batch is seeded
+    deterministically: 1/7 of orders re-priced (updates) plus 1/11 as
+    brand-new keys (inserts); the per-status summary pins both paths."""
+    from ..operators import upsert
+
+    t = Tables(spark, sf_dir)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    existing = t.orders.select(*cols)
+    updates = existing.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    inserts = existing.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(100.0).alias("o_totalprice"),
+    )
+    merged = upsert.upsert_scd1(existing, updates.unionByName(inserts), "o_orderkey")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,8)")).cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

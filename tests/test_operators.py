@@ -577,3 +577,17 @@ def test_cross_split_contamination_semantics(spark, sf_dir):
     tight = similarity.cross_split_contamination(emb, threshold=0.4).collect()
     assert len(tight) <= len(rows)
     assert all(r.cos_sim >= 0.4 for r in tight)
+
+
+def test_upsert_scd1_semantics(spark):
+    from mssql2monetdb_spark.operators import upsert
+
+    existing = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    incoming = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k long, v string"
+    )
+    rows = {r.k: r.v for r in upsert.upsert_scd1(existing, incoming, "k").collect()}
+    # update wins, untouched passes through, new key appends
+    assert rows == {1: "a", 2: "B", 3: "c", 4: "D"}

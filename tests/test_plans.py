@@ -259,3 +259,11 @@ def test_random_projection_is_narrow(spark):
     plan = plan_of(spark, "embed_random_projection")
     assert "hashpartitioning" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_upsert_broadcasts_incoming_keys(spark):
+    plan = plan_of(spark, "merge_scd1_upsert")
+    # the anti join must broadcast the (small) incoming key set — the
+    # existing table is scanned once, never shuffled for the merge
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
