@@ -18,7 +18,7 @@ import pandas as pd
 
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf, udf, udtf
-from pyspark.sql.types import DoubleType, IntegerType
+from pyspark.sql.types import DoubleType, IntegerType, StringType
 
 
 # 4. row-at-a-time UDF (the slow path, for comparison only)
@@ -34,6 +34,15 @@ def zscore_pandas(v: pd.Series) -> pd.Series:
     # compute mean/std with aggregates and broadcast — see queries)
     std = v.std(ddof=0)
     return (v - v.mean()) / (std if std else 1.0)
+
+
+# 2a'. scalar pandas UDF with exact (string) semantics — the one the
+# driver gate verifies against DuckDB (fn_pandas_udf query): lowercase,
+# trim, collapse internal whitespace. Strings are deterministic
+# cross-engine, unlike batch-local float statistics.
+@pandas_udf(StringType())
+def normalize_ws_pandas(v: pd.Series) -> pd.Series:
+    return v.fillna("").str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
 
 
 # 2b. grouped-aggregate pandas UDAF
@@ -61,5 +70,6 @@ def register_all(spark: SparkSession) -> None:
     """Make the surface available to SQL: SELECT py_token_count(text) ..."""
     spark.udf.register("py_token_count", py_token_count)
     spark.udf.register("zscore_pandas", zscore_pandas)
+    spark.udf.register("normalize_ws_pandas", normalize_ws_pandas)
     spark.udf.register("trimmed_mean", trimmed_mean_udaf)
     spark.udtf.register("shingles", ShingleUDTF)

@@ -36,7 +36,7 @@ from . import tpch_full  # noqa: E402,F401
 # agg_histogram_bins, sample_domain_cap, decontaminate_semantic,
 # fn_bitwise, fn_greatest_least, join_nullsafe, agg_filter_clause,
 # embed_random_projection, window_first_last_nth, agg_boolean,
-# agg_unpivot, merge_scd1_upsert),
+# agg_unpivot, merge_scd1_upsert, fn_conditional),
 # the 13 round-2 TPC-H additions (tpch_full.py: q2/q7/q8/q9/q11/q13/q15/
 # q16/q17/q19/q20/q21/q22), and the de-vacuized tpch_q4/tpch_q6/set_except,
 # plus any query changed that round. Keep ~5 canaries.
@@ -62,13 +62,15 @@ GATE_PRIORITY = [
     "subquery_not_in_nulls",
     "cte_with_clause",
     "window_range_frame",
-    # Functions corpus. (fn_datetime2, fn_bitwise, fn_greatest_least rotate
-    # out — extras-beyond-survey variants; they follow in round 3. The
-    # datetime family is represented by fn_datetime.)
+    # Functions corpus. (fn_datetime2, fn_bitwise, fn_greatest_least,
+    # fn_conditional rotate out — variants whose families are covered by
+    # round-1-green queries or fn_datetime; they follow in round 3.
+    # fn_pandas_udf driver-verifies the previously pytest-only Arrow UDF
+    # surface.)
     "fn_string",
     "fn_datetime",
     "fn_math",
-    "fn_conditional",
+    "fn_pandas_udf",
     "fn_json",
     "fn_array",
     "fn_explode_posexplode",

@@ -506,3 +506,32 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%s/%s", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_pri"),
         F.format_string("%.2f", price).alias("price_str"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_pandas_udf",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(lower(trim(text || '   MiXeD    Case  ')), '\\s+', ' ', 'g')
+                   AS norm_text
+        FROM documents ORDER BY doc_id
+    """,
+)
+def fn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched pandas-UDF path under the driver gate: a
+    vectorized string normalizer (lower/trim/collapse whitespace) with
+    exact cross-engine semantics, applied to text decorated with
+    mixed-case padded suffixes so every rule fires. The query corpus keeps
+    built-ins in every hot path (SURVEY §2B discipline); this entry exists
+    to driver-verify the UDF plumbing itself — Arrow transfer, batch
+    boundaries, null handling (functions/udfs.py:normalize_ws_pandas)."""
+    from ..catalog import parallelized
+    from ..functions.udfs import normalize_ws_pandas
+
+    t = Tables(spark, sf_dir)
+    decorated = parallelized(t.documents).select(
+        "doc_id", F.concat(F.col("text"), F.lit("   MiXeD    Case  ")).alias("text")
+    )
+    return decorated.select(
+        "doc_id", normalize_ws_pandas(F.col("text")).alias("norm_text")
+    ).orderBy("doc_id")
