@@ -42,7 +42,12 @@ def zscore_pandas(v: pd.Series) -> pd.Series:
 # cross-engine, unlike batch-local float statistics.
 @pandas_udf(StringType())
 def normalize_ws_pandas(v: pd.Series) -> pd.Series:
-    return v.fillna("").str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+    # Exact oracle semantics (DuckDB lower/trim/regexp_replace): NULL
+    # propagates (pandas .str ops keep NaN -> Arrow NULL; no fillna),
+    # trim() strips spaces only (not \t/\n/unicode), and the collapse
+    # class is RE2's ASCII \s = [\t\n\f\r ] rather than Python's
+    # unicode-aware \s.
+    return v.str.lower().str.strip(" ").str.replace(r"[\t\n\f\r ]+", " ", regex=True)
 
 
 # 2b. grouped-aggregate pandas UDAF

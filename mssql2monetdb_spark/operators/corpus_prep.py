@@ -857,23 +857,31 @@ def chunk_documents_sql(
 
 URL_SCHEME_RE = r"^[a-z]+://"
 URL_WWW_RE = r"^www\."
+URL_FRAGMENT_RE = r"#.*$"
 URL_QUERY_RE = r"\?.*$"
 URL_TRAILING_SLASH_RE = r"/+$"
+
+# One shared strip order for BOTH engines (Spark + DuckDB oracle), so the
+# two normalizers can never diverge. Fragment strips before query: in
+# 'a?x#y' the fragment is the trailing part. Neither engine's '.' crosses
+# a newline (Java regex and RE2 agree), so a literal newline inside a URL
+# — degenerate input — truncates both sides identically.
+URL_STRIP_RES = (URL_SCHEME_RE, URL_WWW_RE, URL_FRAGMENT_RE, URL_QUERY_RE, URL_TRAILING_SLASH_RE)
 
 
 def normalize_url(col):
     """Canonicalize a URL: lowercase, strip scheme, leading ``www.``,
-    query string, and trailing slashes. Pure regex chain — identical
-    semantics under Java regex and RE2, no Python."""
+    fragment, query string, and trailing slashes. Pure regex chain —
+    identical semantics under Java regex and RE2, no Python."""
     out = F.lower(col)
-    for pat in (URL_SCHEME_RE, URL_WWW_RE, URL_QUERY_RE, URL_TRAILING_SLASH_RE):
+    for pat in URL_STRIP_RES:
         out = F.regexp_replace(out, pat, "")
     return out
 
 
 def normalize_url_sql(expr: str) -> str:
     out = f"lower({expr})"
-    for pat in (URL_SCHEME_RE, URL_WWW_RE, URL_QUERY_RE, URL_TRAILING_SLASH_RE):
+    for pat in URL_STRIP_RES:
         out = f"regexp_replace({out}, '{pat}', '')"
     return out
 

@@ -199,14 +199,7 @@ def _argmin_assign(
     """
     from pyspark.sql.window import Window
 
-    dist2 = F.reduce(
-        F.zip_with(
-            F.col(emb_col), F.col("cvec"),
-            lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dist2 = vectors.l2sq(F.col(emb_col), F.col("cvec"))
     scored = emb_df.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col), F.col(emb_col), F.col("cid"), dist2.alias("dist2")
     )

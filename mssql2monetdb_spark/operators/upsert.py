@@ -18,14 +18,36 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
-def upsert_scd1(existing: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+def upsert_scd1(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key: str,
+    *,
+    order_col: str | None = None,
+) -> DataFrame:
     """Last-write-wins merge of ``incoming`` over ``existing`` on ``key``.
 
     Incoming rows replace same-key existing rows; unmatched existing rows
     pass through; brand-new keys append. Both inputs must share a schema.
+
+    When the batch itself can carry several rows for one key, pass
+    ``order_col``: the batch is first collapsed to one row per key (highest
+    ``order_col`` wins, so last-write-wins holds WITHIN the batch too).
+    Without ``order_col`` the caller must guarantee at most one row per key
+    in ``incoming`` — duplicate keys would otherwise all survive the merge.
+    The collapse is a window over the (small) batch only; the existing
+    table still never shuffles.
     """
+    if order_col is not None:
+        w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+        incoming = (
+            incoming.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     kept = existing.join(
         F.broadcast(incoming.select(key).distinct()), key, "left_anti"
     )

@@ -502,6 +502,9 @@ def test_normalize_url_rules(spark):
         ("http://example.com/a/b", "example.com/a/b"),
         ("https://example.com/a/b///", "example.com/a/b"),
         ("http://www.example.com/a/b?utm=z", "example.com/a/b"),
+        ("https://example.com/a#top", "example.com/a"),
+        ("https://example.com/a?x=1#frag", "example.com/a"),
+        ("https://example.com/a/#frag", "example.com/a"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(corpus_prep.normalize_url(F.col("url"))).collect()]
@@ -591,3 +594,18 @@ def test_upsert_scd1_semantics(spark):
     rows = {r.k: r.v for r in upsert.upsert_scd1(existing, incoming, "k").collect()}
     # update wins, untouched passes through, new key appends
     assert rows == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_upsert_scd1_collapses_duplicate_batch_keys(spark):
+    from mssql2monetdb_spark.operators import upsert
+
+    existing = spark.createDataFrame([(1, "a", 0), (2, "b", 0)], "k long, v string, seq long")
+    # the batch carries TWO rows for key 2 — the higher seq must win, and
+    # the merge must emit exactly one row for the key
+    incoming = spark.createDataFrame(
+        [(2, "B-old", 1), (2, "B-new", 2), (3, "C", 1)], "k long, v string, seq long"
+    )
+    out = upsert.upsert_scd1(existing, incoming, "k", order_col="seq").collect()
+    rows = {r.k: r.v for r in out}
+    assert len(out) == 3
+    assert rows == {1: "a", 2: "B-new", 3: "C"}

@@ -46,6 +46,30 @@ def test_udaf_trimmed_mean(spark):
         assert abs(got[status] - expected) < 1e-9
 
 
+def test_normalize_ws_pandas_matches_oracle_edge_semantics(spark):
+    """Edge inputs the sf fixtures never exercise (ADVICE round 2): NULL
+    must propagate (not map to ''), and trim must strip spaces only — the
+    exact semantics of the DuckDB oracle expression, checked side-by-side.
+    """
+    import duckdb
+
+    cases = [None, "  MiXeD  Case  ", "\tkeep-tab edges\t", "a\nb", "", "   "]
+    df = spark.createDataFrame([(c,) for c in cases], "text string").coalesce(1)
+    got = [
+        r["n"]
+        for r in df.select(udfs.normalize_ws_pandas("text").alias("n")).collect()
+    ]
+    con = duckdb.connect()
+    expected = [
+        con.sql(
+            "SELECT regexp_replace(lower(trim(?)), '\\s+', ' ', 'g')", params=[c]
+        ).fetchone()[0]
+        for c in cases
+    ]
+    assert got == expected
+    assert got[0] is None  # NULL in -> NULL out
+
+
 def test_udtf_shingles(spark):
     udfs.register_all(spark)
     out = spark.sql("SELECT * FROM shingles('a b c d')").collect()
