@@ -183,7 +183,8 @@ def topk_lsh(
 # IVF (inverted-file) ANN — the other classic scale path besides LSH
 # ---------------------------------------------------------------------------
 
-IVF_K = 8  # coarse cells, seeded from the first K vectors
+IVF_K = 8  # default coarse-cell count for the sf fixtures (~500 vectors);
+#            at 100 TB pass k~50k so cells stay bounded (sqrt(n) rule)
 IVF_REFINE_ITERS = 1  # Lloyd iterations from the seed (k-means-lite)
 
 
@@ -234,30 +235,74 @@ def _recompute_centroids(assigned: DataFrame, emb_col: str) -> DataFrame:
     ).select(F.col("cell").alias("cid"), "cvec")
 
 
+def _seed_centroids(emb_df: DataFrame, id_col: str, emb_col: str, k: int) -> DataFrame:
+    """Deterministic k-means seed: the first ``k`` vectors by id."""
+    return emb_df.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cid"), F.col(emb_col).alias("cvec")
+    )
+
+
+class IvfIndex:
+    """A built IVF index: ``centroids`` (cid, cvec) + ``assignments``
+    (id, emb, cell). Build ONCE, persist, probe many times — the
+    production split a per-query re-clustering would violate at scale.
+
+    ``persist()`` eagerly materializes both frames via ``localCheckpoint``,
+    truncating the k-means lineage so every subsequent probe plans against
+    the stored relations (at cluster scale you'd ``write.parquet`` the
+    assignments partitioned by cell and keep centroids broadcast-cached).
+    """
+
+    def __init__(self, centroids: DataFrame, assignments: DataFrame):
+        self.centroids = centroids
+        self.assignments = assignments
+
+    def persist(self) -> "IvfIndex":
+        self.centroids = self.centroids.localCheckpoint()
+        self.assignments = self.assignments.localCheckpoint()
+        return self
+
+
+def ivf_build_index(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    *,
+    k: int = IVF_K,
+    refine_iters: int = IVF_REFINE_ITERS,
+) -> IvfIndex:
+    """Build the IVF index: k-means-lite centroids + cell assignments.
+
+    Centroids are seeded deterministically from the first ``k`` vectors,
+    then refined with ``refine_iters`` Lloyd iterations (assign ->
+    per-cell decimal-exact mean -> reassign). Each iteration costs one
+    broadcast-argmin pass plus one explode+aggregate; the corpus never
+    shuffles on anything wider than (id). ``k`` scales with corpus size
+    (~sqrt(n): the fixtures use 8, a 100 TB corpus ~50k) so per-cell
+    candidate sets stay bounded.
+    """
+    emb_df = parallelized(emb_df)
+    centroids = _seed_centroids(emb_df, id_col, emb_col, k)
+    assigned = _argmin_assign(emb_df, centroids, id_col, emb_col)
+    for _ in range(refine_iters):
+        centroids = _recompute_centroids(assigned, emb_col)
+        assigned = _argmin_assign(emb_df, centroids, id_col, emb_col)
+    return IvfIndex(centroids, assigned)
+
+
 def ivf_assign(
     emb_df: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     *,
+    k: int = IVF_K,
     refine_iters: int = IVF_REFINE_ITERS,
 ) -> DataFrame:
-    """Assign every vector to its coarse IVF cell.
-
-    Centroids are k-means-lite: seeded deterministically from the first K
-    vectors, then refined with ``refine_iters`` Lloyd iterations (assign ->
-    per-cell decimal-exact mean -> reassign). Each iteration costs one
-    broadcast-argmin pass plus one explode+aggregate; the corpus never
-    shuffles on anything wider than (id).
-    """
-    emb_df = parallelized(emb_df)
-    centroids = emb_df.filter(F.col(id_col) < IVF_K).select(
-        F.col(id_col).cast("int").alias("cid"), F.col(emb_col).alias("cvec")
-    )
-    assigned = _argmin_assign(emb_df, centroids, id_col, emb_col)
-    for _ in range(refine_iters):
-        centroids = _recompute_centroids(assigned, emb_col)
-        assigned = _argmin_assign(emb_df, centroids, id_col, emb_col)
-    return assigned
+    """Assign every vector to its coarse IVF cell (index build, assignments
+    half — see :func:`ivf_build_index`)."""
+    return ivf_build_index(
+        emb_df, id_col, emb_col, k=k, refine_iters=refine_iters
+    ).assignments
 
 
 def topk_ivf(
@@ -267,19 +312,44 @@ def topk_ivf(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     k: int = 5,
+    nprobe: int = 1,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
-    """IVF top-k: score only vectors in the query's coarse cell (nprobe=1).
+    """IVF top-k: score only vectors in the query's ``nprobe`` nearest
+    coarse cells.
 
-    At scale the assignment is precomputed/partitioned by cell, so a query
-    touches 1/K of the corpus — the classic IVF recall/cost trade."""
+    Pass a prebuilt (persisted) ``index`` to probe without re-clustering —
+    the scale contract: the index is built once over the corpus, queries
+    only pay centroid ranking (K rows, broadcast) plus a keyed join into
+    1..nprobe cells, touching ~nprobe/K of the corpus. ``nprobe`` trades
+    recall for cost exactly as in classic IVF; nprobe=1 probes just the
+    query's own cell (identical to the assigned cell, since assignment IS
+    the argmin over the same centroids).
+    """
     from pyspark.sql.window import Window
 
-    assigned = ivf_assign(emb_df, id_col, emb_col)
+    if index is None:
+        index = ivf_build_index(emb_df, id_col, emb_col)
+    assigned = index.assignments
     queries = assigned.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"), F.col("cell")
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    # Rank centroids per query with the same (dist2, cid) order as the
+    # assignment argmin, keep the nprobe nearest cells.
+    cdist = queries.crossJoin(F.broadcast(index.centroids)).select(
+        "query_id",
+        "q_emb",
+        F.col("cid").alias("cell"),
+        vectors.l2sq(F.col("q_emb"), F.col("cvec")).alias("dist2"),
+    )
+    wc = Window.partitionBy("query_id").orderBy("dist2", "cell")
+    probe_cells = (
+        cdist.withColumn("_cr", F.row_number().over(wc))
+        .filter(F.col("_cr") <= nprobe)
+        .select("query_id", "q_emb", "cell")
     )
     cand = (
-        assigned.join(F.broadcast(queries), "cell")
+        assigned.join(F.broadcast(probe_cells), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", "q_emb", F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
     )
@@ -363,6 +433,7 @@ def semantic_dedup_cells(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.4,
+    k: int = IVF_K,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster, then dedup within clusters.
 
@@ -374,14 +445,12 @@ def semantic_dedup_cells(
     summary ``(cell, n_vectors, n_dropped, n_kept)``.
 
     Scale shape: the pair join is keyed on ``cell``, so cost is
-    sum(|cell|^2) not n^2 — at 100 TB you raise K so cells stay bounded
-    (SemDeDup uses ~50k clusters for billions of docs); the cluster
-    assignment itself is one broadcast join. Keep-rule is min-id within a
-    similar pair: deterministic, no iterative clustering required.
+    sum(|cell|^2) not n^2 — at 100 TB you raise ``k`` so cells stay
+    bounded (SemDeDup uses ~50k clusters for billions of docs); the
+    cluster assignment itself is one broadcast join. Keep-rule is min-id
+    within a similar pair: deterministic, no iterative clustering required.
     """
-    seed = emb_df.filter(F.col(id_col) < IVF_K).select(
-        F.col(id_col).cast("int").alias("cid"), F.col(emb_col).alias("cvec")
-    )
+    seed = _seed_centroids(emb_df, id_col, emb_col, k)
     assigned = _argmin_assign(emb_df, seed, id_col, emb_col)
     a = assigned.select("cell", F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
     b = assigned.select("cell", F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
@@ -418,6 +487,7 @@ def cross_split_contamination(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.4,
+    k: int = IVF_K,
 ) -> DataFrame:
     """Semantic train/test contamination: train vectors too similar to any
     test vector, compared only within shared centroid cells.
@@ -434,9 +504,7 @@ def cross_split_contamination(
     """
     from ..operators import corpus_prep
 
-    seed = emb_df.filter(F.col(id_col) < IVF_K).select(
-        F.col(id_col).cast("int").alias("cid"), F.col(emb_col).alias("cvec")
-    )
+    seed = _seed_centroids(emb_df, id_col, emb_col, k)
     assigned = corpus_prep.assign_split(
         _argmin_assign(emb_df, seed, id_col, emb_col), id_col
     )

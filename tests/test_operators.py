@@ -544,6 +544,57 @@ def test_semantic_dedup_cells_invariants(spark, sf_dir):
     assert all(r.n_dropped == 0 for r in none)
 
 
+def test_ivf_index_build_probe_split(spark, sf_dir):
+    """The production IVF contract: build the index ONCE, persist it, and
+    probe without re-clustering — plus nprobe recall monotonicity."""
+    from mssql2monetdb_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [3, 11, 19]
+    idx = similarity.ivf_build_index(emb).persist()
+
+    # probing a prebuilt index matches the build-inline path exactly
+    from_index = similarity.topk_ivf(emb, qids, index=idx).collect()
+    inline = similarity.topk_ivf(emb, qids).collect()
+    assert from_index == inline
+
+    # the probe plan contains NO clustering stages: the Lloyd-step
+    # explode+aggregate is behind the checkpoint, so re-probing is cheap
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        similarity.topk_ivf(emb, qids, index=idx).explain("formatted")
+    plan = buf.getvalue()
+    assert "Generate" not in plan  # posexplode of the corpus = re-clustering
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan  # checkpointed index
+
+    # nprobe widens the candidate set: per-query top-1 similarity can only
+    # improve (or stay equal) as more cells are probed
+    top1 = {
+        r.query_id: r.cos_sim
+        for r in similarity.topk_ivf(emb, qids, index=idx, nprobe=1).collect()
+        if r.rnk == 1
+    }
+    top1_n3 = {
+        r.query_id: r.cos_sim
+        for r in similarity.topk_ivf(emb, qids, index=idx, nprobe=3).collect()
+        if r.rnk == 1
+    }
+    assert set(top1) == set(top1_n3)
+    for qid in top1:
+        assert top1_n3[qid] >= top1[qid]
+
+    # nprobe=K probes every cell == brute force over the whole corpus
+    k_cells = idx.centroids.count()
+    full = similarity.topk_ivf(emb, qids, index=idx, nprobe=k_cells).collect()
+    brute = similarity.topk_bruteforce(emb, qids).collect()
+    assert [(r.query_id, r.vec_id) for r in full] == [
+        (r.query_id, r.vec_id) for r in brute
+    ]
+
+
 def test_sample_domain_cap_quota_and_order(spark):
     from mssql2monetdb_spark.operators import corpus_prep
 
