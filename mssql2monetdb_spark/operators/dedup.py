@@ -301,6 +301,9 @@ def ngram_jaccard_pairs(
     )
 
 
+CC_CHECKPOINT_EVERY = 5  # truncate label lineage every N propagation rounds
+
+
 def connected_components(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate GROUPS: (doc_id, component_id)
     where component_id is the minimum doc id reachable through the pair
@@ -311,7 +314,12 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
     neighbors until fixpoint. Converges in O(diameter) rounds — near-dup
     components are tiny (dup clusters), so this is 2-4 rounds in practice;
     each round is one join + one aggregate, all shuffle-keyed on doc id.
-    ``max_iter`` is the runaway guard for adversarial chain-shaped graphs.
+    ``max_iter`` is the runaway guard for adversarial chain-shaped graphs,
+    and every ``CC_CHECKPOINT_EVERY`` rounds the label frame is
+    ``localCheckpoint``-ed: without the truncation, each round's plan
+    nests the previous round's join, so an adversarial-diameter graph
+    (long chains) grows the lineage — and Catalyst's planning time —
+    geometrically even though the data stays small.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -325,7 +333,7 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("id"))
         .cache()
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -346,6 +354,10 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
             .count()
         )
         labels.unpersist()
+        if (i + 1) % CC_CHECKPOINT_EVERY == 0:
+            ckpt = new_labels.localCheckpoint()
+            new_labels.unpersist()
+            new_labels = ckpt
         labels = new_labels
         if changed == 0:
             break

@@ -164,6 +164,20 @@ def test_connected_components_vs_union_find(spark):
     assert got[4] == 1 and got[50] == 1 and got[22] == 20
 
 
+def test_connected_components_adversarial_chain(spark):
+    """A depth-15 chain needs 15 propagation rounds — crossing the
+    CC_CHECKPOINT_EVERY lineage truncation 3 times — and must still
+    resolve to a single min-label component."""
+    from mssql2monetdb_spark.operators.dedup import connected_components
+
+    n = 16  # path graph 0-1-...-15: diameter 15 > 2 * CC_CHECKPOINT_EVERY
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["component_id"] for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     from mssql2monetdb_spark.operators import corpus_prep
 
