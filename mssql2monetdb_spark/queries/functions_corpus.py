@@ -535,3 +535,47 @@ def fn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decorated.select(
         "doc_id", normalize_ws_pandas(F.col("text")).alias("norm_text")
     ).orderBy("doc_id")
+
+
+@query(
+    "fn_udtf_shingles",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS w
+            FROM documents WHERE doc_id % 25 = 0
+        ), e AS (
+            SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toks WHERE len(w) >= 2
+        )
+        SELECT doc_id,
+               CAST(i - 1 AS INTEGER) AS pos,
+               w[i] || ' ' || w[i + 1] AS shingle
+        FROM e ORDER BY doc_id, pos
+    """,
+)
+def fn_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python-UDTF rung of the UDF ladder under the driver gate: word
+    bigrams via ``LATERAL shingles(text)`` (functions/udfs.py:ShingleUDTF),
+    the one SURVEY §2B UDF surface previously verified only in pytest. The
+    UDTF's ``str.split()`` tokenization equals the oracle's
+    whitespace-split + empty-filter; every (doc_id, pos) is unique so the
+    ORDER BY is total. Scoped to every 25th document — the UDTF is the
+    declared row-multiplying extension point, NOT a hot path (the
+    production shingle pipeline is the codegen explode in operators/dedup).
+    """
+    from ..catalog import parallelized
+    from ..functions import udfs
+
+    udfs.register_all(spark)
+    t = Tables(spark, sf_dir)
+    parallelized(t.documents).filter(F.col("doc_id") % 25 == 0).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.shingle
+        FROM _udtf_docs d, LATERAL shingles(d.text) s
+        ORDER BY d.doc_id, s.pos
+        """
+    )
