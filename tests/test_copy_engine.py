@@ -289,6 +289,68 @@ def test_incremental_append_mode(spark, tmp_path):
     assert out["s"] == sum(2 * i for i in range(120))
 
 
+def test_cli_schema_evolution_incremental_flow(spark, tmp_path, capsys):
+    """The reference's real operating mode, end-to-end through the CLI:
+    repeated runs of ``python -m mssql2monetdb_spark -c spec.json`` over a
+    changing source — exit 0 (first load), exit 2 (trigger unchanged),
+    then a source schema evolution + delta append picked up in one run,
+    with the published view widened to the evolved schema."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from mssql2monetdb_spark.cli import main
+
+    src_dir = tmp_path / "src"
+    cfg_path = tmp_path / "spec.json"
+    cfg_path.write_text(
+        json.dumps(
+            {
+                "warehouse_dir": str(tmp_path / "wh"),
+                "sources": {"_default": {"format": "parquet", "path": str(src_dir)}},
+                "tables": {
+                    "ev": {
+                        "from_table": "ev",
+                        "trigger": {"column": "seq"},
+                        "incremental": True,
+                    }
+                },
+            }
+        )
+    )
+
+    v1 = spark.range(0, 100).select(F.col("id").alias("seq"), (F.col("id") * 2).alias("v"))
+    v1.write.mode("overwrite").parquet(str(src_dir / "ev.parquet"))
+    assert main(["-c", str(cfg_path)]) == EXIT_OK
+    # unchanged max(seq) -> exit 2, the scheduled-run skip path
+    assert main(["-c", str(cfg_path)]) == EXIT_NO_NEW_DATA
+
+    # the source evolves: new column w, plus 20 rows past the watermark
+    v2 = spark.range(0, 120).select(
+        F.col("id").alias("seq"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") + 1000).alias("w"),
+    )
+    v2.write.mode("overwrite").parquet(str(src_dir / "ev.parquet"))
+    assert main(["-c", str(cfg_path)]) == EXIT_OK
+
+    # --query reads the published view; exit 2 because nothing new remains
+    capsys.readouterr()
+    code = main(
+        [
+            "-c",
+            str(cfg_path),
+            "--query",
+            "SELECT COUNT(*) AS n, COUNT(w) AS n_w, CAST(SUM(w) AS BIGINT) AS s_w FROM ev",
+        ]
+    )
+    assert code == EXIT_NO_NEW_DATA
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # snapshot rows carried over, delta appended, schema evolved: the 100
+    # pre-evolution rows hold NULL w, the 20 delta rows carry real values
+    assert row == {"n": 120, "n_w": 20, "s_w": sum(i + 1000 for i in range(100, 120))}
+
+
 def test_per_job_watermark_state_isolated(spark, tmp_path):
     """two triggered jobs must keep independent watermark state."""
     spec = make_spec(
