@@ -221,6 +221,63 @@ def oov_rate(
     )
 
 
+def token_freq_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document corpus-frequency profile: how common this document's
+    tokens are across the whole corpus — the unigram-LM-style signal that
+    flags rare-token garbage (low mean frequency, many hapaxes) without
+    libm logs (sums stay exact BIGINTs; the one double is a single
+    division, so results are bit-identical cross-engine — the same
+    rational-arithmetic discipline as the BM25 idf above).
+
+    Scale shape: explode -> map-side-combined token counts (vocabulary-
+    sized, NOT broadcast — at 100 TB the vocabulary is large, so the
+    probe is a keyed join on token; hot tokens like 'the' are exactly the
+    AQE skew-join case) -> per-doc aggregate keyed on doc id. Two keyed
+    shuffles, no pairwise anything.
+    """
+    toks = parallelized(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(text.tokens(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("tok_freq"))
+    return (
+        toks.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("tok_freq").cast("bigint").alias("sum_freq"),
+            F.min("tok_freq").cast("bigint").alias("min_freq"),
+            F.max("tok_freq").cast("bigint").alias("max_freq"),
+            F.sum((F.col("tok_freq") == 1).cast("bigint")).cast("bigint").alias("n_hapax"),
+        )
+        .withColumn("mean_freq", F.col("sum_freq").cast("double") / F.col("n_tokens"))
+    )
+
+
+def token_freq_stats_sql(table: str, text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    tok = text.tokens_sql(text_expr)
+    return f"""
+        WITH toks AS (
+            SELECT {id_expr} AS doc_id, unnest({tok}) AS tok FROM {table}
+        ),
+        counts AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS tok_freq FROM toks GROUP BY tok
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(tok_freq) AS BIGINT) AS sum_freq,
+               CAST(MIN(tok_freq) AS BIGINT) AS min_freq,
+               CAST(MAX(tok_freq) AS BIGINT) AS max_freq,
+               CAST(SUM(CASE WHEN tok_freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               CAST(SUM(tok_freq) AS DOUBLE) / COUNT(*) AS mean_freq
+        FROM toks JOIN counts USING (tok)
+        GROUP BY doc_id
+    """
+
+
 def oov_rate_sql(table: str, k: int = 30, text_expr: str = "text", id_expr: str = "doc_id") -> str:
     tok = text.tokens_sql(text_expr)
     return f"""

@@ -262,6 +262,25 @@ class IvfIndex:
         self.assignments = self.assignments.localCheckpoint()
         return self
 
+    def write(self, path: str) -> "IvfIndex":
+        """Materialize the index to parquet: centroids flat (K rows, the
+        probe broadcasts them), assignments partitioned BY CELL so a probe
+        with nprobe cells reads only those directories — the on-disk form
+        of the 1/K-of-the-corpus probe cost."""
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        self.assignments.write.partitionBy("cell").mode("overwrite").parquet(
+            f"{path}/assignments"
+        )
+        return self
+
+
+def ivf_read_index(spark, path: str) -> IvfIndex:
+    """Load an index written by :meth:`IvfIndex.write`."""
+    return IvfIndex(
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/assignments"),
+    )
+
 
 def ivf_build_index(
     emb_df: DataFrame,

@@ -44,7 +44,8 @@ from . import tpch_full  # noqa: E402,F401
 # verdicts rest on the exact value-hash of computed aggregates — none is
 # a constant-true/tolerance column.
 #
-# ROUND-4 PLAN: slots for subquery_correlated_min + fn_udtf_shingles, the
+# ROUND-4 PLAN: slots for subquery_correlated_min + fn_udtf_shingles +
+# vocab_token_freq_stats (round-3 addition, locally conformant), the
 # round-3 changed-code re-verifies (fn_pandas_udf — exact null/trim
 # semantics; dedup_url_normalized — fragment strip; dedup_semantic_cells +
 # dedup_connected_components — k-param/checkpoint refactors; all

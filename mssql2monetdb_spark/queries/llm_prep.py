@@ -215,6 +215,20 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_token_freq_stats",
+    oracle=ranking.token_freq_stats_sql("documents") + " ORDER BY doc_id",
+)
+def vocab_token_freq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corpus token-frequency profile (mean/min/max corpus
+    frequency, hapax count) — the unigram-LM-flavored rarity signal in
+    exact rational arithmetic (operators/ranking.py:token_freq_stats).
+    Round-3 addition, registered behind the window; queued for a round-4
+    verification slot."""
+    t = Tables(spark, sf_dir)
+    return ranking.token_freq_stats(t.documents).orderBy("doc_id")
+
+
+@query(
     "filter_length_outliers",
     oracle=corpus_prep.filter_length_outliers_sql("documents") + " ORDER BY doc_id",
 )

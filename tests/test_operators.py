@@ -609,6 +609,21 @@ def test_ivf_index_build_probe_split(spark, sf_dir):
     ]
 
 
+def test_ivf_index_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """An index written to parquet (assignments partitioned by cell) probes
+    identically to the in-memory one — the cluster-scale persistence path."""
+    from mssql2monetdb_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [3, 11, 19]
+    idx = similarity.ivf_build_index(emb).write(str(tmp_path / "ivf"))
+    loaded = similarity.ivf_read_index(spark, str(tmp_path / "ivf"))
+    assert similarity.topk_ivf(emb, qids, index=loaded).collect() == \
+        similarity.topk_ivf(emb, qids, index=idx).collect()
+    # cell is a partition directory on disk
+    assert any(p.name.startswith("cell=") for p in (tmp_path / "ivf" / "assignments").iterdir())
+
+
 def test_sample_domain_cap_quota_and_order(spark):
     from mssql2monetdb_spark.operators import corpus_prep
 
