@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -187,6 +188,80 @@ def decode_images(media: DataFrame, *, fake: bool = False) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("src_width", IntegerType(), True),
+        StructField("src_height", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, *, dst_w: int = 3, dst_h: int = 3, fake: bool = False
+) -> DataFrame:
+    """Nearest-neighbor resize of image payloads via Arrow-batched
+    mapInPandas (the thumbnail/normalization step of a multimodal training
+    pipeline), emitting per-channel means of the RESIZED image.
+
+    The index map is the exact integer form ``src_idx = (i * src) // dst``
+    — reproducible everywhere, no float rounding — and the channel means
+    divide an exact integer pixel sum by the constant pixel count, so the
+    doubles are bit-identical cross-engine (same discipline as
+    decode_images). Real path decodes PPM(P6)/BMP; compressed formats need
+    a codec and raise; ``fake=True`` derives everything from the bytes.
+
+    Scale shape: one narrow Python stage, no shuffle; batch memory is
+    bounded by payload size exactly like the decode kernels.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    rows.append((media_id, None, None, None, None, None, None, None))
+                    continue
+                content = bytes(content)
+                if fake:
+                    crc = zlib.crc32(content)
+                    sw, sh = 16 + (crc & 0xFF), 16 + ((crc >> 8) & 0xFF)
+                    means = [float((crc >> (8 * c)) & 0xFF) for c in range(3)]
+                    rows.append((media_id, sw, sh, dst_w, dst_h, *means))
+                    continue
+                if content[:2] == b"P6":
+                    sw, sh, px = _decode_ppm(content)
+                elif content[:2] == b"BM":
+                    sw, sh, px = _decode_bmp(content)
+                else:
+                    raise NotImplementedError(
+                        "only uncompressed PPM(P6)/BMP resize without a codec "
+                        f"library; got magic {content[:2]!r}"
+                    )
+                ri = (np.arange(dst_h) * sh) // dst_h
+                ci = (np.arange(dst_w) * sw) // dst_w
+                resized = px[ri][:, ci]
+                n = dst_w * dst_h
+                means = [
+                    int(resized[:, :, c].astype(np.int64).sum()) / n for c in range(3)
+                ]
+                rows.append((media_id, sw, sh, dst_w, dst_h, *means))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_width", "src_height",
+                    "width", "height", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(kernel, RESIZE_SCHEMA)
 
 
 def _parse_y4m(content: bytes) -> tuple[int, int, list[bytes]]:

@@ -44,15 +44,15 @@ from . import tpch_full  # noqa: E402,F401
 # verdicts rest on the exact value-hash of computed aggregates — none is
 # a constant-true/tolerance column.
 #
-# ROUND-4 PLAN: slots for subquery_correlated_min + fn_udtf_shingles +
-# vocab_token_freq_stats (round-3 addition, locally conformant), the
-# round-3 changed-code re-verifies (fn_pandas_udf — exact null/trim
-# semantics; dedup_url_normalized — fragment strip; dedup_semantic_cells +
+# ROUND-4 PLAN — machine-readable as NEXT_WINDOW_QUEUE below: slots for
+# the two deferrals + round-3 additions, the round-3 changed-code
+# re-verifies (fn_pandas_udf — exact null/trim semantics;
+# dedup_url_normalized — fragment strip; dedup_semantic_cells +
 # dedup_connected_components — k-param/checkpoint refactors; all
 # behavior-identical at sf0.01, verified by local conformance, but per the
 # no-stale-verdict bar they should re-earn driver rows), and ~5 long-green
-# canaries, one per family (suggested: agg_tpch_q1, join_broadcast_dims,
-# dedup_minhash_lsh, stream_tumbling_hourly, multimodal_image_decode).
+# canaries, one per family. The hygiene gate accepts a queued query as
+# holding a (future) verification slot.
 GATE_PRIORITY = [
     # Relational-ext aggregates (round-2 additions).
     "agg_filter_clause",
@@ -113,6 +113,30 @@ GATE_PRIORITY = [
 ]
 
 GATE_WINDOW = 50
+
+# Queued for the round-4 window, in priority order: deferrals and round-3
+# additions first, then changed-code re-verifies, then long-green canaries
+# (one per family). tests/test_registry_hygiene.py checks every name still
+# exists and treats queued queries as slot-holders.
+NEXT_WINDOW_QUEUE = [
+    # deferred from round 3 (window was exactly full)
+    "subquery_correlated_min",
+    # round-3 additions, locally conformant
+    "fn_udtf_shingles",
+    "vocab_token_freq_stats",
+    "multimodal_image_resize",
+    # round-3 changed-code re-verifies (output-identical, per local conformance)
+    "fn_pandas_udf",
+    "dedup_url_normalized",
+    "dedup_semantic_cells",
+    "dedup_connected_components",
+    # long-green canaries, one per major family
+    "agg_tpch_q1",
+    "join_broadcast_dims",
+    "dedup_minhash_lsh",
+    "stream_tumbling_hourly",
+    "multimodal_image_decode",
+]
 
 
 def _apply_gate_priority() -> None:

@@ -437,6 +437,46 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@query(
+    "multimodal_image_resize",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               2 AS src_width, 2 AS src_height,
+               3 AS width, 3 AS height,
+               (4 * {_hex_byte(1)} + 2 * {_hex_byte(7)} + 2 * {_hex_byte(13)} + {_hex_byte(19)}) / 9.0 AS mean_r,
+               (4 * {_hex_byte(3)} + 2 * {_hex_byte(9)} + 2 * {_hex_byte(15)} + {_hex_byte(21)}) / 9.0 AS mean_g,
+               (4 * {_hex_byte(5)} + 2 * {_hex_byte(11)} + 2 * {_hex_byte(17)} + {_hex_byte(23)}) / 9.0 AS mean_b
+        FROM documents ORDER BY media_id
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real nearest-neighbor resize end-to-end: the same synthesized 2x2 PPM
+    as multimodal_image_decode, upsampled 2x2 -> 3x3 through the real resize
+    kernel. The integer index map (i * src) // dst picks rows/cols [0,0,1],
+    so the resized means weight the four source pixels 4/2/2/1 over 9 — the
+    oracle recomputes exactly that from the md5 hex (channel c of pixel k is
+    md5 byte 3k+c, hex position 6k+2c+1). Round-3 addition queued in
+    NEXT_WINDOW_QUEUE for a round-4 verification slot."""
+    t = Tables(spark, sf_dir)
+    header = F.encode(F.lit("P6\n2 2\n255\n"), "UTF-8")
+    digest = F.md5(F.encode(F.col("text"), "UTF-8"))
+    media = t.documents.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.concat(header, F.unhex(F.substring(digest, 1, 24))).alias("content"),
+    )
+    resized = multimodal.resize_images(media, dst_w=3, dst_h=3, fake=False)
+    return resized.select(
+        "media_id",
+        F.col("src_width").cast("int").alias("src_width"),
+        F.col("src_height").cast("int").alias("src_height"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mean_r").cast("double").alias("mean_r"),
+        F.col("mean_g").cast("double").alias("mean_g"),
+        F.col("mean_b").cast("double").alias("mean_b"),
+    ).orderBy("media_id")
+
+
 def _ivf_oracle() -> str:
     dist2 = (
         "list_reduce(list_transform(generate_series(1, len(e.embedding)), "

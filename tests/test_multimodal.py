@@ -116,6 +116,46 @@ def test_decode_images_real_bmp(spark):
     assert row["features"][2] == pytest.approx(sum(flat[2::3]) / 6)  # mean B
 
 
+def test_resize_images_real_nn_upsample(spark):
+    """2x2 -> 3x3 nearest neighbor: index map (i*2)//3 = [0,0,1], so the
+    source pixels weight 4/2/2/1 into the resized means."""
+    p = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    content = _ppm_bytes(2, 2, bytes([c for px in p for c in px]))
+    df = spark.createDataFrame([(1, content, "image/x-portable-pixmap", None)], multimodal.MEDIA_SCHEMA)
+    [row] = multimodal.resize_images(df, dst_w=3, dst_h=3, fake=False).collect()
+    assert (row["src_width"], row["src_height"]) == (2, 2)
+    assert (row["width"], row["height"]) == (3, 3)
+    for c, name in enumerate(["mean_r", "mean_g", "mean_b"]):
+        expected = (4 * p[0][c] + 2 * p[1][c] + 2 * p[2][c] + p[3][c]) / 9
+        assert row[name] == expected
+
+
+def test_resize_images_real_downsample_bmp(spark):
+    """4x2 BMP -> 2x1: NN picks rows [0], cols [0, 2]."""
+    rows_rgb = [
+        [(8, 0, 0), (16, 0, 0), (24, 0, 0), (32, 0, 0)],
+        [(99, 99, 99), (99, 99, 99), (99, 99, 99), (99, 99, 99)],
+    ]
+    content = _bmp_bytes(4, 2, rows_rgb)
+    df = spark.createDataFrame([(1, content, "image/bmp", None)], multimodal.MEDIA_SCHEMA)
+    [row] = multimodal.resize_images(df, dst_w=2, dst_h=1, fake=False).collect()
+    assert (row["width"], row["height"]) == (2, 1)
+    assert row["mean_r"] == (8 + 24) / 2 and row["mean_g"] == 0.0
+
+
+def test_resize_images_null_and_unsupported(spark):
+    df = spark.createDataFrame([(1, None, "image/png", None)], multimodal.MEDIA_SCHEMA)
+    [row] = multimodal.resize_images(df, fake=False).collect()
+    assert row["width"] is None
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(1, b"\x89PNG....", "image/png", None)], multimodal.MEDIA_SCHEMA
+    )
+    with _pytest.raises(Exception, match="codec|NotImplemented"):
+        multimodal.resize_images(bad, fake=False).collect()
+
+
 def test_null_payload_rows_survive(spark):
     df = spark.createDataFrame([(1, None, "image/png", None)], multimodal.MEDIA_SCHEMA)
     out = multimodal.decode_images(df, fake=True).collect()

