@@ -133,6 +133,24 @@ def test_image_decode_single_pandas_stage(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_image_resize_single_pandas_stage(spark):
+    plan = plan_of(spark, "multimodal_image_resize")
+    # one Arrow-batched kernel (tree node + its detail block), no extra Python
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_token_freq_join_is_keyed_with_partial_agg(spark):
+    plan = plan_of(spark, "vocab_token_freq_stats")
+    # token counts map-side combine (paired HashAggregates) and the
+    # count-probe is an equi join on the token key (broadcast at tiny SF,
+    # AQE skew-split shuffle at scale) — never a pair blowup
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_oov_vocab_is_takeordered_and_broadcast(spark):
     plan = plan_of(spark, "vocab_oov_rate")
     # top-k vocabulary must be per-partition top-k + merge, never Sort+Limit,
