@@ -93,16 +93,28 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("mssql2monetdb-cli")
     engine = CopyEngine(spark, spec)
 
+    # failure mails exactly like the reference (EmailUtil.java:21-111):
+    # configured from the spec's mail block, sent on any job error
+    notify = None
+    if spec.mail is not None:
+        from .engine.notify import smtp_notifier
+
+        notify = smtp_notifier(spec.mail)
+
     if args.scheduler:
         interval = spec.scheduler_interval or "every 1 minute"
         run_scheduled(
-            lambda: engine.run(no_switch=args.no_switch, switch_only=args.switch_only),
+            lambda: engine.run(
+                no_switch=args.no_switch, switch_only=args.switch_only, notify=notify
+            ),
             interval,
             max_runs=args.max_runs,
         )
         code = 0
     else:
-        code = engine.run(no_switch=args.no_switch, switch_only=args.switch_only)
+        code = engine.run(
+            no_switch=args.no_switch, switch_only=args.switch_only, notify=notify
+        )
 
     if args.query and code != EXIT_ERROR:
         engine.catalog.register_all(spark)

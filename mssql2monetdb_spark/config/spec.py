@@ -120,6 +120,7 @@ class JobSpec:
     warehouse_dir: str
     state_dir: str
     scheduler_interval: str | None = None
+    mail: "MailSettings | None" = None  # failure-mail config (EmailUtil analog)
     raw: dict = field(default_factory=dict, compare=False)
 
 
@@ -203,12 +204,35 @@ def load_spec(spec: dict | str, env: dict[str, str] | None = None) -> JobSpec:
     if not jobs:
         raise SpecError("spec defines no tables")
 
+    # mail block (reference CONFIG_KEYS MAIL_* family, CopyToolConfig):
+    # optional; ${ENV} interpolation above covers credentials
+    mail = None
+    m = spec.get("mail")
+    if m is not None:
+        from ..engine.notify import MailSettings
+
+        try:
+            port = int(m.get("port", 0) or 0)
+        except (TypeError, ValueError) as exc:
+            raise SpecError(f"mail.port must be an integer: {exc}") from exc
+        mail = MailSettings(
+            server=str(m.get("server") or ""),
+            port=port,
+            mail_from=str(m.get("from") or ""),
+            mail_to=str(m.get("to") or ""),
+            subject=str(m.get("subject") or ""),
+            username=str(m.get("username") or ""),
+            password=str(m.get("password") or ""),
+            enabled=bool(m.get("enabled", True)),
+        )
+
     return JobSpec(
         sources=sources,
         jobs=jobs,
         warehouse_dir=warehouse,
         state_dir=state_dir,
         scheduler_interval=spec.get("scheduler_interval"),
+        mail=mail,
         raw=spec,
     )
 
