@@ -558,6 +558,30 @@ def test_semantic_dedup_cells_invariants(spark, sf_dir):
     assert all(r.n_dropped == 0 for r in none)
 
 
+def test_token_freq_stats_exact_values(spark):
+    from mssql2monetdb_spark.operators import ranking
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),        # the:3 cat:2 sat:1
+            (2, "the cat ran"),        # ran:1
+            (3, "the unique"),         # unique:1
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ranking.token_freq_stats(docs).collect()}
+    r1 = rows[1]
+    assert (r1.n_tokens, r1.sum_freq, r1.min_freq, r1.max_freq, r1.n_hapax) == (3, 6, 1, 3, 1)
+    assert r1.mean_freq == 6 / 3
+    r3 = rows[3]
+    assert (r3.n_tokens, r3.sum_freq, r3.n_hapax) == (2, 4, 1)
+    # invariants: every token counted at least once; hapaxes bounded
+    for r in rows.values():
+        assert r.sum_freq >= r.n_tokens
+        assert 0 <= r.n_hapax <= r.n_tokens
+        assert r.min_freq <= r.mean_freq <= r.max_freq
+
+
 def test_ivf_index_build_probe_split(spark, sf_dir):
     """The production IVF contract: build the index ONCE, persist it, and
     probe without re-clustering — plus nprobe recall monotonicity."""

@@ -161,30 +161,33 @@ def test_chunk_count_formula(n_tokens, size, stride):
 
 
 _URL_CHARS = st.text(
-    alphabet=st.sampled_from("abcdefghij0123456789./-_?&=wW"), min_size=0, max_size=40
+    alphabet=st.sampled_from("abcdefghij0123456789./-_?&=#wW"), min_size=0, max_size=40
 )
 
 
 @given(_URL_CHARS, st.sampled_from(["http://", "https://", "HTTP://", ""]),
        st.sampled_from(["www.", "WWW.", ""]))
 def test_normalize_url_invariants(rest, scheme, www):
-    """Canonical form is scheme/www/query/slash-free and case-normalized,
-    and equivalent decorated variants of the same URL collapse to the same
-    canonical form — the property that makes keep-first-per-URL dedup
-    well-defined. (The chain is one fixed regex pass, identical on both
-    engines; it deliberately strips only ONE leading www.)"""
+    """Canonical form is scheme/www/fragment/query/slash-free and
+    case-normalized, and equivalent decorated variants of the same URL
+    collapse to the same canonical form — the property that makes
+    keep-first-per-URL dedup well-defined. (The chain is one fixed regex
+    pass over the SHARED pattern list, identical on both engines; it
+    deliberately strips only ONE leading www.)"""
     import re
+
+    from mssql2monetdb_spark.operators.corpus_prep import URL_STRIP_RES
 
     def norm(u: str) -> str:
         out = u.lower()
-        for pat in (r"^[a-z]+://", r"^www\.", r"\?.*$", r"/+$"):
+        for pat in URL_STRIP_RES:
             out = re.sub(pat, "", out)
         return out
 
     once = norm(scheme + www + rest)
-    # the canonical form never keeps a scheme, query string, or trailing /
+    # the canonical form never keeps a scheme, fragment, query, or trailing /
     assert not re.match(r"^[a-z]+://", once)
-    assert "?" not in once
+    assert "?" not in once and "#" not in once
     assert not once.endswith("/")
     # every scheme/www decoration of the same rest collapses identically
     # (unless rest itself starts with www. — the chain strips only one,
