@@ -184,6 +184,71 @@ def domain_mixture_sql(table: str, source_expr: str = "source") -> str:
     """
 
 
+def sqrt_mixture(docs: DataFrame, source_col: str = "source") -> DataFrame:
+    """Temperature-scaled (T=1/2) domain mixture: target shares proportional
+    to ``sqrt(n_domain)`` — the square-root sampling compromise between the
+    natural mixture (over-weights giant sources) and uniform (over-weights
+    tiny ones), standard for multilingual/source balancing.
+
+    T=1/2 is chosen deliberately for determinism: ``n^T`` needs libm
+    ``pow``/``exp`` (last-ulp differs across engines) except at T=1/2,
+    where sqrt is IEEE exact-rounded — so the scaled shares are
+    bit-identical cross-engine. The sqrt-sum is a FIXED-ORDER fold over
+    the domains sorted by name (float sums are not associative; a groupBy
+    sum would be partition-order-dependent), fine at any scale because the
+    domain relation is tiny.
+    """
+    per_domain = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    sqrt_n = F.sqrt(F.col("n_docs").cast("double"))
+    totals = per_domain.agg(
+        F.sum("n_docs").cast("double").alias("n_total"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("source"), sqrt_n.alias("s")))),
+            F.lit(0.0),
+            lambda a, x: a + x["s"],
+        ).alias("sum_sqrt"),
+    )
+    share = F.col("n_docs").cast("double") / F.col("n_total")
+    share_t = F.sqrt(F.col("n_docs").cast("double")) / F.col("sum_sqrt")
+    return (
+        per_domain.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            share.alias("share"),
+            share_t.alias("share_sqrt"),
+            (share_t / share).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def sqrt_mixture_sql(table: str, source_expr: str = "source") -> str:
+    """DuckDB mirror of :func:`sqrt_mixture` (same fixed-order fold)."""
+    return f"""
+        WITH per_domain AS (
+            SELECT {source_expr} AS source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM {table} GROUP BY 1
+        ), totals AS (
+            SELECT CAST(SUM(n_docs) AS DOUBLE) AS n_total,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                                    list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)),
+                       (a, b) -> a + b) AS sum_sqrt
+            FROM per_domain
+        )
+        SELECT source, n_docs,
+               CAST(n_docs AS DOUBLE) / n_total AS share,
+               sqrt(CAST(n_docs AS DOUBLE)) / sum_sqrt AS share_sqrt,
+               (sqrt(CAST(n_docs AS DOUBLE)) / sum_sqrt)
+                   / (CAST(n_docs AS DOUBLE) / n_total) AS weight
+        FROM per_domain CROSS JOIN totals
+        ORDER BY source
+    """
+
+
 def sample_stratified(
     docs: DataFrame,
     rates: dict[str, float],
@@ -261,6 +326,97 @@ def contaminated_test_docs_sql(table: str, text_expr: str = "text", id_expr: str
         WHERE split = 'test'
           AND content_hash IN (SELECT content_hash FROM hashed WHERE split = 'train')
         ORDER BY doc_id
+    """
+
+
+GOPHER_MIN_WORDS = 20  # calibrated to the fixture (docs run 10-99 tokens;
+GOPHER_MAX_WORDS = 100000  # Gopher's own 50 would reject half the corpus)
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_RATIO = 0.9
+GOPHER_STOPWORDS = ("the", "a")  # fixture vocabulary's function words
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher/MassiveText-style composite quality rules (Rae et al., 2021,
+    arXiv:2112.11446 §A.1.1), each emitted per document with the final
+    ``keep`` conjunction: word-count band, mean-word-length band,
+    symbol-to-word ratio (``#``), bullet-line share, and a minimum
+    function-word presence.
+
+    Every measure is exact integer arithmetic plus ONE double division, so
+    rule booleans are bit-identical cross-engine. One narrow pass, no
+    shuffle, no Python — at 100 TB this is a scan-speed filter.
+    """
+    tok = text.tokens(F.col(text_col))
+    n_words = F.size(tok)
+    sum_len = F.aggregate(
+        F.transform(tok, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    mean_len = sum_len.cast("double") / n_words
+    n_hash = F.length(F.col(text_col)) - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+    symbol_ratio = n_hash.cast("double") / n_words
+    lines = F.split(F.col(text_col), "\n")
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda l: l.startswith("- "))).cast("double") / F.size(lines)
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(tok, lambda w: F.array_contains(stop_arr, w)))
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_meanlen = (mean_len >= GOPHER_MIN_MEAN_LEN) & (mean_len <= GOPHER_MAX_MEAN_LEN)
+    r_symbol = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    r_bullet = bullet_ratio <= GOPHER_MAX_BULLET_RATIO
+    r_stop = n_stop >= 2
+    return parallelized(docs).select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("int").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        r_words.cast("int").alias("rule_word_count"),
+        r_meanlen.cast("int").alias("rule_mean_len"),
+        r_symbol.cast("int").alias("rule_symbol"),
+        r_bullet.cast("int").alias("rule_bullet"),
+        r_stop.cast("int").alias("rule_stopword"),
+        (r_words & r_meanlen & r_symbol & r_bullet & r_stop).cast("int").alias("keep"),
+    )
+
+
+def gopher_rules_sql(table: str, text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`gopher_rules` measure-for-measure."""
+    tok = text.tokens_sql(text_expr)
+    return f"""
+        WITH m AS (
+            SELECT {id_expr} AS doc_id,
+                   len({tok}) AS n_words,
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform({tok}, w -> CAST(len(w) AS BIGINT))),
+                        (a, b) -> a + b) AS DOUBLE) / len({tok}) AS mean_word_len,
+                   CAST(len({text_expr}) - len(replace({text_expr}, '#', '')) AS DOUBLE)
+                       / len({tok}) AS symbol_ratio,
+                   CAST(len(list_filter(string_split({text_expr}, chr(10)),
+                                        l -> l LIKE '- %')) AS DOUBLE)
+                       / len(string_split({text_expr}, chr(10))) AS bullet_ratio,
+                   len(list_filter({tok}, w -> w IN {GOPHER_STOPWORDS})) AS n_stop
+            FROM {table}
+        )
+        SELECT doc_id,
+               CAST(n_words AS INTEGER) AS n_words,
+               mean_word_len, symbol_ratio, bullet_ratio,
+               CAST(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} AS INTEGER) AS rule_word_count,
+               CAST(mean_word_len >= {GOPHER_MIN_MEAN_LEN} AND mean_word_len <= {GOPHER_MAX_MEAN_LEN} AS INTEGER) AS rule_mean_len,
+               CAST(symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO} AS INTEGER) AS rule_symbol,
+               CAST(bullet_ratio <= {GOPHER_MAX_BULLET_RATIO} AS INTEGER) AS rule_bullet,
+               CAST(n_stop >= 2 AS INTEGER) AS rule_stopword,
+               CAST(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+                    AND mean_word_len >= {GOPHER_MIN_MEAN_LEN} AND mean_word_len <= {GOPHER_MAX_MEAN_LEN}
+                    AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                    AND bullet_ratio <= {GOPHER_MAX_BULLET_RATIO}
+                    AND n_stop >= 2 AS INTEGER) AS keep
+        FROM m
     """
 
 

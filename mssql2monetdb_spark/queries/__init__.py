@@ -125,6 +125,8 @@ NEXT_WINDOW_QUEUE = [
     "fn_udtf_shingles",
     "vocab_token_freq_stats",
     "multimodal_image_resize",
+    "filter_gopher_rules",
+    "mix_sqrt_temperature",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

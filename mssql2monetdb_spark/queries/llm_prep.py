@@ -144,6 +144,43 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_prep.domain_mixture(t.documents)
 
 
+# the fixture's sources are perfectly balanced (uniform weights would make
+# the verdict vacuous), so the corpus is seeded with deterministic clones:
+# src0 tripled, src1 doubled — three distinct weight levels
+_SQRT_MIX_SEED_SQL = """
+    SELECT doc_id, source FROM documents
+    UNION ALL
+    SELECT doc_id + 200000, source FROM documents WHERE source = 'src0'
+    UNION ALL
+    SELECT doc_id + 400000, source FROM documents WHERE source IN ('src0', 'src1')
+"""
+
+
+@query(
+    "mix_sqrt_temperature",
+    oracle=corpus_prep.sqrt_mixture_sql(f"({_SQRT_MIX_SEED_SQL})"),
+)
+def mix_sqrt_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root (T=1/2) temperature mixture over sources — the
+    multilingual-balancing middle ground between natural and uniform;
+    sqrt keeps it bit-deterministic where pow() could not be
+    (operators/corpus_prep.py:sqrt_mixture). Corpus seeded imbalanced
+    (src0 3x, src1 2x) so the weights genuinely differ. Round-3 addition
+    queued in NEXT_WINDOW_QUEUE."""
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "source")
+    seeded = base.unionAll(
+        base.filter(F.col("source") == "src0").select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "source"
+        )
+    ).unionAll(
+        base.filter(F.col("source").isin("src0", "src1")).select(
+            (F.col("doc_id") + 400000).alias("doc_id"), "source"
+        )
+    )
+    return corpus_prep.sqrt_mixture(seeded)
+
+
 # strata named after the fixture's actual source values (src0..src19) so
 # the downsampling genuinely drops rows — rates over absent strata would
 # fall through to the default and make the verdict vacuous
@@ -226,6 +263,45 @@ def vocab_token_freq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification slot."""
     t = Tables(spark, sf_dir)
     return ranking.token_freq_stats(t.documents).orderBy("doc_id")
+
+
+_LONG_TOKEN_TEXT = ("pneumonoultramicroscopicsilicovolcanoconiosis " * 5).strip()
+
+_GOPHER_SEED_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN '- one' || chr(10) || '- two' || chr(10) || '- three'
+                WHEN doc_id % 11 = 0 THEN text || ' # # # # # # # # # # # #'
+                WHEN doc_id % 13 = 0 THEN '{_LONG_TOKEN_TEXT}'
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+@query(
+    "filter_gopher_rules",
+    oracle="SELECT * FROM ("
+    + corpus_prep.gopher_rules_sql(f"({_GOPHER_SEED_SQL})")
+    + ") ORDER BY doc_id",
+)
+def filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality rules over a deterministically
+    decorated corpus: every 7th doc becomes all-bullet lines (fails the
+    bullet + word-count rules), every 11th gains a '#' token run (fails
+    symbol ratio), every 13th becomes five 45-char tokens (fails mean word
+    length), the rest exercise the word-count/stopword bands naturally —
+    so each rule's verdict is non-vacuous (operators/corpus_prep.py:
+    gopher_rules). Round-3 addition queued in NEXT_WINDOW_QUEUE."""
+    t = Tables(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    seeded = t.documents.select(
+        "doc_id",
+        F.when(doc_id % 7 == 0, F.lit("- one\n- two\n- three"))
+        .when(doc_id % 11 == 0, F.concat(F.col("text"), F.lit(" # # # # # # # # # # # #")))
+        .when(doc_id % 13 == 0, F.lit(_LONG_TOKEN_TEXT))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_prep.gopher_rules(seeded).orderBy("doc_id")
 
 
 @query(
