@@ -23,6 +23,19 @@ def plan_of(spark, name: str) -> str:
     return buf.getvalue()
 
 
+def test_no_query_plans_a_cartesian_product(spark):
+    """Global scale guard over the ENTIRE registry: no query may plan a
+    CartesianProduct. Intended broadcast-scoring shapes (crossJoin of a
+    broadcast stats/centroid/query relation) compile to
+    BroadcastNestedLoopJoin and stay legal; an unhinted cartesian pair
+    blowup is never acceptable at any scale."""
+    offenders = []
+    for name in REGISTRY:
+        if "CartesianProduct" in plan_of(spark, name):
+            offenders.append(name)
+    assert not offenders, f"queries planning CartesianProduct: {offenders}"
+
+
 def test_filter_pushdown(spark):
     plan = plan_of(spark, "filter_predicates")
     assert "PushedFilters:" in plan
