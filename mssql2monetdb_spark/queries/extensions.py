@@ -934,7 +934,8 @@ def rollup_approx_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH incoming AS (
             SELECT o_orderkey, o_custkey, o_orderstatus,
-                   o_totalprice * 1.1 AS o_totalprice
+                   CAST(CAST(o_totalprice AS DECIMAL(24,8)) * 1.1 AS DOUBLE)
+                       AS o_totalprice
             FROM orders WHERE o_orderkey % 7 = 0
             UNION ALL
             SELECT o_orderkey + 10000000, o_custkey, 'N', 100.0
@@ -949,7 +950,8 @@ def rollup_approx_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT o_orderstatus,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,8))) AS DOUBLE) AS sum_price
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,8))), 2) AS DOUBLE)
+                   AS sum_price
         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
@@ -958,14 +960,31 @@ def merge_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     union — the incremental-sync generalization of the reference's
     full-reload copy (operators/upsert.py). The incoming batch is seeded
     deterministically: 1/7 of orders re-priced (updates) plus 1/11 as
-    brand-new keys (inserts); the per-status summary pins both paths."""
+    brand-new keys (inserts); the per-status summary pins both paths.
+
+    The re-price multiplies in EXACT decimal (decimal(24,8) * 1.1), not
+    double — a double product carries a full binary expansion whose
+    DECIMAL(24,8) rounding differs between Spark (exact-expansion
+    HALF_UP) and DuckDB (double ``x*1e8`` arithmetic), drifting ±1e-8
+    per row; invisible at sf0.01 but a hash mismatch at sf0.1 (caught by
+    the round-3 big-SF conformance probe). The exact 7-decimal product
+    round-trips through DOUBLE and back bit-identically on both engines.
+
+    The final sum is ROUNDed to 2 decimals (cents) while still DECIMAL:
+    at ~1.3e10 the scale-8 scaled integer exceeds 2^53, where DuckDB's
+    decimal->double (hugeint->double, then /1e8) double-rounds and can
+    land 1 ulp away from Spark's single-rounded BigDecimal conversion;
+    at scale 2 the scaled integer is exact in double and both engines
+    round the same rational exactly once."""
     from ..operators import upsert
 
     t = Tables(spark, sf_dir)
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
     existing = t.orders.select(*cols)
     updates = existing.filter(F.col("o_orderkey") % 7 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") * 1.1
+        "o_totalprice",
+        (F.col("o_totalprice").cast("decimal(24,8)") * F.lit(1.1).cast("decimal(3,1)"))
+        .cast("double"),
     )
     inserts = existing.filter(F.col("o_orderkey") % 11 == 0).select(
         (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
@@ -978,7 +997,9 @@ def merge_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(F.col("o_totalprice").cast("decimal(24,8)")).cast("double").alias("sum_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(24,8)")), 2)
+            .cast("double")
+            .alias("sum_price"),
         )
         .orderBy("o_orderstatus")
     )
