@@ -1,26 +1,31 @@
 """Event-sequence analytics over the events stream: ordered funnel
-conversion and first-seen retention cohorts.
+conversion, first-seen retention cohorts, gap-based sessionization, and
+event-type transition counts.
 
 Reference parity: the reference delegates event analytics to SQL on the
 target warehouse (SURVEY.md §2B conditional-aggregate / window rows); these
-are the two canonical event-sequence shapes its users run, re-expressed as
+are the canonical event-sequence shapes its users run, re-expressed as
 keyed relational chains.
 
-Both operators are user-keyed end to end — every join and aggregate
-shuffles on ``user_id``, so at 100 TB the work distributes by user with no
-global sort and no driver-side state. Ties on timestamps are excluded by
-strict inequality (deterministic in both engines).
+All operators are user-keyed end to end — every join, window, and
+aggregate shuffles on ``user_id``, so at 100 TB the work distributes by
+user with no global sort and no driver-side state. Within a user, events
+are totally ordered by ``(ts, event_id)`` (event_id is unique), so every
+window result is deterministic across both engines.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import parallelized
 
 FUNNEL_STEPS = ("view", "click", "purchase")
 FUNNEL_WITHIN_S = 86400  # max seconds between consecutive funnel steps
+
+SESSION_GAP_S = 1800  # idle gap that closes a session (30 min)
 
 
 def funnel_stages(
@@ -191,4 +196,164 @@ def retention_cohorts_sql(
                CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
         FROM active a JOIN first_seen f ON a.user_id = f.user_id
         GROUP BY f.cohort_day, day_offset
+    """
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap_s: int = SESSION_GAP_S,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: a user's events ordered by
+    ``(ts, event_id)`` are split into sessions wherever the idle time
+    STRICTLY exceeds ``gap_s`` seconds (an exactly-``gap_s`` pause stays in
+    the same session). Output one row per session: ``(user_id, session_no,
+    session_start, session_end, n_events, duration_us)``.
+
+    Two user-keyed windows (lag + running sum of boundary flags) followed
+    by one user-keyed aggregate — a single shuffle on ``user_id``, no
+    global sort. This is the batch counterpart of the streaming
+    ``session_window`` (streaming/pipelines.py): same gap semantics, but
+    expressed over the closed corpus where late data cannot exist. The gap
+    compare and duration use exact integer epoch-microseconds, so both
+    engines agree bit-for-bit.
+    """
+    e = parallelized(events).select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).alias("ts"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > gap_s * 1_000_000, 1
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn("session_no", F.sum("new_session").over(run).cast("int"))
+    return flagged.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).cast("bigint").alias("duration_us"),
+    )
+
+
+def sessionize_sql(
+    table: str,
+    *,
+    gap_s: int = SESSION_GAP_S,
+    ts_expr: str = "ts",
+    user_expr: str = "user_id",
+    id_expr: str = "event_id",
+) -> str:
+    """DuckDB query matching :func:`sessionize`."""
+    return f"""
+        WITH e AS (
+            SELECT {user_expr} AS user_id, {id_expr} AS event_id,
+                   {ts_expr} AS ts, epoch_us({ts_expr}) AS ts_us
+            FROM {table}
+        ),
+        flagged AS (
+            SELECT *,
+                   CAST(CASE WHEN ts_us - lag(ts_us) OVER w > {gap_s * 1_000_000}
+                             THEN 1 ELSE 0 END AS INTEGER) AS new_session
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT *,
+                   CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS INTEGER) AS session_no
+            FROM flagged
+        )
+        SELECT user_id, session_no,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+        FROM numbered GROUP BY user_id, session_no
+    """
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition counts between consecutive event types
+    within each user's ``(ts, event_id)``-ordered stream: ``(prev_type,
+    next_type, n_transitions, p_transition)`` where ``p`` is row-normalized
+    over the source type.
+
+    One user-keyed window (lag) + one small aggregate keyed on the type
+    pair — the pair space is |types|² regardless of corpus size, so the
+    second shuffle is constant-sized at 100 TB. ``p_transition`` is a
+    single exact-integer division, deterministic cross-engine.
+    """
+    e = parallelized(events).select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("etype"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("etype").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type"), F.col("etype").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    totals = Window.partitionBy("prev_type")
+    return pairs.withColumn(
+        "p_transition",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(totals).cast("double")
+        ),
+    )
+
+
+def transition_matrix_sql(
+    table: str,
+    *,
+    ts_expr: str = "ts",
+    user_expr: str = "user_id",
+    id_expr: str = "event_id",
+    type_expr: str = "event_type",
+) -> str:
+    """DuckDB query matching :func:`transition_matrix`."""
+    return f"""
+        WITH e AS (
+            SELECT {user_expr} AS user_id, {id_expr} AS event_id,
+                   {ts_expr} AS ts, {type_expr} AS etype
+            FROM {table}
+        ),
+        pairs AS (
+            SELECT prev_type, etype AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions
+            FROM (
+                SELECT etype,
+                       lag(etype) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           AS prev_type
+                FROM e
+            )
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        )
+        SELECT prev_type, next_type, n_transitions,
+               CAST(n_transitions AS DOUBLE)
+                   / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE)
+                   AS p_transition
+        FROM pairs
     """

@@ -606,6 +606,34 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.retention_cohorts(t.events).orderBy("cohort_day", "day_offset")
 
 
+@query(
+    "events_sessionize",
+    oracle="SELECT * FROM ("
+    + events_ops.sessionize_sql("events")
+    + ") ORDER BY user_id, session_no",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap): per-user lag + running
+    boundary-sum windows, one shuffle on user_id, exact integer-microsecond
+    gap/duration arithmetic. Batch counterpart of stream_session_windows."""
+    t = Tables(spark, sf_dir)
+    return events_ops.sessionize(t.events).orderBy("user_id", "session_no")
+
+
+@query(
+    "events_transition_matrix",
+    oracle="SELECT * FROM ("
+    + events_ops.transition_matrix_sql("events")
+    + ") ORDER BY prev_type, next_type",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive event types per user stream; the pair space is |types|²,
+    so the final aggregate is constant-sized at any corpus scale."""
+    t = Tables(spark, sf_dir)
+    return events_ops.transition_matrix(t.events).orderBy("prev_type", "next_type")
+
+
 def _components_oracle() -> str:
     """Recursive-CTE oracle for connected components over the MinHash pairs:
     transitive closure + min-reachable label — exact match for the Spark

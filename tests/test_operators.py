@@ -713,3 +713,56 @@ def test_upsert_scd1_collapses_duplicate_batch_keys(spark):
     rows = {r.k: r.v for r in out}
     assert len(out) == 3
     assert rows == {1: "a", 2: "B-new", 3: "C"}
+
+
+def test_sessionize_gap_boundary_and_numbering(spark):
+    from datetime import datetime, timedelta
+
+    from mssql2monetdb_spark.operators import events as events_ops
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, user, offset_s):
+        return (eid, user, t0 + timedelta(seconds=offset_s))
+
+    rows = [
+        # user 1: pause of EXACTLY the gap stays in one session; gap+1 splits
+        ev(1, 1, 0), ev(2, 1, 1800), ev(3, 1, 1800 + 1800),
+        ev(4, 1, 3600 + 1801),
+        # user 2: single event -> single 0-duration session
+        ev(5, 2, 0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = {
+        (r["user_id"], r["session_no"]): r
+        for r in events_ops.sessionize(df, gap_s=1800).collect()
+    }
+    assert len(out) == 3
+    s = out[(1, 0)]
+    assert s["n_events"] == 3 and s["duration_us"] == 3600 * 1_000_000
+    assert out[(1, 1)]["n_events"] == 1
+    assert out[(2, 0)]["duration_us"] == 0
+
+
+def test_transition_matrix_counts_and_rownorm(spark):
+    from datetime import datetime, timedelta
+
+    from mssql2monetdb_spark.operators import events as events_ops
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "a"), (2, 1, t0 + timedelta(1), "b"),
+        (3, 1, t0 + timedelta(2), "a"), (4, 1, t0 + timedelta(3), "b"),
+        # user 2 contributes a->a; transitions never cross users
+        (5, 2, t0, "a"), (6, 2, t0 + timedelta(1), "a"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = {
+        (r["prev_type"], r["next_type"]): r
+        for r in events_ops.transition_matrix(df).collect()
+    }
+    assert out[("a", "b")]["n_transitions"] == 2
+    assert out[("a", "a")]["n_transitions"] == 1
+    assert out[("b", "a")]["n_transitions"] == 1
+    assert abs(out[("a", "b")]["p_transition"] - 2 / 3) < 1e-12
+    assert ("b", "b") not in out
