@@ -399,3 +399,121 @@ def incremental_exact_dedup(
         .select(F.col(id_col), F.col("dup_of"))
         .orderBy(id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact substring dedup (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better", at fixed chunk granularity)
+# ---------------------------------------------------------------------------
+
+CHUNK_DEDUP_SIZE = 32  # tokens per non-overlapping chunk
+
+
+def chunk_exact_dedup(
+    docs: DataFrame,
+    *,
+    size: int = CHUNK_DEDUP_SIZE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide exact substring dedup at fixed chunk granularity: each
+    document is split into non-overlapping ``size``-token chunks; every
+    chunk whose text already occurred earlier in the corpus (first
+    occurrence = lexicographically smallest ``(doc_id, chunk_id)``) is
+    removed, and the surviving chunks are reassembled in order.
+
+    Returns ``(doc_id, n_chunks, n_removed, kept_text)``.
+
+    Scale shape: first-occurrence resolution is a map-side-combinable
+    ``min(struct(doc_id, chunk_id))`` aggregate keyed on the chunk hash —
+    robust to a pathologically hot chunk (boilerplate repeated across
+    billions of docs) where a per-hash sort window would funnel every
+    occurrence through one task. The join back is hash-keyed against the
+    one-row-per-hash firsts relation, and reassembly shuffles on doc_id
+    with bounded per-doc state (n_chunks x size tokens = the doc itself).
+    """
+    toks = text.tokens(F.col(text_col))
+    d = parallelized(docs).select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    n_chunks = F.greatest(
+        F.floor((F.size("toks") + F.lit(size - 1)) / F.lit(size)), F.lit(1)
+    ).cast("int")
+    e = d.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+    )
+    chunks = e.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), (F.col("chunk_id") * size + 1).cast("int"), size)
+        ).alias("chunk_text"),
+    ).withColumn("h", F.md5(F.col("chunk_text")))
+    firsts = chunks.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("first_occ")
+    )
+    flagged = chunks.join(firsts, "h").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("first_occ.doc_id"))
+        & (F.col("chunk_id") == F.col("first_occ.chunk_id")),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum((~F.col("keep")).cast("int")).cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("chunk_id", "chunk_text"))
+                    )
+                ),
+                lambda x: x["chunk_text"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
+def chunk_exact_dedup_sql(
+    table: str,
+    *,
+    size: int = CHUNK_DEDUP_SIZE,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB query matching :func:`chunk_exact_dedup`."""
+    tok = text.tokens_sql(text_expr)
+    lo = f"chunk_id * {size} + 1"
+    hi = f"chunk_id * {size} + {size}"
+    return f"""
+        WITH d AS (
+            SELECT {id_expr} AS doc_id, {tok} AS toks FROM {table}
+        ), n AS (
+            SELECT doc_id, toks,
+                   greatest((len(toks) + {size - 1}) // {size}, 1) AS n_chunks
+            FROM d
+        ), e AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+            FROM n
+        ), chunks AS (
+            SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+                   array_to_string(toks[{lo} : {hi}], ' ') AS chunk_text,
+                   md5(array_to_string(toks[{lo} : {hi}], ' ')) AS h
+            FROM e
+        ), firsts AS (
+            SELECT h, MIN(struct_pack(doc_id := doc_id, chunk_id := chunk_id)) AS first_occ
+            FROM chunks GROUP BY h
+        ), flagged AS (
+            SELECT c.doc_id, c.chunk_id, c.chunk_text,
+                   c.doc_id = struct_extract(f.first_occ, 'doc_id')
+                   AND c.chunk_id = struct_extract(f.first_occ, 'chunk_id') AS keep
+            FROM chunks c JOIN firsts f ON c.h = f.h
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+               COALESCE(string_agg(CASE WHEN keep THEN chunk_text END, ' '
+                                   ORDER BY chunk_id), '') AS kept_text
+        FROM flagged GROUP BY doc_id
+    """

@@ -295,3 +295,171 @@ def oov_rate_sql(table: str, k: int = 30, text_expr: str = "text", id_expr: str 
         FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok
         GROUP BY toks.doc_id
     """
+
+
+RARITY_HEAD_MAX = 29.3  # mean inverse-frequency below this -> 'head'
+RARITY_MIDDLE_MAX = 30.5  # ... below this -> 'middle', else 'tail'
+
+
+def unigram_rarity(
+    docs: DataFrame,
+    *,
+    head_max: float = RARITY_HEAD_MAX,
+    middle_max: float = RARITY_MIDDLE_MAX,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM perplexity proxy (CCNet-style head/middle/tail corpus
+    partition): each document scores the mean INVERSE corpus probability of
+    its tokens — ``rarity = avg(total_tokens // tok_freq)`` — and is
+    bucketed by fixed thresholds. Low rarity = common-token text (head),
+    high = rare-token/garbage text (tail).
+
+    A real CCNet deployment scores with a pretrained KenLM; this operator
+    is the self-trained surrogate with the identical pipeline shape, kept
+    exact instead of floating: the per-token surprisal stands in as the
+    integer-floored inverse relative frequency, so every sum is a BIGINT
+    and the one double division is bit-identical cross-engine (the same
+    no-libm discipline as the BM25 idf above).
+
+    Scale shape: token counts are a map-side-combined aggregate; the
+    frequency probe is a keyed join on token (AQE handles 'the'-style hot
+    keys); the corpus total is a 1-row broadcast; per-doc scoring is one
+    keyed aggregate. No pairwise step anywhere.
+    """
+    toks = parallelized(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(text.tokens(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("tok_freq"))
+    total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            # `div` is exact integer division (a double `/`+floor would
+            # drift from DuckDB's `//` once totals pass 2^53 tokens)
+            F.sum(F.expr("n_total div tok_freq")).cast("bigint").alias("sum_inv_freq"),
+        )
+        .withColumn("rarity", F.col("sum_inv_freq").cast("double") / F.col("n_tokens"))
+    )
+    return scored.withColumn(
+        "bucket",
+        F.when(F.col("rarity") < head_max, "head")
+        .when(F.col("rarity") < middle_max, "middle")
+        .otherwise("tail"),
+    )
+
+
+def unigram_rarity_sql(
+    table: str,
+    *,
+    head_max: float = RARITY_HEAD_MAX,
+    middle_max: float = RARITY_MIDDLE_MAX,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB query matching :func:`unigram_rarity`."""
+    tok = text.tokens_sql(text_expr)
+    return f"""
+        WITH toks AS (
+            SELECT {id_expr} AS doc_id, unnest({tok}) AS tok FROM {table}
+        ), counts AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS tok_freq FROM toks GROUP BY tok
+        ), total AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(total.n_total // counts.tok_freq) AS BIGINT)
+                       AS sum_inv_freq
+            FROM toks JOIN counts USING (tok) CROSS JOIN total
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, sum_inv_freq,
+               CAST(sum_inv_freq AS DOUBLE) / n_tokens AS rarity,
+               CASE WHEN CAST(sum_inv_freq AS DOUBLE) / n_tokens < {head_max}
+                    THEN 'head'
+                    WHEN CAST(sum_inv_freq AS DOUBLE) / n_tokens < {middle_max}
+                    THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored
+    """
+
+
+POSTINGS_DF_CAP = 20  # materialize posting lists only for grams with df <= cap
+
+
+def inverted_index(
+    docs: DataFrame,
+    *,
+    n: int = 2,
+    df_cap: int = POSTINGS_DF_CAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Phrase (word n-gram) inverted index: ``(gram, df, postings)`` where
+    ``postings`` is the comma-joined sorted doc-id list — materialized ONLY
+    for grams with ``df <= df_cap`` (rare enough to be selective), NULL for
+    hot grams.
+
+    The cap is the 100 TB survival property: a stopword bigram's posting
+    list would be a billions-entry string gathered onto one reducer. The
+    df pass is a map-side-combined count; hot grams are filtered out
+    BEFORE any ``collect_list`` runs, so the gather only ever sees
+    bounded-length (<= df_cap) groups. Query-time lookups for hot grams
+    fall back to scanning with the df as the cost estimate — exactly how
+    search engines tier their postings.
+    """
+    grams = parallelized(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(text.word_shingles(text.tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    rare = dfreq.filter(F.col("df") <= df_cap).select("gram")
+    postings = (
+        grams.join(rare, "gram")
+        .groupBy("gram")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return dfreq.join(postings, "gram", "left").select("gram", "df", "postings")
+
+
+def inverted_index_sql(
+    table: str,
+    *,
+    n: int = 2,
+    df_cap: int = POSTINGS_DF_CAP,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB query matching :func:`inverted_index`."""
+    tok = text.tokens_sql(text_expr)
+    sh = text.word_shingles_sql("tok", n)
+    return f"""
+        WITH toks AS (
+            SELECT {id_expr} AS doc_id, {tok} AS tok FROM {table}
+        ), grams AS (
+            SELECT doc_id, unnest({sh}) AS gram FROM toks
+        ), dfreq AS (
+            SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY gram
+        ), postings AS (
+            SELECT gram,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                       AS postings
+            FROM grams
+            WHERE gram IN (SELECT gram FROM dfreq WHERE df <= {df_cap})
+            GROUP BY gram
+        )
+        SELECT d.gram AS gram, d.df AS df, p.postings AS postings
+        FROM dfreq d LEFT JOIN postings p ON d.gram = p.gram
+    """

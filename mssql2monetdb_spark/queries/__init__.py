@@ -127,6 +127,13 @@ NEXT_WINDOW_QUEUE = [
     "multimodal_image_resize",
     "filter_gopher_rules",
     "mix_sqrt_temperature",
+    "events_sessionize",
+    "events_transition_matrix",
+    "merge_scd2_history",
+    "dedup_chunk_substring",
+    "quality_unigram_rarity",
+    "index_inverted_postings",
+    "join_salted_skew",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

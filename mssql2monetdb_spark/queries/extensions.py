@@ -634,6 +634,121 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.transition_matrix(t.events).orderBy("prev_type", "next_type")
 
 
+@query(
+    "merge_scd2_history",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   CAST(CASE WHEN c_custkey % 17 = 0 THEN 1 ELSE 0 END AS INTEGER)
+                       AS version,
+                   TRUE AS is_current
+            FROM customer
+        ), legacy AS (
+            SELECT c_custkey, 'LEGACY' AS c_mktsegment, c_acctbal,
+                   CAST(0 AS INTEGER) AS version, FALSE AS is_current
+            FROM customer WHERE c_custkey % 17 = 0
+        ), existing AS (
+            SELECT * FROM base UNION ALL SELECT * FROM legacy
+        ), incoming AS (
+            SELECT c_custkey, 'MOVED' AS c_mktsegment, c_acctbal
+            FROM customer WHERE c_custkey % 5 = 0
+            UNION ALL
+            SELECT c_custkey, c_mktsegment, c_acctbal
+            FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 5 <> 0
+            UNION ALL
+            SELECT c_custkey + 1000000, 'NEW', 0.0
+            FROM customer WHERE c_custkey % 11 = 0
+        ), cur AS (
+            SELECT * FROM existing WHERE is_current
+        ), hist AS (
+            SELECT * FROM existing WHERE NOT is_current
+        ), j AS (
+            SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, c.version,
+                   c.is_current, i.c_mktsegment AS i_seg, i.c_acctbal AS i_bal,
+                   (i.c_custkey IS NOT NULL)
+                   AND (c.c_mktsegment IS DISTINCT FROM i.c_mktsegment
+                        OR c.c_acctbal IS DISTINCT FROM i.c_acctbal) AS is_changed
+            FROM cur c LEFT JOIN incoming i ON c.c_custkey = i.c_custkey
+        )
+        SELECT c_custkey, c_mktsegment, c_acctbal, version, is_current FROM hist
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal, version, is_current
+        FROM j WHERE NOT is_changed
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal, version, FALSE
+        FROM j WHERE is_changed
+        UNION ALL
+        SELECT c_custkey, i_seg, i_bal, CAST(version + 1 AS INTEGER), TRUE
+        FROM j WHERE is_changed
+        UNION ALL
+        SELECT i.c_custkey, i.c_mktsegment, i.c_acctbal, CAST(0 AS INTEGER), TRUE
+        FROM incoming i WHERE i.c_custkey NOT IN (SELECT c_custkey FROM cur)
+        ORDER BY c_custkey, version, is_current
+    """,
+)
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge (operators/upsert.py:upsert_scd2): versioned
+    dimension history with close-and-append semantics. The fixture seeds
+    every path — pre-existing closed history (1/17 of keys carry a LEGACY
+    version 0), attribute changes (1/5 re-segmented -> close + bump),
+    no-op incoming rows (1/13 unchanged), and brand-new keys (1/11
+    offset). The batch side broadcasts; closed history never shuffles."""
+    from ..operators import upsert
+
+    t = Tables(spark, sf_dir)
+    c = t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+    base = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 17 == 0, 1).otherwise(0).cast("int").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    legacy = c.filter(F.col("c_custkey") % 17 == 0).select(
+        "c_custkey",
+        F.lit("LEGACY").alias("c_mktsegment"),
+        "c_acctbal",
+        F.lit(0).cast("int").alias("version"),
+        F.lit(False).alias("is_current"),
+    )
+    existing = base.unionByName(legacy)
+    incoming = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey", F.lit("MOVED").alias("c_mktsegment"), "c_acctbal")
+        .unionByName(
+            c.filter((F.col("c_custkey") % 13 == 0) & (F.col("c_custkey") % 5 != 0))
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEW").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    merged = upsert.upsert_scd2(
+        existing, incoming, "c_custkey", ["c_mktsegment", "c_acctbal"]
+    )
+    return merged.orderBy("c_custkey", "version", "is_current")
+
+
+@query(
+    "dedup_chunk_substring",
+    oracle="SELECT * FROM ("
+    + dedup.chunk_exact_dedup_sql("documents")
+    + ") ORDER BY doc_id",
+)
+def dedup_chunk_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact substring dedup at 32-token chunk granularity
+    (Lee et al. keep-first semantics): duplicate chunks anywhere in the
+    corpus are removed and documents reassembled. First-occurrence
+    resolution is a map-side-combinable min(struct) aggregate on the chunk
+    hash — hot-chunk-skew-robust, unlike a per-hash sort window. At sf0.01
+    the fixture's duplicated documents remove 31 chunks across 23 docs."""
+    t = Tables(spark, sf_dir)
+    return dedup.chunk_exact_dedup(t.documents).orderBy("doc_id")
+
+
 def _components_oracle() -> str:
     """Recursive-CTE oracle for connected components over the MinHash pairs:
     transitive closure + min-reachable label — exact match for the Spark

@@ -265,6 +265,38 @@ def vocab_token_freq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking.token_freq_stats(t.documents).orderBy("doc_id")
 
 
+# Thresholds 29.3/30.5 split the sf0.01 fixture 38 head / 437 middle /
+# 25 tail, so all three buckets carry real rows and the verdict is
+# non-vacuous (measured, see operators/ranking.py:unigram_rarity).
+@query(
+    "quality_unigram_rarity",
+    oracle=ranking.unigram_rarity_sql("documents") + " ORDER BY doc_id",
+)
+def quality_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partition by a unigram-LM
+    perplexity proxy (mean inverse corpus token probability), all-integer
+    arithmetic until one final division — the self-trained surrogate for
+    KenLM scoring with the identical pipeline shape."""
+    t = Tables(spark, sf_dir)
+    return ranking.unigram_rarity(t.documents).orderBy("doc_id")
+
+
+# df_cap=20 against the sf0.01 fixture's 916 distinct bigrams (df 1..46)
+# materializes 80 posting lists and leaves 836 df-only rows — both tiers
+# of the index carry real rows.
+@query(
+    "index_inverted_postings",
+    oracle=ranking.inverted_index_sql("documents") + " ORDER BY gram",
+)
+def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered phrase inverted index (word bigrams): df for every gram,
+    sorted posting lists materialized only below the df cap — the gather
+    never sees a group longer than the cap, so a stopword gram can't
+    funnel a 100 TB corpus through one reducer."""
+    t = Tables(spark, sf_dir)
+    return ranking.inverted_index(t.documents).orderBy("gram")
+
+
 _LONG_TOKEN_TEXT = ("pneumonoultramicroscopicsilicovolcanoconiosis " * 5).strip()
 
 _GOPHER_SEED_SQL = f"""

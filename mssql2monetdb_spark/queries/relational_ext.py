@@ -909,3 +909,37 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "o_orderkey", ["totalprice", "custkey"], "metric", "val"
     ).orderBy("o_orderkey", "metric")
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+        SELECT s.s_name,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS sum_qty
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name ORDER BY s.s_name
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/joins.py:salted_join): the fact side
+    carries a deterministic xxhash64 salt, the supplier side is replicated
+    once per salt, and the join key becomes (key, salt) — spreading any
+    pathologically hot supplier over 8 reducers. The result is provably
+    identical to the plain equi-join (the oracle IS the plain join); this
+    query driver-verifies that equivalence on real data."""
+    from ..operators.joins import salted_join
+
+    t = Tables(spark, sf_dir)
+    sup = t.supplier.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    joined = salted_join(t.lineitem.select("l_suppkey", "l_quantity"), sup, "l_suppkey")
+    return (
+        joined.groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(24,8)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("s_name")
+    )

@@ -766,3 +766,31 @@ def test_transition_matrix_counts_and_rownorm(spark):
     assert out[("b", "a")]["n_transitions"] == 1
     assert abs(out[("a", "b")]["p_transition"] - 2 / 3) < 1e-12
     assert ("b", "b") not in out
+
+
+def test_upsert_scd2_all_paths(spark):
+    from mssql2monetdb_spark.operators import upsert
+
+    existing = spark.createDataFrame(
+        [
+            # key 1: one closed + one current version
+            (1, "a-old", 0, False), (1, "a", 1, True),
+            # key 2: single current version
+            (2, "b", 0, True),
+            # key 3: current, will be unchanged by the batch
+            (3, "c", 0, True),
+        ],
+        "k long, v string, version int, is_current boolean",
+    )
+    incoming = spark.createDataFrame(
+        [(1, "a2"), (3, "c"), (9, "new")], "k long, v string"
+    )
+    out = upsert.upsert_scd2(existing, incoming, "k", ["v"]).collect()
+    rows = {(r.k, r.version): (r.v, r.is_current) for r in out}
+    assert len(out) == 6
+    assert rows[(1, 0)] == ("a-old", False)  # closed history untouched
+    assert rows[(1, 1)] == ("a", False)      # changed current is closed
+    assert rows[(1, 2)] == ("a2", True)      # bumped version appended
+    assert rows[(2, 0)] == ("b", True)       # untouched current key
+    assert rows[(3, 0)] == ("c", True)       # no-op incoming row
+    assert rows[(9, 0)] == ("new", True)     # brand-new key
