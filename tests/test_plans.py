@@ -298,3 +298,58 @@ def test_upsert_broadcasts_incoming_keys(spark):
     # existing table is scanned once, never shuffled for the merge
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_single_user_shuffle(spark):
+    """Both windows and the session aggregate share the user_id
+    partitioning: exactly one wide exchange (plus the output sort's
+    rangepartitioning) — adding a shuffle per window step would triple the
+    exchange volume at 100 TB."""
+    plan = plan_of(spark, "events_sessionize")
+    # formatted plans put the partitioning in the Exchange Arguments line
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_scd2_broadcasts_the_batch(spark):
+    """Change detection must broadcast the incoming batch against the
+    current slice; a sort-merge join here would shuffle the whole
+    dimension for every micro-batch."""
+    plan = plan_of(spark, "merge_scd2_history")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_dedup_first_occurrence_is_partial_aggregable(spark):
+    """First-occurrence resolution must be a map-side-combinable
+    min(struct) aggregate (two HashAggregates around an exchange), not a
+    per-hash sort window — a hot boilerplate chunk would funnel every
+    occurrence through a single task otherwise."""
+    plan = plan_of(spark, "dedup_chunk_substring")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan  # no per-hash sort window anywhere
+    assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_gathers_only_below_cap(spark):
+    """The posting-list gather must join on the df-filtered gram set
+    before any collect_list, and the final assembly stays a hash join on
+    gram (no cartesian, no global sort before the join)."""
+    plan = plan_of(spark, "index_inverted_postings")
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_replicates_small_side(spark):
+    """The salted join must explode (replicate) the supplier side and keep
+    the fact side shuffle keyed on (key, salt); no broadcast-nested-loop,
+    no cartesian."""
+    plan = plan_of(spark, "join_salted_skew")
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_rarity_total_is_broadcast(spark):
+    """The corpus-total relation is one row and must broadcast into the
+    scoring pass (BroadcastNestedLoopJoin over a 1-row build side is the
+    intended shape); the token-frequency probe stays a keyed join."""
+    plan = plan_of(spark, "quality_unigram_rarity")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
