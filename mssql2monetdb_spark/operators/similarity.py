@@ -577,3 +577,270 @@ def random_projection(
         for j in range(RP_DIM)
     ]
     return parallelized(emb_df).select(F.col(id_col), *cols).orderBy(id_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search"): the memory-side half of IVF-PQ — vectors compress to
+# m small codes; queries rank candidates by table-lookup (ADC) distances.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (EMBED_DIM/PQ_M dims each)
+PQ_KS = 4  # codewords per subspace for the sf fixtures; 256 in production
+#           (train real k-means codebooks and store codes as bytes — the
+#           64-dim float vector becomes PQ_M bytes, a 32x compression)
+
+
+def _pq_codebook(
+    emb_df: DataFrame, id_col: str, emb_col: str, m: int, ks: int
+) -> DataFrame:
+    """Deterministic per-subspace codebook ``(j, cid, cw)``: the subvectors
+    of the first ``ks`` vectors by id (the same seeding discipline as the
+    IVF centroids — production swaps in k-means-trained codewords)."""
+    d_sub = EMBED_DIM // m
+    return (
+        parallelized(emb_df)
+        .filter(F.col(id_col) < ks)
+        .select(
+            F.col(id_col).cast("int").alias("cid"),
+            F.col(emb_col).alias("_emb"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+        )
+        .select(
+            "cid",
+            "j",
+            F.slice(F.col("_emb"), F.col("j") * d_sub + 1, d_sub).alias("cw"),
+        )
+    )
+
+
+def _pq_subvectors(
+    emb_df: DataFrame, id_col: str, emb_col: str, m: int, out_id: str
+) -> DataFrame:
+    d_sub = EMBED_DIM // m
+    return (
+        parallelized(emb_df)
+        .select(
+            F.col(id_col).alias(out_id),
+            F.col(emb_col).alias("_emb"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+        )
+        .select(
+            out_id,
+            "j",
+            F.slice(F.col("_emb"), F.col("j") * d_sub + 1, d_sub).alias("sv"),
+        )
+    )
+
+
+def _pq_codes(
+    emb_df: DataFrame, id_col: str, emb_col: str, m: int, ks: int
+) -> DataFrame:
+    """Per-(vector, subspace) nearest codeword: ``(id, j, cid, dist2)``.
+
+    The argmin is a map-side-combinable min(struct(dist2, cid)) aggregate
+    keyed on (id, j) — the corpus shuffles once on its own id and the
+    codebook (m x ks rows) broadcasts."""
+    cb = _pq_codebook(emb_df, id_col, emb_col, m, ks)
+    sub = _pq_subvectors(emb_df, id_col, emb_col, m, id_col)
+    scored = sub.join(F.broadcast(cb), "j").select(
+        id_col, "j", "cid", vectors.l2sq(F.col("sv"), F.col("cw")).alias("dist2")
+    )
+    return (
+        scored.groupBy(id_col, "j")
+        .agg(F.min(F.struct("dist2", "cid")).alias("b"))
+        .select(
+            id_col,
+            "j",
+            F.col("b.cid").alias("cid"),
+            F.col("b.dist2").alias("dist2"),
+        )
+    )
+
+
+def pq_encode(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    *,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+) -> DataFrame:
+    """PQ-encode every vector: ``(vec_id, codes, recon_err)`` where
+    ``codes`` is the comma-joined per-subspace codeword id and
+    ``recon_err`` the total squared quantization error (fixed-j-order
+    fold, bit-identical cross-engine).
+
+    Scale shape: codebook broadcasts, the per-subspace argmin partial-
+    aggregates map-side, and reassembly shuffles on vec_id with m-row
+    groups. At 100 TB the codes relation is the ANN working set — PQ_M
+    bytes/vector instead of EMBED_DIM floats — which is what lets a
+    1000-executor scan rank billions of candidates in memory.
+    """
+    best = _pq_codes(emb_df, id_col, emb_col, m, ks)
+    return best.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cid"))),
+                lambda x: x["cid"].cast("string"),
+            ),
+            ",",
+        ).alias("codes"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "dist2"))),
+                lambda x: x["dist2"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("recon_err"),
+    )
+
+
+def pq_encode_sql(
+    table: str,
+    id_expr: str = "vec_id",
+    emb_expr: str = "embedding",
+    *,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+) -> str:
+    """DuckDB query matching :func:`pq_encode`."""
+    d = EMBED_DIM // m
+    lo, hi = f"j * {d} + 1", f"j * {d} + {d}"
+    return f"""
+        WITH js AS (
+            SELECT unnest(generate_series(0, {m - 1})) AS j
+        ), sub AS (
+            SELECT {id_expr} AS vid, j, {emb_expr}[{lo} : {hi}] AS sv
+            FROM {table} CROSS JOIN js
+        ), cb AS (
+            SELECT {id_expr} AS cid, j, {emb_expr}[{lo} : {hi}] AS cw
+            FROM {table} CROSS JOIN js WHERE {id_expr} < {ks}
+        ), scored AS (
+            SELECT s.vid, s.j, c.cid, {vectors.l2sq_sql('s.sv', 'c.cw')} AS dist2
+            FROM sub s JOIN cb c ON s.j = c.j
+        ), best AS (
+            SELECT vid, j, MIN(struct_pack(d := dist2, c := cid)) AS b
+            FROM scored GROUP BY vid, j
+        )
+        SELECT vid AS {id_expr},
+               string_agg(CAST(struct_extract(b, 'c') AS VARCHAR), ','
+                          ORDER BY j) AS codes,
+               list_reduce(list_prepend(0.0, list(struct_extract(b, 'd')
+                          ORDER BY j)), (x, y) -> x + y) AS recon_err
+        FROM best GROUP BY vid
+    """
+
+
+def topk_pq_adc(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: each query precomputes an
+    (m x ks) lookup table of exact subspace distances to every codeword;
+    a candidate's approximate distance is the fixed-order sum of m table
+    lookups selected by its stored codes. Returns ``(query_id, vec_id,
+    adc_dist, rnk)`` for the k nearest non-self candidates per query.
+
+    Scale shape: the LUT is |queries| x m x ks rows and broadcasts; the
+    candidate scan joins codes (the compressed corpus) to the LUT on
+    (j, cid) — never touching the original vectors, which is the entire
+    point of PQ at 100 TB. Ranking is a per-query window over corpus-
+    sized-but-narrow rows.
+    """
+    codes = _pq_codes(emb_df, id_col, emb_col, m, ks).select(
+        F.col(id_col).alias("vec_id"), "j", "cid"
+    )
+    cb = _pq_codebook(emb_df, id_col, emb_col, m, ks)
+    q_sub = _pq_subvectors(
+        parallelized(emb_df).filter(F.col(id_col).isin(query_ids)),
+        id_col,
+        emb_col,
+        m,
+        "query_id",
+    )
+    lut = q_sub.join(F.broadcast(cb), "j").select(
+        "query_id", "j", "cid", vectors.l2sq(F.col("sv"), F.col("cw")).alias("d2")
+    )
+    paired = codes.join(F.broadcast(lut), ["j", "cid"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = paired.groupBy("query_id", "vec_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "d2"))),
+                lambda x: x["d2"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def topk_pq_adc_sql(
+    table: str,
+    query_ids: list[int],
+    id_expr: str = "vec_id",
+    emb_expr: str = "embedding",
+    *,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    k: int = 5,
+) -> str:
+    """DuckDB query matching :func:`topk_pq_adc`."""
+    d = EMBED_DIM // m
+    lo, hi = f"j * {d} + 1", f"j * {d} + {d}"
+    qlist = ", ".join(str(q) for q in query_ids)
+    return f"""
+        WITH js AS (
+            SELECT unnest(generate_series(0, {m - 1})) AS j
+        ), sub AS (
+            SELECT {id_expr} AS vid, j, {emb_expr}[{lo} : {hi}] AS sv
+            FROM {table} CROSS JOIN js
+        ), cb AS (
+            SELECT {id_expr} AS cid, j, {emb_expr}[{lo} : {hi}] AS cw
+            FROM {table} CROSS JOIN js WHERE {id_expr} < {ks}
+        ), scored AS (
+            SELECT s.vid, s.j, c.cid, {vectors.l2sq_sql('s.sv', 'c.cw')} AS dist2
+            FROM sub s JOIN cb c ON s.j = c.j
+        ), best AS (
+            SELECT vid, j, MIN(struct_pack(d := dist2, c := cid)) AS b
+            FROM scored GROUP BY vid, j
+        ), codes AS (
+            SELECT vid AS vec_id, j, struct_extract(b, 'c') AS cid FROM best
+        ), lut AS (
+            SELECT s.vid AS query_id, s.j, c.cid,
+                   {vectors.l2sq_sql('s.sv', 'c.cw')} AS d2
+            FROM sub s JOIN cb c ON s.j = c.j
+            WHERE s.vid IN ({qlist})
+        ), paired AS (
+            SELECT l.query_id, co.vec_id, co.j, l.d2
+            FROM codes co JOIN lut l ON co.j = l.j AND co.cid = l.cid
+            WHERE co.vec_id <> l.query_id
+        ), summed AS (
+            SELECT query_id, vec_id,
+                   list_reduce(list_prepend(0.0, list(d2 ORDER BY j)),
+                               (x, y) -> x + y) AS adc_dist
+            FROM paired GROUP BY query_id, vec_id
+        ), ranked AS (
+            SELECT query_id, vec_id, adc_dist,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc_dist, vec_id) AS INTEGER) AS rnk
+            FROM summed
+        )
+        SELECT query_id, vec_id, adc_dist, rnk
+        FROM ranked WHERE rnk <= {k}
+    """

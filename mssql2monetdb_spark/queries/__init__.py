@@ -134,6 +134,8 @@ NEXT_WINDOW_QUEUE = [
     "quality_unigram_rarity",
     "index_inverted_postings",
     "join_salted_skew",
+    "embed_pq_encode",
+    "ann_pq_adc_topk",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

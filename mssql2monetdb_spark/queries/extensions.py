@@ -607,6 +607,35 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embed_pq_encode",
+    oracle="SELECT * FROM ("
+    + similarity.pq_encode_sql("embeddings")
+    + ") ORDER BY vec_id",
+)
+def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode (Jégou et al.): 8 subspaces x 4-entry
+    deterministic codebooks; per-subspace argmin is a map-side-combinable
+    min(struct) aggregate; recon_err is a fixed-order fold. The compressed
+    codes relation is the in-memory ANN working set at 100 TB."""
+    t = Tables(spark, sf_dir)
+    return similarity.pq_encode(t.embeddings).orderBy("vec_id")
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=similarity.topk_pq_adc_sql("embeddings", ANN_QUERY_IDS)
+    + " ORDER BY query_id, rnk",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: per-query (m x ks) LUT broadcast,
+    candidates ranked by m table lookups over the compressed codes — the
+    original vectors are never touched after encoding, completing the ANN
+    ladder (brute -> LSH -> IVF -> PQ/ADC)."""
+    t = Tables(spark, sf_dir)
+    return similarity.topk_pq_adc(t.embeddings, ANN_QUERY_IDS)
+
+
+@query(
     "events_sessionize",
     oracle="SELECT * FROM ("
     + events_ops.sessionize_sql("events")

@@ -794,3 +794,33 @@ def test_upsert_scd2_all_paths(spark):
     assert rows[(2, 0)] == ("b", True)       # untouched current key
     assert rows[(3, 0)] == ("c", True)       # no-op incoming row
     assert rows[(9, 0)] == ("new", True)     # brand-new key
+
+
+def test_pq_encode_seeds_are_exact(spark, sf_dir):
+    """A codebook seed vector quantizes to its own codeword in every
+    subspace: codes = 'id,id,...,id' and recon_err == 0."""
+    from mssql2monetdb_spark.catalog import load_table
+    from mssql2monetdb_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = {r.vec_id: r for r in similarity.pq_encode(emb).collect()}
+    for vid in range(similarity.PQ_KS):
+        assert out[vid].codes == ",".join([str(vid)] * similarity.PQ_M)
+        assert out[vid].recon_err == 0.0
+    # non-seed vectors quantize with strictly positive error
+    assert out[similarity.PQ_KS + 1].recon_err > 0.0
+
+
+def test_pq_adc_excludes_self_and_ranks_seeds_first(spark, sf_dir):
+    from mssql2monetdb_spark.catalog import load_table
+    from mssql2monetdb_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.topk_pq_adc(emb, [0, 1], k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert all(r.vec_id != q for r in rs)
+        assert [r.rnk for r in rs] == [1, 2, 3]
+        assert rs[0].adc_dist <= rs[1].adc_dist <= rs[2].adc_dist
