@@ -517,3 +517,49 @@ def chunk_exact_dedup_sql(
                                    ORDER BY chunk_id), '') AS kept_text
         FROM flagged GROUP BY doc_id
     """
+
+
+def keep_best_in_cluster(
+    docs: DataFrame,
+    components: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Resolve duplicate clusters to one survivor each: every document
+    joins its connected component (docs in no component form singleton
+    clusters under their own id — safe, since a component's id is the min
+    MEMBER id and can never equal a non-member's id), and the cluster
+    keeps its highest-``quality_col`` member, ties broken by smallest id.
+
+    Returns ``(component_id, n_members, survivor_id, survivor_quality)``.
+
+    The argmax is ``min(struct(-quality, id))`` — a map-side-combinable
+    aggregate, so cluster size never concentrates work: a pathological
+    million-member boilerplate cluster partial-aggregates on every
+    executor. One broadcast-or-keyed join (components are pair-graph-sized,
+    far smaller than the corpus) plus one keyed aggregate.
+    """
+    grp = (
+        parallelized(docs)
+        .select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("q"))
+        .join(components, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
+            "doc_id",
+            "q",
+        )
+    )
+    return (
+        grp.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min(F.struct((-F.col("q")).alias("negq"), F.col("doc_id"))).alias("b"),
+        )
+        .select(
+            "component_id",
+            "n_members",
+            F.col("b.doc_id").alias("survivor_id"),
+            (-F.col("b.negq")).cast("bigint").alias("survivor_quality"),
+        )
+    )

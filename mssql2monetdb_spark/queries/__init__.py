@@ -136,6 +136,7 @@ NEXT_WINDOW_QUEUE = [
     "join_salted_skew",
     "embed_pq_encode",
     "ann_pq_adc_topk",
+    "dedup_keep_best_in_cluster",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

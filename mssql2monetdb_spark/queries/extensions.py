@@ -801,6 +801,36 @@ def _components_oracle() -> str:
     """
 
 
+@query(
+    "dedup_keep_best_in_cluster",
+    oracle=f"""
+        WITH grp AS (
+            SELECT COALESCE(c.component_id, d.doc_id) AS component_id,
+                   d.doc_id, d.n_chars AS q
+            FROM documents d
+            LEFT JOIN ({_components_oracle()}) c ON d.doc_id = c.doc_id
+        )
+        SELECT component_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               struct_extract(MIN(struct_pack(negq := -q, doc_id := doc_id)),
+                              'doc_id') AS survivor_id,
+               CAST(-struct_extract(MIN(struct_pack(negq := -q, doc_id := doc_id)),
+                              'negq') AS BIGINT) AS survivor_quality
+        FROM grp GROUP BY component_id ORDER BY component_id
+    """,
+)
+def dedup_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster consolidation: MinHash-LSH pair graph -> connected
+    components -> one survivor per cluster (longest doc, ties by min id);
+    singletons survive as their own cluster. The argmax is a map-side-
+    combinable min(struct) so a pathological million-member cluster
+    partial-aggregates instead of funneling one task."""
+    t = Tables(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(t.documents, shingle_n=3, threshold=0.8)
+    comps = dedup.connected_components(pairs)
+    return dedup.keep_best_in_cluster(t.documents, comps).orderBy("component_id")
+
+
 @query("dedup_connected_components", oracle=_components_oracle())
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs resolved into duplicate GROUPS: iterative min-label

@@ -824,3 +824,23 @@ def test_pq_adc_excludes_self_and_ranks_seeds_first(spark, sf_dir):
         assert all(r.vec_id != q for r in rs)
         assert [r.rnk for r in rs] == [1, 2, 3]
         assert rs[0].adc_dist <= rs[1].adc_dist <= rs[2].adc_dist
+
+
+def test_keep_best_in_cluster_survivors(spark):
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (4, 50), (5, 10)],
+        "doc_id long, n_chars long",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, component_id long"
+    )
+    out = {
+        r.component_id: r
+        for r in dedup.keep_best_in_cluster(docs, comps).collect()
+    }
+    assert len(out) == 3
+    # quality tie between 2 and 3 -> smaller id wins
+    assert out[1].survivor_id == 2 and out[1].survivor_quality == 300
+    assert out[1].n_members == 3
+    assert out[4].survivor_id == 4 and out[4].n_members == 1
+    assert out[5].survivor_id == 5
