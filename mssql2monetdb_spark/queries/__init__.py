@@ -137,6 +137,8 @@ NEXT_WINDOW_QUEUE = [
     "embed_pq_encode",
     "ann_pq_adc_topk",
     "dedup_keep_best_in_cluster",
+    "fn_url_parse",
+    "fn_map",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

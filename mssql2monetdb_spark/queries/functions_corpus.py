@@ -579,3 +579,105 @@ def fn_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.pos
         """
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://www.site' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+                   || CASE WHEN doc_id % 3 = 0 THEN '?q=' || lang || '&page=2'
+                           WHEN doc_id % 3 = 1 THEN '?page=1'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN '#sec' || CAST(doc_id % 7 AS VARCHAR)
+                           ELSE '' END AS url
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+               regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+               NULLIF(regexp_extract(url, '\\?([^#]*)', 1), '') AS query,
+               NULLIF(regexp_extract(url, '#(.*)$', 1), '') AS fragment,
+               NULLIF(regexp_extract(url, '[?&]q=([^&#]*)', 1), '') AS q_param
+        FROM u ORDER BY doc_id
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-parsing surface (parse_url PROTOCOL/HOST/PATH/QUERY/REF and
+    keyed query-param extraction) over deterministically synthesized URLs
+    covering query-less, fragment-less, and param-missing shapes — the
+    oracle recomputes every component with independent regexes, so Spark's
+    java.net.URI-based parser is checked against RE2 semantics."""
+    t = Tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://www.site"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("?q="), F.col("lang"), F.lit("&page=2")))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?page=1"))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("#sec"), (F.col("doc_id") % 7).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    u = t.documents.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("REF")).alias("fragment"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("q")).alias("q_param"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "fn_map",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               2 AS n_entries,
+               l_linenumber AS line_val,
+               'line,order' AS keys_sorted,
+               CAST(l_linenumber + l_orderkey AS BIGINT) AS vals_sum,
+               l_partkey AS merged_val,
+               CAST(CASE WHEN l_linenumber > 100 THEN 1 ELSE 0 END
+                    + CASE WHEN l_orderkey > 100 THEN 1 ELSE 0 END
+                    AS INTEGER) AS n_over_100
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column surface: create_map, element_at, map_keys, map_values,
+    map_concat, map_filter, aggregate-over-values. The oracle computes
+    every extracted value from first principles (no map type on the DuckDB
+    side), so the check is on SEMANTICS of the map operators, not their
+    encoding."""
+    t = Tables(spark, sf_dir)
+    m = F.create_map(
+        F.lit("line"),
+        F.col("l_linenumber").cast("bigint"),
+        F.lit("order"),
+        F.col("l_orderkey").cast("bigint"),
+    )
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(m).alias("n_entries"),
+        F.element_at(m, F.lit("line")).alias("line_val"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("vals_sum"),
+        F.element_at(
+            F.map_concat(m, F.create_map(F.lit("extra"), F.col("l_partkey").cast("bigint"))),
+            F.lit("extra"),
+        ).alias("merged_val"),
+        F.size(F.map_filter(m, lambda k, v: v > 100)).alias("n_over_100"),
+    ).orderBy("l_orderkey", "l_linenumber", "merged_val")
