@@ -149,3 +149,60 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def upsert_stream_available_now(
+    events: DataFrame,
+    catalog,
+    schema: str,
+    table: str,
+    checkpoint_dir: str,
+    *,
+    key: str = "user_id",
+) -> None:
+    """Streaming SCD-1 sync into the versioned catalog: each micro-batch
+    collapses to one row per ``key`` (latest ``(ts, event_id)`` wins),
+    merges last-write-wins over the published version
+    (operators/upsert.py:upsert_scd1 — batch broadcast, table scanned
+    never shuffled), writes a NEW physical version, and atomically
+    publishes it. This is the reference's scheduled incremental copy
+    re-expressed as foreachBatch: the trigger state lives in the stream
+    checkpoint, the swap stays the same manifest ``os.replace``.
+
+    Version names derive from the deterministic batch id (not wall
+    clock), so retried batches overwrite their own version dir —
+    foreachBatch's at-least-once becomes effectively exactly-once because
+    the merge re-reads the last PUBLISHED version, not the failed write.
+    """
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.window import Window
+
+    from ..operators.upsert import upsert_scd1
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(key).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if catalog.exists(schema, table):
+            existing = catalog.table_at(spark, schema, table)
+            merged = upsert_scd1(existing, latest, key)
+        else:
+            merged = latest
+        load_date = datetime(2024, 1, 1) + timedelta(seconds=int(batch_id))
+        physical = catalog.write_version(merged, schema, table, load_date)
+        catalog.publish(spark, schema, table, physical)
+
+    q = (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -221,3 +221,53 @@ def test_enriched_stream_matches_batch(spark, stream_src, tmp_path):
         (r["w_start"], r["segment"], r["n_events"], r["sum_value"]) for r in batch_df.collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_upsert_stream_incremental_batches_match_batch_scd1(spark, tmp_path):
+    """Two incremental drains of a foreachBatch SCD-1 sync produce exactly
+    the batch answer (latest row per user over ALL events), with one
+    published catalog version per batch."""
+    from pyspark.sql.window import Window
+
+    from mssql2monetdb_spark.engine.publish import VersionedCatalog
+    from mssql2monetdb_spark.streaming.pipelines import (
+        events_stream,
+        upsert_stream_available_now,
+    )
+
+    events = load_table(spark, SF, "events")
+    half = events.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    src = tmp_path / "in"
+    events.filter(F.col("event_id") <= half).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    catalog = VersionedCatalog(str(tmp_path / "wh"))
+    stream = events_stream(spark, str(src))
+    upsert_stream_available_now(
+        stream, catalog, "main", "user_state", str(tmp_path / "ckpt")
+    )
+    v_after_first = len(catalog.table_versions("main", "user_state"))
+    assert v_after_first >= 1
+
+    # second incremental batch: only the new file is processed
+    events.filter(F.col("event_id") > half).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    upsert_stream_available_now(
+        stream, catalog, "main", "user_state", str(tmp_path / "ckpt")
+    )
+    assert len(catalog.table_versions("main", "user_state")) > v_after_first
+
+    got = {
+        r.user_id: r.event_id
+        for r in catalog.table_at(spark, "main", "user_state").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    want = {
+        r.user_id: r.event_id
+        for r in events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    assert got == want
