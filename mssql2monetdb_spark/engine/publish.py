@@ -198,6 +198,38 @@ class VersionedCatalog:
             dropped.append(physical)
         return dropped
 
+    def compact(
+        self,
+        spark: SparkSession,
+        schema: str,
+        table: str,
+        load_date: datetime,
+        *,
+        target_files: int = 1,
+        sort_by: list[str] | None = None,
+    ) -> str:
+        """Small-file compaction (the OPTIMIZE analog): rewrite the current
+        version into ``target_files`` files and atomically republish.
+
+        Streaming sinks (one version per micro-batch) and highly-parallel
+        loads accumulate many small files; at 100 TB small files dominate
+        scan cost (per-file open + footer read, and task scheduling
+        overhead at ~200k files). Compaction reads the published version,
+        ``repartition(target_files)`` (a full shuffle — sized so each
+        output file lands near the 128 MB-1 GB sweet spot), optionally
+        re-sorts within partitions to restore min/max skipping, and
+        publishes the rewrite as a NEW version — readers never see a
+        half-compacted table, and retention cleanup reaps the fragmented
+        one.
+        """
+        df = self.table_at(spark, schema, table)
+        out = df.repartition(target_files)
+        physical = self.write_version(
+            out, schema, table, load_date, sort_by=sort_by
+        )
+        self.publish(spark, schema, table, physical)
+        return physical
+
     def drop_table(self, spark: SparkSession, schema: str, table: str) -> None:
         """Drop the public name and ALL versions (op #15)."""
         manifest = self._manifest(schema, table)

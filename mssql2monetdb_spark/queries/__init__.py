@@ -139,6 +139,7 @@ NEXT_WINDOW_QUEUE = [
     "dedup_keep_best_in_cluster",
     "fn_url_parse",
     "fn_map",
+    "cte_recursive",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

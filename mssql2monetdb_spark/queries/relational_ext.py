@@ -943,3 +943,43 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name")
     )
+
+
+@query(
+    "cte_recursive",
+    oracle="""
+        WITH RECURSIVE walk AS (
+            SELECT c_custkey AS start_key, c_custkey AS node, 0 AS depth
+            FROM customer
+            UNION ALL
+            SELECT start_key, node // 2, depth + 1 FROM walk WHERE node > 1
+        )
+        SELECT start_key,
+               CAST(MAX(depth) AS INTEGER) AS depth_to_root,
+               CAST(SUM(node) AS BIGINT) AS path_sum
+        FROM walk GROUP BY start_key ORDER BY start_key
+    """,
+)
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): per-customer ancestor walk
+    up an implicit binary tree (node -> node div 2), aggregating path depth
+    and node sum — the iterative-traversal capability the reference
+    delegates to warehouse SQL. Each recursion step is a self-union the
+    engine evaluates breadth-first; depth is log2(maxkey) (~11 here), and
+    rows stay keyed on start_key so the final aggregate shuffles once."""
+    t = Tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("_rcte_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+            SELECT c_custkey AS start_key, c_custkey AS node, 0 AS depth
+            FROM _rcte_customer
+            UNION ALL
+            SELECT start_key, node DIV 2, depth + 1 FROM walk WHERE node > 1
+        )
+        SELECT start_key,
+               CAST(MAX(depth) AS INT) AS depth_to_root,
+               CAST(SUM(node) AS BIGINT) AS path_sum
+        FROM walk GROUP BY start_key ORDER BY start_key
+        """
+    )

@@ -483,3 +483,30 @@ def test_same_load_date_is_idempotent(spark, tmp_path):
         "nation_2024_01_01_00_00_00"
     ]
     assert engine.sql("SELECT COUNT(*) AS n FROM nation").collect()[0]["n"] == 25
+
+
+def test_compact_shrinks_files_and_republishes(spark, tmp_path):
+    """Compaction rewrites a fragmented published version into few files as
+    a NEW version (atomic swap; the fragmented one stays until retention),
+    preserving rows exactly."""
+    import glob
+
+    catalog = VersionedCatalog(str(tmp_path))
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k").repartition(32)
+    v1 = catalog.write_version(df, "main", "t", datetime(2024, 1, 1, 0, 0, 0))
+    catalog.publish(spark, "main", "t", v1)
+    files_before = glob.glob(f"{catalog.version_dir('main', v1)}/part-*")
+    assert len(files_before) > 4
+
+    v2 = catalog.compact(
+        spark, "main", "t", datetime(2024, 1, 1, 0, 0, 1), target_files=2, sort_by=["k"]
+    )
+    assert v2 != v1
+    assert catalog.current_version("main", "t") == v2
+    files_after = glob.glob(f"{catalog.version_dir('main', v2)}/part-*")
+    assert len(files_after) == 2
+    got = catalog.table_at(spark, "main", "t")
+    assert got.count() == 10_000
+    assert got.agg({"k": "sum"}).first()[0] == sum(range(10_000))
+    # the fragmented version survives for time travel until cleanup
+    assert v1 in catalog.table_versions("main", "t")
