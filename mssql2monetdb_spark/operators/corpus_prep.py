@@ -1158,3 +1158,45 @@ def sample_domain_cap_sql(
         )
         WHERE rnk <= {cap}
     """
+
+
+def write_jsonl_shards(
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    n_shards: int = PACK_SHARDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Export the corpus as JSONL shards — the interchange format most LLM
+    training loaders consume ({"id": ..., "text": ...} per line).
+
+    Rows hash-route to a deterministic shard (never round-robin: retried
+    and speculated tasks must produce bit-identical files) and sort by id
+    within each shard, so the export is byte-reproducible. The layout is
+    ``out_dir/shard=K/part-*`` with exactly one file per shard:
+    ``repartition(n, shard)`` colocates each shard value in one task and
+    ``partitionBy`` names the directory by value (hash collisions between
+    shard values only co-task them, never merge files). ``to_json`` of an
+    explicit struct pins field order; the write is Spark's text sink —
+    one pass, no driver involvement, scales with the cluster.
+    """
+    shard = (hashing.md5_int32(F.col(id_col).cast("string")) % n_shards).cast("int")
+    (
+        parallelized(docs)
+        .select(
+            F.col(id_col),
+            F.to_json(
+                F.struct(
+                    F.col(id_col).alias("id"), F.col(text_col).alias("text")
+                )
+            ).alias("value"),
+            shard.alias("shard"),
+        )
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions(id_col)
+        .select("value", "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(out_dir)
+    )

@@ -42,3 +42,43 @@ def salted_join(
     )
     out = salted_big.join(replicated_small, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key: str,
+    *,
+    top: int = 10,
+) -> DataFrame:
+    """Join-key skew diagnostics: the ``top`` heaviest keys with their row
+    counts, share of the relation, and ratio to the mean key load —
+    the pre-flight check that tells you whether a planned shuffle join
+    needs salting (ratio >> partition count) or AQE will cope.
+
+    One map-side-combined count per key + a one-row stats broadcast +
+    TakeOrderedAndProject for the top slice — diagnostics never cost more
+    than the aggregation they protect. All shares are single divisions of
+    exact BIGINTs.
+    """
+    counts = df.groupBy(F.col(key).alias("key_value")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    stats = counts.agg(
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "key_value",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("total_rows")).alias("share"),
+            (
+                F.col("n_rows").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total_rows").cast("double")
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n_rows").desc(), "key_value")
+        .limit(top)
+    )

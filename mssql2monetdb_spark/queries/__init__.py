@@ -140,6 +140,7 @@ NEXT_WINDOW_QUEUE = [
     "fn_url_parse",
     "fn_map",
     "cte_recursive",
+    "report_key_skew",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

@@ -1205,3 +1205,34 @@ def merge_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "report_key_skew",
+    oracle="""
+        WITH counts AS (
+            SELECT o_custkey AS key_value, CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM orders GROUP BY o_custkey
+        ), stats AS (
+            SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM counts
+        )
+        SELECT key_value, n_rows,
+               CAST(n_rows AS DOUBLE) / total_rows AS share,
+               CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                   / CAST(total_rows AS DOUBLE) AS skew_ratio
+        FROM counts CROSS JOIN stats
+        ORDER BY n_rows DESC, key_value LIMIT 10
+    """,
+)
+def report_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (operators/joins.py:key_skew_report): the
+    10 heaviest customer keys in orders with share and mean-load ratio —
+    the pre-flight that decides between a plain shuffle join, AQE skew
+    splitting, and explicit salting. Map-side-combined counts + one-row
+    stats broadcast + TakeOrderedAndProject."""
+    from ..operators.joins import key_skew_report
+
+    t = Tables(spark, sf_dir)
+    return key_skew_report(t.orders, "o_custkey", top=10)

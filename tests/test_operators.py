@@ -844,3 +844,34 @@ def test_keep_best_in_cluster_survivors(spark):
     assert out[1].n_members == 3
     assert out[4].survivor_id == 4 and out[4].n_members == 1
     assert out[5].survivor_id == 5
+
+
+def test_write_jsonl_shards_reproducible(spark, sf_dir, tmp_path):
+    import glob
+    import json
+
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    docs = load_table(spark, sf_dir, "documents")
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    corpus_prep.write_jsonl_shards(docs, out1, n_shards=4)
+    corpus_prep.write_jsonl_shards(docs, out2, n_shards=4)
+
+    def read_all(d):
+        rows = []
+        for f in sorted(glob.glob(f"{d}/shard=*/part-*")):
+            with open(f) as fh:
+                rows.append(fh.read())
+        return rows
+
+    a, b = read_all(out1), read_all(out2)
+    # one file per shard value (hash routing colocates, partitionBy names)
+    assert len(a) == 4
+    # deterministic hash routing + within-shard sort -> byte-identical runs
+    assert a == b
+    parsed = [json.loads(line) for chunk in a for line in chunk.splitlines()]
+    assert len(parsed) == docs.count()
+    assert {p["id"] for p in parsed} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+    assert all(set(p) == {"id", "text"} for p in parsed[:5])
