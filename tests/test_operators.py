@@ -875,3 +875,51 @@ def test_write_jsonl_shards_reproducible(spark, sf_dir, tmp_path):
         r.doc_id for r in docs.select("doc_id").collect()
     }
     assert all(set(p) == {"id", "text"} for p in parsed[:5])
+
+
+def test_chunk_dedup_invariants(spark, sf_dir):
+    """Keep-first chunk dedup invariants: one survivor per distinct chunk
+    text, removals never exceed chunks, kept text is a prefix-free
+    reassembly (token count == kept chunks' tokens)."""
+    from mssql2monetdb_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.chunk_exact_dedup(docs, size=8)
+    from pyspark.sql import functions as F
+
+    row = out.agg(
+        F.sum("n_chunks").alias("chunks"),
+        F.sum("n_removed").alias("removed"),
+    ).first()
+    # survivors = distinct chunk texts corpus-wide
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_chunks = F.greatest(F.floor((F.size(toks) + 7) / 8), F.lit(1)).cast("int")
+    e = docs.select(toks.alias("t"), F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("c"))
+    distinct_chunks = (
+        e.select(F.concat_ws(" ", F.slice(F.col("t"), (F.col("c") * 8 + 1).cast("int"), 8)).alias("ct"))
+        .distinct()
+        .count()
+    )
+    assert row["chunks"] - row["removed"] == distinct_chunks
+    assert out.filter(F.col("n_removed") > F.col("n_chunks")).count() == 0
+    assert out.filter((F.col("n_removed") == 0) & (F.col("kept_text") == "")).count() == 0
+
+
+def test_inverted_index_invariants(spark, sf_dir):
+    """df equals the number of distinct docs containing the gram; postings
+    materialize exactly below the cap and list exactly df doc ids."""
+    from pyspark.sql import functions as F
+
+    from mssql2monetdb_spark.catalog import load_table
+    from mssql2monetdb_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = ranking.inverted_index(docs, df_cap=10)
+    bad_null = idx.filter((F.col("df") <= 10) & F.col("postings").isNull())
+    bad_mat = idx.filter((F.col("df") > 10) & F.col("postings").isNotNull())
+    assert bad_null.count() == 0 and bad_mat.count() == 0
+    mismatch = idx.filter(
+        F.col("postings").isNotNull()
+        & (F.size(F.split(F.col("postings"), ",")) != F.col("df"))
+    )
+    assert mismatch.count() == 0

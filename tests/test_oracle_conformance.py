@@ -35,3 +35,30 @@ def test_rows_only_query_runs(name, spark, sf_dir):
     df = q.build(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema) > 0
+
+
+# Queries whose OUTPUT carries raw timestamps/dates — the ones a non-UTC
+# driver session would corrupt if configure_runtime didn't force UTC.
+TZ_SENSITIVE = [
+    "events_sessionize",
+    "stream_tumbling_hourly",
+    "fn_datetime",
+    "retention_cohorts",
+]
+
+
+@pytest.mark.parametrize("name", TZ_SENSITIVE)
+def test_query_matches_oracle_under_non_utc_session(name, spark, sf_dir, duck):
+    """The external driver's session config is unknown; a non-UTC session
+    timezone must not change any timestamp-bearing result (the query
+    builders route through catalog/configure_runtime, which forces UTC)."""
+    q = REGISTRY[name]
+    original = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        spark_pdf = q.build(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+    oracle_pdf = duck.sql(q.oracle).df()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{name} under non-UTC session: " + "; ".join(problems)
