@@ -34,12 +34,22 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     prefix: str = "matched_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of-backward join.
+    """Left as-of join.
 
     Every left row appears exactly once, augmented with ``prefix<col>`` for
-    each right payload column (NULL when no right row precedes it).
+    each right payload column. ``direction='backward'`` (default) matches
+    the most recent right row with ``right_ts <= left_ts``; ``'forward'``
+    matches the earliest right row with ``right_ts >= left_ts`` (NULL when
+    none exists). Both are inclusive at equal timestamps, matching DuckDB's
+    ASOF ``>=`` / ``<=`` semantics, and both cost the same single keyed
+    shuffle + one window — forward just flips the carry direction
+    (``first`` over the following frame instead of ``last`` over the
+    preceding one).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     payload = F.struct(
         F.col(right_ts).alias(f"{prefix}{right_ts}"),
@@ -67,15 +77,27 @@ def asof_join(
         payload.alias("_r"),
     )
 
-    # right rows sort BEFORE left rows at equal _ts (side 0 < 1): inclusive >=
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal _ts (side 0 < 1):
+        # inclusive >=, latest preceding right carries forward
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        match = F.last("_r", ignorenulls=True).over(w)
+    else:
+        # right rows sort AFTER left rows at equal _ts (desc side):
+        # inclusive <=, earliest following right carries backward
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").asc(), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        match = F.first("_r", ignorenulls=True).over(w)
     carried = (
         l_tagged.unionByName(r_tagged)
-        .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+        .withColumn("_match", match)
         .filter(F.col("_side") == 1)
     )
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]

@@ -141,6 +141,10 @@ NEXT_WINDOW_QUEUE = [
     "fn_map",
     "cte_recursive",
     "report_key_skew",
+    "asof_join_forward",
+    "window_count_distinct",
+    "agg_grouping_flags",
+    "fn_try_arithmetic",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

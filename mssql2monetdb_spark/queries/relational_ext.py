@@ -983,3 +983,153 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY start_key ORDER BY start_key
         """
     )
+
+
+@query(
+    "asof_join_forward",
+    oracle="""
+        SELECT l.event_id, l.ts, l.user_id,
+               r.ts AS matched_ts,
+               r.event_id AS matched_event_id,
+               r.value AS matched_value
+        FROM (SELECT * FROM events WHERE event_type = 'error') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts <= r.ts
+        ORDER BY l.event_id
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each error matched to the user's EARLIEST
+    following purchase (operators/asof.py direction='forward' — the same
+    one-shuffle union + carry window as backward, with the frame flipped).
+    DuckDB's native ASOF <= is the oracle."""
+    t = Tables(spark, sf_dir)
+    events = t.events
+    errors = events.filter(F.col("event_type") == "error").select("event_id", "ts", "user_id")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        direction="forward",
+    ).orderBy("event_id")
+
+
+@query(
+    "window_count_distinct",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(COUNT(DISTINCT event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS INTEGER) AS n_types_seen
+        FROM events ORDER BY event_id
+    """,
+)
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — Spark has no native form, so
+    the idiomatic workaround is size(collect_set() OVER w); the oracle is
+    DuckDB's native windowed COUNT(DISTINCT). Per-user running distinct
+    event types: state is bounded by |event types| per user, so the
+    collect_set never outgrows the small type domain at any scale."""
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t.events.select(
+            "event_id",
+            "user_id",
+            F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "agg_grouping_flags",
+    oracle="""
+        SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+               COALESCE(o_orderstatus, '(all)') AS status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        ORDER BY priority, status, g_priority, g_status
+    """,
+)
+def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags over CUBE: distinguishes a real NULL group key from
+    a super-aggregate row — the standard disambiguator the delegated-SQL
+    surface needs alongside rollup/cube/grouping-sets."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "g_priority",
+            "g_status",
+            "n",
+        )
+        .orderBy("priority", "status", "g_priority", "g_status")
+    )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                    ELSE CAST(l_quantity AS DOUBLE) / (l_linenumber % 3) END
+                   AS safe_div,
+               CASE WHEN l_orderkey % 2 = 0
+                    THEN TIMESTAMP '2024-01-15 10:00:00' ELSE NULL END
+                   AS parsed_ts,
+               CASE WHEN (l_linenumber % 5) + 1 <= 3
+                    THEN [10, 20, 30][(l_linenumber % 5) + 1] ELSE NULL END
+                   AS elem
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, safe_div
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* error-safe surface: try_divide (NULL on zero divisor),
+    try_to_timestamp (NULL on unparseable), try_element_at (NULL out of
+    range) — the oracle computes each NULL condition explicitly, so the
+    check is that Spark's try-variants fail soft in exactly the declared
+    cases."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.try_divide(
+                F.col("l_quantity").cast("double"),
+                (F.col("l_linenumber") % 3).cast("double"),
+            ).alias("safe_div"),
+            F.try_to_timestamp(
+                F.when(F.col("l_orderkey") % 2 == 0, F.lit("2024-01-15 10:00:00"))
+                .otherwise(F.lit("not a timestamp"))
+            ).alias("parsed_ts"),
+            F.try_element_at(
+                F.array(F.lit(10), F.lit(20), F.lit(30)),
+                ((F.col("l_linenumber") % 5) + 1).cast("int"),
+            ).alias("elem"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "safe_div")
+    )

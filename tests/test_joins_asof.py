@@ -114,3 +114,31 @@ def test_asof_matches_pandas_merge_asof(spark):
         for r in got.itertuples()
     }
     assert act == exp
+
+
+def test_asof_forward_inclusive_and_null(spark):
+    from datetime import datetime
+
+    from mssql2monetdb_spark.operators.asof import asof_join
+
+    def ts(h):
+        return datetime(2024, 1, 1, h)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(5)), (2, 1, ts(8)), (3, 2, ts(1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, 1, ts(5), 1.0), (11, 1, ts(7), 2.0), (12, 2, ts(0), 3.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["event_id", "value"], direction="forward",
+        ).collect()
+    }
+    assert out[1].matched_event_id == 10  # equal ts matches (inclusive)
+    assert out[2].matched_event_id is None  # nothing follows
+    assert out[3].matched_event_id is None  # right row PRECEDES: no match
