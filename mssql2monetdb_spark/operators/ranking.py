@@ -463,3 +463,68 @@ def inverted_index_sql(
         SELECT d.gram AS gram, d.df AS df, p.postings AS postings
         FROM dfreq d LEFT JOIN postings p ON d.gram = p.gram
     """
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    *,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """First BPE merge-step statistics: corpus-weighted adjacent
+    character-pair frequencies (with an explicit ``</w>`` end-of-word
+    symbol), the quantity a BPE/WordPiece tokenizer trainer maximizes on
+    every merge. Returns the top ``k`` pairs.
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    map-side-combined count per distinct token), and pairs explode from
+    the vocabulary weighted by token frequency — at 100 TB that's the
+    difference between exploding ~10^6 distinct-token rows and ~10^14
+    running tokens. Top-k is TakeOrderedAndProject, never a full sort.
+    """
+    toks = parallelized(docs).select(
+        F.explode(text.tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("tok_n"))
+    sym = F.concat(F.split(F.col("tok"), ""), F.array(F.lit("</w>")))
+    pairs = vocab.select(
+        "tok_n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(sym) - 1),
+                lambda i: F.concat(
+                    F.element_at(sym, i), F.lit(" "), F.element_at(sym, i + 1)
+                ),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("tok_n").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(k)
+    )
+
+
+def bpe_pair_counts_sql(table: str, *, k: int = 50, text_expr: str = "text") -> str:
+    """DuckDB query matching :func:`bpe_pair_counts`."""
+    tok = text.tokens_sql(text_expr)
+    return f"""
+        WITH toks AS (
+            SELECT unnest({tok}) AS tok FROM {table}
+        ), vocab AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS tok_n FROM toks GROUP BY tok
+        ), sym AS (
+            SELECT tok_n,
+                   list_append(string_split(tok, ''), '</w>') AS s
+            FROM vocab
+        ), pairs AS (
+            SELECT tok_n,
+                   unnest(list_transform(generate_series(1, len(s) - 1),
+                          i -> s[i] || ' ' || s[i + 1])) AS pair
+            FROM sym
+        )
+        SELECT pair, CAST(SUM(tok_n) AS BIGINT) AS n_occurrences
+        FROM pairs GROUP BY pair
+        ORDER BY n_occurrences DESC, pair LIMIT {k}
+    """

@@ -145,6 +145,9 @@ NEXT_WINDOW_QUEUE = [
     "window_count_distinct",
     "agg_grouping_flags",
     "fn_try_arithmetic",
+    "vocab_bpe_pair_counts",
+    "report_packing_efficiency",
+    "report_dedup_by_source",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

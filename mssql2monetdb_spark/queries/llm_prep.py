@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
+from ..functions import text as text_fns
 from ..operators import corpus_prep, ranking, similarity, textstats
 from .registry import query
 
@@ -611,3 +612,103 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim n-gram decontamination pass."""
     t = Tables(spark, sf_dir)
     return similarity.cross_split_contamination(t.embeddings, threshold=0.4)
+
+
+@query(
+    "vocab_bpe_pair_counts",
+    oracle=ranking.bpe_pair_counts_sql("documents"),
+)
+def vocab_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training prep: corpus-weighted adjacent character-pair
+    frequencies with an explicit </w> end-of-word symbol — the statistic a
+    BPE trainer maximizes on its first merge. The corpus collapses to its
+    vocabulary BEFORE the pair explode (10^6 distinct tokens vs 10^14
+    running tokens at 100 TB); top-k is TakeOrderedAndProject."""
+    t = Tables(spark, sf_dir)
+    return ranking.bpe_pair_counts(t.documents)
+
+
+@query(
+    "report_packing_efficiency",
+    oracle="""
+        WITH lens AS (
+            SELECT CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                        AS BIGINT) AS n_tok
+            FROM documents
+        ), seqs AS (
+            SELECT unnest([128, 512, 2048]) AS seq_len
+        )
+        SELECT seq_len,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(((n_tok + seq_len - 1) // seq_len) * seq_len) AS BIGINT)
+                   AS padded_tokens,
+               CAST(SUM(((n_tok + seq_len - 1) // seq_len) * seq_len) - SUM(n_tok)
+                    AS DOUBLE)
+                   / CAST(SUM(((n_tok + seq_len - 1) // seq_len) * seq_len)
+                          AS DOUBLE) AS waste_ratio
+        FROM lens CROSS JOIN seqs
+        GROUP BY seq_len ORDER BY seq_len
+    """,
+)
+def report_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing report: for each candidate sequence length,
+    the padding waste of one-doc-per-sequence batching — the number that
+    justifies sequence packing (pack_sequences) to the training job. Pure
+    integer arithmetic until one final division; the seq-length relation
+    is 3 rows and broadcasts."""
+    t = Tables(spark, sf_dir)
+    lens = t.documents.select(
+        text_fns.token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    seqs = spark.range(0, 1).select(
+        F.explode(F.array(F.lit(128), F.lit(512), F.lit(2048))).alias("seq_len")
+    )
+    padded = F.sum(
+        F.expr("((n_tok + seq_len - 1) div seq_len) * seq_len")
+    ).cast("bigint")
+    return (
+        lens.crossJoin(F.broadcast(seqs))
+        .groupBy("seq_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            padded.alias("padded_tokens"),
+        )
+        .withColumn(
+            "waste_ratio",
+            (F.col("padded_tokens") - F.col("total_tokens")).cast("double")
+            / F.col("padded_tokens").cast("double"),
+        )
+        .orderBy("seq_len")
+    )
+
+
+@query(
+    "report_dedup_by_source",
+    oracle="""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+                   / COUNT(*) AS dup_ratio
+        FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def report_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the triage report that tells a
+    pipeline operator WHICH ingest feed is flooding the corpus with
+    copies. One hash + count-distinct aggregate keyed on source."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct(F.md5(F.col("text"))).cast("bigint").alias("n_unique"),
+        )
+        .withColumn(
+            "dup_ratio",
+            (F.col("n_docs") - F.col("n_unique")).cast("double") / F.col("n_docs"),
+        )
+        .orderBy("source")
+    )
