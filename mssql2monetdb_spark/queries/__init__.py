@@ -148,6 +148,8 @@ NEXT_WINDOW_QUEUE = [
     "vocab_bpe_pair_counts",
     "report_packing_efficiency",
     "report_dedup_by_source",
+    "join_range_bucketed",
+    "order_curriculum_stages",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

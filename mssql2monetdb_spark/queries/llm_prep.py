@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
+from ..functions import hashing
 from ..functions import text as text_fns
 from ..operators import corpus_prep, ranking, similarity, textstats
 from .registry import query
@@ -711,4 +712,54 @@ def report_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") - F.col("n_unique")).cast("double") / F.col("n_docs"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "order_curriculum_stages",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST({text_fns.token_count_sql('text')} AS BIGINT) AS difficulty
+            FROM documents
+        ), stats AS (
+            SELECT MIN(difficulty) AS lo, MAX(difficulty) AS hi FROM scored
+        )
+        SELECT doc_id, difficulty,
+               CAST(LEAST(3, ((difficulty - lo) * 4) // (hi - lo + 1)) AS INTEGER) AS stage,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS order_key
+        FROM scored CROSS JOIN stats
+        ORDER BY stage, order_key, doc_id
+    """,
+)
+def order_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: bucket documents into difficulty
+    stages (token count as the difficulty proxy), shuffled deterministically
+    within each stage by a doc-id hash. The (stage, order_key) sort IS the
+    training order: easy stages stream first, and within a stage documents
+    arrive in hash order — reproducible across runs, no rand().
+
+    Scale shape: stage thresholds come from a 1-row min/max broadcast (no
+    global sort, unlike ntile); the bucket arithmetic is integer-exact so
+    both engines agree bit-for-bit. The final ORDER BY is the result
+    contract; a real export would repartitionByRange on (stage, order_key)
+    into shards instead of a single global sort.
+    """
+    t = Tables(spark, sf_dir)
+    scored = t.documents.select(
+        "doc_id", text_fns.token_count(F.col("text")).cast("bigint").alias("difficulty")
+    )
+    stats = scored.agg(F.min("difficulty").alias("lo"), F.max("difficulty").alias("hi"))
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "difficulty",
+            F.least(
+                F.lit(3),
+                F.expr("((difficulty - lo) * 4) DIV (hi - lo + 1)"),
+            ).cast("int").alias("stage"),
+            hashing.md5_int60(F.col("doc_id").cast("string")).alias("order_key"),
+        )
+        .orderBy("stage", "order_key", "doc_id")
     )

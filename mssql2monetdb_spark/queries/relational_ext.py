@@ -1133,3 +1133,82 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber", "safe_div")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed range join (point-in-overlapping-intervals at scale)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+        WITH ranges AS (
+            SELECT p_partkey,
+                   p_retailprice * CAST(0.95 AS DOUBLE) AS lo,
+                   p_retailprice * CAST(1.05 AS DOUBLE) AS hi
+            FROM part WHERE p_partkey % 20 = 1
+        ), probe AS (
+            SELECT l_extendedprice / l_quantity AS up FROM lineitem
+        )
+        SELECT r.p_partkey, CAST(COUNT(*) AS BIGINT) AS n_in_range
+        FROM ranges r JOIN probe p ON p.up BETWEEN r.lo AND r.hi
+        GROUP BY r.p_partkey
+        ORDER BY p_partkey
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via uniform bucketing — the scale form of a
+    pure range join (no equi key to extract, so a naive plan is a
+    nested-loop over every (probe, range) pair).
+
+    Each interval [lo, hi] is assigned to every bucket of width w =
+    max(hi - lo) it overlaps (<= 2 buckets, since no interval is wider
+    than w); each probe value lands in exactly ONE bucket. The join is
+    then a plain equi-join on the bucket id with the exact BETWEEN as a
+    residual filter — candidates per probe are the handful of intervals
+    sharing its bucket, never the full interval table. floor((x-base)/w)
+    is monotone in x under IEEE rounding, so an in-range probe can never
+    miss its interval's bucket span. Each (probe, range) candidate pair
+    arises at most once (the interval's bucket rows are distinct buckets),
+    so no distinct step is needed before the count.
+
+    At 100 TB both sides shuffle only on the narrow bucket key; the 1-row
+    stats relation (base, w) broadcasts. Skewed buckets (many intervals
+    piling into one bucket) are AQE-split like any hot hash key.
+    """
+    t = Tables(spark, sf_dir)
+    ranges = t.part.filter(F.col("p_partkey") % 20 == 1).select(
+        "p_partkey",
+        (F.col("p_retailprice") * F.lit(0.95)).alias("lo"),
+        (F.col("p_retailprice") * F.lit(1.05)).alias("hi"),
+    )
+    stats = ranges.agg(
+        F.min("lo").alias("base"),
+        F.greatest(F.max(F.col("hi") - F.col("lo")), F.lit(1e-9)).alias("w"),
+    )
+    rb = (
+        ranges.crossJoin(F.broadcast(stats))
+        .select(
+            "p_partkey",
+            "lo",
+            "hi",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("lo") - F.col("base")) / F.col("w")),
+                    F.floor((F.col("hi") - F.col("base")) / F.col("w")),
+                )
+            ).alias("bucket"),
+        )
+    )
+    pb = (
+        t.lineitem.select((F.col("l_extendedprice") / F.col("l_quantity")).alias("up"))
+        .crossJoin(F.broadcast(stats))
+        .select("up", F.floor((F.col("up") - F.col("base")) / F.col("w")).alias("bucket"))
+    )
+    return (
+        pb.join(rb, "bucket")
+        .filter((F.col("up") >= F.col("lo")) & (F.col("up") <= F.col("hi")))
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_in_range"))
+        .orderBy("p_partkey")
+    )

@@ -353,3 +353,24 @@ def test_unigram_rarity_total_is_broadcast(spark):
     plan = plan_of(spark, "quality_unigram_rarity")
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
+
+
+def test_range_bucketed_join_is_equi_on_bucket(spark):
+    """The point-in-interval join must compile to an equi-join on the
+    bucket id (hash or sort-merge), never a nested loop over every
+    (probe, interval) pair; the only BNL allowed is the 1-row stats
+    broadcast."""
+    plan = plan_of(spark, "join_range_bucketed")
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    # the equi key of the candidate join is the bucket id
+    assert "Left keys [1]: [bucket" in plan, plan
+
+
+def test_curriculum_stages_avoid_global_ntile(spark):
+    """Stage assignment must come from the broadcast min/max stats, not a
+    global-sort ntile: no Window operator in the plan, and the stats
+    relation broadcasts."""
+    plan = plan_of(spark, "order_curriculum_stages")
+    assert "Window" not in plan
+    assert "Broadcast" in plan
