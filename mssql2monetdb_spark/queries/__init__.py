@@ -150,6 +150,7 @@ NEXT_WINDOW_QUEUE = [
     "report_dedup_by_source",
     "join_range_bucketed",
     "order_curriculum_stages",
+    "mix_epoch_repeat",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

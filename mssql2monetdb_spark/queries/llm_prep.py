@@ -763,3 +763,65 @@ def order_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage", "order_key", "doc_id")
     )
+
+
+@query(
+    "mix_epoch_repeat",
+    oracle="""
+        WITH planned AS (
+            SELECT doc_id, source,
+                   0.5 + (CAST(substr(source, 4) AS INTEGER) % 4) * 0.75 AS epochs,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS h
+            FROM documents
+        ), sized AS (
+            SELECT doc_id, source,
+                   CAST(FLOOR(epochs) AS BIGINT)
+                   + CASE WHEN h < (epochs - FLOOR(epochs)) * 1000 THEN 1 ELSE 0 END AS n_copies
+            FROM planned
+        )
+        SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+        FROM sized
+        ORDER BY doc_id, copy_idx
+    """,
+)
+def mix_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source upsampling by fractional epoch counts — the materialization
+    step of a data-mixing recipe ("books x2.75, web x0.5"). Every document
+    repeats floor(e) times, plus one extra copy for the deterministic
+    hash-selected fraction (h % 1000 < frac*1000), so realized source
+    proportions hit the target in expectation with zero rand() — retries
+    and speculative tasks reproduce byte-identical output.
+
+    Epochs here derive from the source-name suffix (0.5 .. 2.75 across the
+    20 fixture feeds) so under-sampling (e < 1 drops docs), exact-integer,
+    and fractional repeat paths all carry rows. The explode is per-row
+    (narrow, no shuffle); frac*1000 stays integer-exact because fractions
+    are multiples of 1/4. At 100 TB this runs as a map-only stage feeding
+    the shard writer — repeated copies of a document land in the same task
+    unless a downstream repartition spreads them, which is what you want
+    for copy-aware shard interleaving anyway.
+    """
+    t = Tables(spark, sf_dir)
+    planned = t.documents.select(
+        "doc_id",
+        "source",
+        (F.lit(0.5) + (F.expr("CAST(substring(source, 4) AS INT)") % 4) * F.lit(0.75)).alias("epochs"),
+        (hashing.md5_int60(F.col("doc_id").cast("string")) % 1000).alias("h"),
+    )
+    sized = planned.select(
+        "doc_id",
+        "source",
+        (
+            F.floor("epochs").cast("bigint")
+            + F.when(F.col("h") < (F.col("epochs") - F.floor("epochs")) * 1000, 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return (
+        sized.filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))).alias("copy_idx"),
+        )
+        .orderBy("doc_id", "copy_idx")
+    )
