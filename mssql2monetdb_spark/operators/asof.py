@@ -104,3 +104,67 @@ def asof_join(
     match_fields = [f"{prefix}{right_ts}"] + [f"{prefix}{c}" for c in right_cols]
     out_cols += [F.col(f"_match.{f}").alias(f) for f in match_fields]
     return carried.select(*out_cols)
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    prefix: str = "matched_",
+) -> DataFrame:
+    """The cogrouped-pandas formulation of the backward as-of join:
+    ``left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas`` with a
+    per-key ``pandas.merge_asof``. Same contract as :func:`asof_join`
+    (backward, inclusive, one output row per left row).
+
+    This exists to cover the co-grouped map operator — the one Arrow
+    surface the UDF ladder doesn't otherwise touch — with the same oracle
+    as the built-in composition, NOT to replace it: prefer
+    :func:`asof_join` (pure JVM window) in pipelines; reach for cogroup
+    only for per-key-pair logic DataFrame ops can't express.
+
+    Scale shape: one shuffle of each side on the key (identical exchange
+    count to the window form), then per-key Arrow batches — bounded by the
+    largest single key's rows on both sides, so a pathologically hot key
+    concentrates in one task (the window form spills instead; another
+    reason it's the default). Ties on ``right_ts`` break to the LAST row
+    after a mergesort on (ts, payload cols) — deterministic.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    rmap = {right_ts: f"{prefix}{right_ts}", **{c: f"{prefix}{c}" for c in right_cols}}
+    out_right = [f"{prefix}{right_ts}"] + [f"{prefix}{c}" for c in right_cols]
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    schema = StructType(
+        list(left.schema.fields)
+        + [StructField(rmap[c], rtypes[c], True) for c in [right_ts] + right_cols]
+    )
+    out_names = [f.name for f in schema.fields]
+    # pandas nullable dtypes so unmatched rows surface as NULL (not NaN)
+    nullable = {"bigint": "Int64", "int": "Int32", "double": "Float64", "float": "Float32"}
+    casts = {
+        rmap[c]: nullable[rtypes[c].simpleString()]
+        for c in [right_ts] + right_cols
+        if rtypes[c].simpleString() in nullable
+    }
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = l.sort_values(left_ts, kind="mergesort")
+        r = r.rename(columns=rmap)[out_right].sort_values(out_right, kind="mergesort")
+        out = pd.merge_asof(
+            l, r, left_on=left_ts, right_on=f"{prefix}{right_ts}", direction="backward"
+        )
+        for col, dt in casts.items():
+            out[col] = out[col].astype(dt)
+        for col in out_right:
+            if out[col].dtype == object:
+                out[col] = out[col].where(out[col].notna(), None)
+        return out[out_names]
+
+    return left.groupBy(on).cogroup(right.groupBy(on)).applyInPandas(merge, schema=schema)

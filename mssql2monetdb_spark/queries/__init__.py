@@ -151,6 +151,7 @@ NEXT_WINDOW_QUEUE = [
     "join_range_bucketed",
     "order_curriculum_stages",
     "mix_epoch_repeat",
+    "asof_join_cogroup",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

@@ -13,6 +13,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import Tables
 from ..operators.asof import asof_join
+from ..operators.asof import asof_join_cogroup as asof_join_cogroup_op
 from .helpers import dsum, oracle_dsum
 from .registry import query
 
@@ -1212,3 +1213,38 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_in_range"))
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "asof_join_cogroup",
+    oracle="""
+        SELECT l.event_id, l.ts, l.user_id,
+               r.ts AS matched_ts,
+               r.event_id AS matched_event_id,
+               r.value AS matched_value
+        FROM (SELECT * FROM events WHERE event_type = 'error') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id
+    """,
+)
+def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join again, through the co-grouped Arrow surface
+    (groupBy.cogroup.applyInPandas + per-key pandas.merge_asof) — verified
+    against the same native-ASOF oracle as asof_join_events, closing the
+    cogroup rung of the UDF ladder. The JVM window form stays the
+    production default (operators/asof.py docstrings)."""
+    t = Tables(spark, sf_dir)
+    events = t.events
+    errors = events.filter(F.col("event_type") == "error").select("event_id", "ts", "user_id")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return asof_join_cogroup_op(
+        errors,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+    ).orderBy("event_id")

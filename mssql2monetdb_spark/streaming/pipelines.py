@@ -206,3 +206,42 @@ def upsert_stream_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def correlated_purchases_stream(
+    events: DataFrame,
+    *,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: every click matched to the same user's
+    purchases within ``horizon`` after the click — conversion attribution
+    over two unbounded sides.
+
+    Both sides carry a watermark and the join condition time-bounds
+    ``purchase_ts`` to [click_ts, click_ts + horizon]; that pair is what
+    lets Spark discard buffered state for rows past the watermark on BOTH
+    sides — an unbounded-state self-join otherwise. Inner-join matches
+    emit as soon as both rows arrive (append mode); state per side is
+    bounded by watermark + horizon regardless of stream length, and the
+    join shuffles on user_id exactly like its batch counterpart.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.withWatermark("click_ts", watermark)
+    p = purchases.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {horizon}")),
+    ).select("click_id", "click_user", "click_ts", "purchase_id", "purchase_ts", "purchase_value")

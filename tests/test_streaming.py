@@ -271,3 +271,40 @@ def test_upsert_stream_incremental_batches_match_batch_scd1(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, stream_src, tmp_path):
+    """Stream-stream inner interval join (clicks x purchases within 30 min)
+    drains to exactly the batch join's matches — the two-unbounded-sides
+    capability none of the other streaming pipelines exercise."""
+    from mssql2monetdb_spark.streaming.pipelines import correlated_purchases_stream
+
+    stream = correlated_purchases_stream(events_stream(spark, stream_src))
+    run_available_now(stream, str(tmp_path / "ckpt"), "conversions", output_mode="append")
+    streamed = {
+        tuple(r) for r in spark.table("conversions").collect()
+    }
+    ev = spark.read.parquet(stream_src)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = {
+        tuple(r)
+        for r in clicks.join(
+            purchases,
+            (F.col("click_user") == F.col("purchase_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
+        )
+        .select("click_id", "click_user", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
