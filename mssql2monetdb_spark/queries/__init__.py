@@ -152,6 +152,7 @@ NEXT_WINDOW_QUEUE = [
     "order_curriculum_stages",
     "mix_epoch_repeat",
     "asof_join_cogroup",
+    "sketch_count_min",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

