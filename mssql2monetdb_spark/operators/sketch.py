@@ -80,3 +80,51 @@ def count_min_estimate(sketch: DataFrame, probes: DataFrame, key_col: str) -> Da
         .groupBy(key_col)
         .agg(F.min("c").cast("bigint").alias("cms_count"))
     )
+
+
+BLOOM_BITS = 2048
+BLOOM_HASHES = 3
+
+
+def _bloom_bit(key: Column, i: int) -> Column:
+    return (
+        hashing.md5_int32(F.concat(F.lit(f"b{i}:"), key.cast("string"))) % BLOOM_BITS
+    )
+
+
+def _bloom_bit_sql(key_expr: str, i: int) -> str:
+    inner = f"'b{i}:' || CAST({key_expr} AS VARCHAR)"
+    return f"({hashing.md5_int32_sql(inner)} % {BLOOM_BITS})"
+
+
+def bloom_build(rows: DataFrame, key_col: str) -> DataFrame:
+    """One-column (bit) relation: the set bits of an m-bit / k-hash bloom
+    filter over the key stream. At most BLOOM_BITS rows regardless of
+    input size — the membership analog of the count-min build."""
+    return (
+        rows.select(
+            F.explode(
+                F.array(*[_bloom_bit(F.col(key_col), i) for i in range(BLOOM_HASHES)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(bloom: DataFrame, probes: DataFrame, key_col: str) -> DataFrame:
+    """(key, maybe_present): true iff all k bits are set. No false
+    negatives by construction; false-positive rate ~ (set_bits/m)^k. The
+    bloom relation (<= m rows) always broadcasts — the probe side never
+    shuffles."""
+    lookups = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(*[_bloom_bit(F.col(key_col), i) for i in range(BLOOM_HASHES)])
+        ).alias("bit"),
+    )
+    marked = lookups.join(
+        F.broadcast(bloom.withColumn("_set", F.lit(1))), "bit", "left"
+    )
+    return marked.groupBy(key_col).agg(
+        (F.count("_set") == BLOOM_HASHES).alias("maybe_present")
+    )

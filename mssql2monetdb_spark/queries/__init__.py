@@ -153,6 +153,8 @@ NEXT_WINDOW_QUEUE = [
     "mix_epoch_repeat",
     "asof_join_cogroup",
     "sketch_count_min",
+    "sketch_bloom_membership",
+    "fn_lambda_hof",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

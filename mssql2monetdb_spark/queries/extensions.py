@@ -1295,3 +1295,68 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("true_count").desc(), "l_partkey")
     )
+
+
+def _bloom_oracle() -> str:
+    from ..operators import sketch as sk
+
+    bits_build = " UNION ALL ".join(
+        f"SELECT {sk._bloom_bit_sql('l_suppkey', i)} AS bit FROM seen"
+        for i in range(sk.BLOOM_HASHES)
+    )
+    bits_probe = " UNION ALL ".join(
+        f"SELECT s_suppkey, {sk._bloom_bit_sql('s_suppkey', i)} AS bit FROM supplier"
+        for i in range(sk.BLOOM_HASHES)
+    )
+    return f"""
+        WITH seen AS (
+            SELECT DISTINCT l_suppkey FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1995-07-01 00:00:00'
+        ), bloom AS (
+            SELECT DISTINCT bit FROM ({bits_build})
+        ), probe AS ({bits_probe}),
+        marked AS (
+            SELECT p.s_suppkey, COUNT(b.bit) = {sk.BLOOM_HASHES} AS maybe_present
+            FROM probe p LEFT JOIN bloom b ON p.bit = b.bit
+            GROUP BY p.s_suppkey
+        )
+        SELECT m.s_suppkey, m.maybe_present,
+               EXISTS (SELECT 1 FROM seen WHERE seen.l_suppkey = m.s_suppkey)
+                   AS actually_present
+        FROM marked m
+        ORDER BY s_suppkey
+    """
+
+
+@query("sketch_bloom_membership", oracle=_bloom_oracle())
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (operators/sketch.py): an m-bit / k-hash
+    filter over suppliers active before 1995-07-01, probed with EVERY
+    supplier and compared against exact membership — so the verdict pins
+    both the no-false-negative guarantee and the concrete false-positive
+    pattern of these hash constants. The filter relation is <= 2048 rows
+    however large the activity log: the "have we seen this key" pre-check
+    that saves a 100 TB anti-join probe."""
+    from ..operators import sketch as sk
+
+    t = Tables(spark, sf_dir)
+    seen = (
+        t.lineitem.filter(F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
+        .select(F.col("l_suppkey"))
+        .distinct()
+    )
+    bloom = sk.bloom_build(seen, "l_suppkey")
+    probes = t.supplier.select("s_suppkey")
+    maybe = sk.bloom_probe(bloom, probes, "s_suppkey")
+    actual = seen.withColumnRenamed("l_suppkey", "s_suppkey").withColumn(
+        "actually_present", F.lit(True)
+    )
+    return (
+        maybe.join(F.broadcast(actual), "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            "maybe_present",
+            F.coalesce("actually_present", F.lit(False)).alias("actually_present"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -681,3 +681,52 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("merged_val"),
         F.size(F.map_filter(m, lambda k, v: v > 100)).alias("n_over_100"),
     ).orderBy("l_orderkey", "l_linenumber", "merged_val")
+
+
+@query(
+    "fn_lambda_hof",
+    oracle="""
+        WITH arrs AS (
+            SELECT l_orderkey, l_linenumber,
+                   [l_quantity, l_discount * 100, l_tax * 100] AS a,
+                   [l_tax, l_discount, CAST(1.0 AS DOUBLE)] AS b
+            FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber,
+               list_transform(a, x -> x * 2)[1] AS doubled_first,
+               CAST(len(list_filter(a, x -> x > 10)) AS INTEGER) AS n_gt10,
+               len(list_filter(a, x -> x > 40)) > 0 AS has_big,
+               len(list_filter(a, x -> NOT (x >= 0))) = 0 AS all_nonneg,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), a),
+                           (acc, x) -> acc + x) AS arr_sum,
+               list_transform(list_zip(a, b),
+                              p -> struct_extract(p, 1) + struct_extract(p, 2))[1]
+                   AS zip_first
+        FROM arrs
+        ORDER BY l_orderkey, l_linenumber, arr_sum
+    """,
+)
+def fn_lambda_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function surface: transform / filter / exists /
+    forall / aggregate (fixed-order fold, deterministic cross-engine) /
+    zip_with — each verified against DuckDB's list_* lambda family. All
+    JVM-side codegen lambdas; nothing leaves the row."""
+    t = Tables(spark, sf_dir)
+    arrs = t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array(
+            F.col("l_quantity"), F.col("l_discount") * 100, F.col("l_tax") * 100
+        ).alias("a"),
+        F.array(F.col("l_tax"), F.col("l_discount"), F.lit(1.0)).alias("b"),
+    )
+    return arrs.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(F.transform("a", lambda x: x * 2), 1).alias("doubled_first"),
+        F.size(F.filter("a", lambda x: x > 10)).alias("n_gt10"),
+        F.exists("a", lambda x: x > 40).alias("has_big"),
+        F.forall("a", lambda x: x >= 0).alias("all_nonneg"),
+        F.aggregate("a", F.lit(0.0), lambda acc, x: acc + x).alias("arr_sum"),
+        F.element_at(F.zip_with("a", "b", lambda x, y: x + y), 1).alias("zip_first"),
+    ).orderBy("l_orderkey", "l_linenumber", "arr_sum")
