@@ -258,3 +258,18 @@ def test_audio_features_real_wav_stereo(spark):
     [row] = multimodal.extract_audio_features(df, fake=False).collect()
     assert row["duration_est_s"] == pytest.approx(800 / 8000)
     assert all(f == pytest.approx(2000 / 32768.0) for f in row["mfcc_like"])
+
+
+def test_byte_histogram_arrow_matches_reference(media, spark):
+    """mapInArrow nibble histogram equals a pure-Python reference for every
+    payload, sums to the byte length, and nulls pass through."""
+    out = {r["media_id"]: r["nibble_hist"] for r in multimodal.byte_histogram_arrow(media).collect()}
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, SF, "documents").limit(50).collect()}
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        raw = text.encode()
+        ref = [0] * 16
+        for b in raw:
+            ref[b >> 4] += 1
+        assert out[doc_id] == ref
+        assert sum(out[doc_id]) == len(raw)
