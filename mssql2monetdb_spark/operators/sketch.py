@@ -128,3 +128,90 @@ def bloom_probe(bloom: DataFrame, probes: DataFrame, key_col: str) -> DataFrame:
     return marked.groupBy(key_col).agg(
         (F.count("_set") == BLOOM_HASHES).alias("maybe_present")
     )
+
+
+HLL_M = 64  # registers (2^6)
+HLL_ALPHA = 0.709  # standard alpha for m = 64
+HLL_MAX_RHO = 55  # 60-bit hash minus 6 bucket bits, +1
+
+
+def hll_registers(rows: DataFrame, key_col: str) -> DataFrame:
+    """(bucket, rho): the m max-rank registers of a HyperLogLog sketch.
+
+    bucket = low 6 hash bits; rho = 1 + trailing zeros of the remaining
+    54 bits, computed portably as the binary-string length of the lowest
+    set bit (v & -v) — no log2/pow, so DuckDB reproduces the exact
+    registers. The build is one groupBy(bucket).max — constant 64-row
+    state for any key cardinality, and the shuffle carries at most m rows
+    per map task (map-side partial MAX).
+    """
+    h = hashing.md5_int60(F.col(key_col).cast("string"))
+    # integer shift, not h/64: double division drops bits above 2^53
+    b = rows.select((h % HLL_M).alias("bucket"), F.shiftright(h, 6).alias("v"))
+    low = F.col("v").bitwiseAND(-F.col("v"))
+    rho = F.when(F.col("v") == 0, F.lit(HLL_MAX_RHO)).otherwise(
+        F.length(F.conv(low.cast("string"), 10, 2))
+    )
+    return b.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One-row (hll_estimate) from the registers.
+
+    The harmonic sum folds in bucket order over exact dyadic terms
+    (1.0 / (1 << rho)) — a fixed-order IEEE fold, bit-identical in any
+    engine; empty buckets contribute 2^0 = 1. Raw estimator only (no
+    small/large-range correction): the oracle runs the identical formula,
+    so the verdict pins the full pipeline, not a bias table.
+    """
+    spark = registers.sparkSession
+    all_buckets = spark.range(HLL_M).select(F.col("id").cast("bigint").alias("bucket"))
+    regs = all_buckets.join(F.broadcast(registers), "bucket", "left").select(
+        "bucket",
+        # exact dyadic 2^-rho: integer shift then divide (pow() is not
+        # guaranteed exact cross-engine; 1.0 / 2^k is)
+        F.expr(
+            "CAST(1.0 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT),"
+            " CAST(COALESCE(rho, 0) AS INT))"
+        ).alias("term"),
+    )
+    folded = regs.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s")
+    )
+    return folded.select(
+        (F.lit(HLL_ALPHA) * HLL_M * HLL_M / F.col("s")).alias("hll_estimate")
+    )
+
+
+def hll_sql(table: str, key_expr: str) -> str:
+    """DuckDB query computing the identical registers + estimate."""
+    h = hashing.md5_int60_sql(f"CAST({key_expr} AS VARCHAR)")
+    return f"""
+        WITH b AS (
+            SELECT {h} % {HLL_M} AS bucket, {h} // {HLL_M} AS v FROM {table}
+        ), r AS (
+            SELECT bucket,
+                   MAX(CASE WHEN v = 0 THEN {HLL_MAX_RHO}
+                            ELSE length(bin(v & -v)) END) AS rho
+            FROM b GROUP BY bucket
+        ), regs AS (
+            SELECT m.bucket, COALESCE(r.rho, 0) AS rho
+            FROM (SELECT unnest(generate_series(0, {HLL_M - 1})) AS bucket) m
+            LEFT JOIN r USING (bucket)
+        )
+        SELECT {HLL_ALPHA} * {HLL_M} * {HLL_M}
+               / list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(1.0 / (1 << rho) ORDER BY bucket)),
+                     (a, x) -> a + x) AS hll_estimate
+        FROM regs
+    """

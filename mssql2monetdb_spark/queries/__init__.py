@@ -155,6 +155,7 @@ NEXT_WINDOW_QUEUE = [
     "sketch_count_min",
     "sketch_bloom_membership",
     "fn_lambda_hof",
+    "sketch_hll_distinct",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

@@ -1360,3 +1360,35 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+def _hll_oracle() -> str:
+    from ..operators import sketch as sk
+
+    return f"""
+        WITH est AS ({sk.hll_sql('orders', 'o_custkey')})
+        SELECT (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+                   AS true_distinct,
+               hll_estimate
+        FROM est
+    """
+
+
+@query("sketch_hll_distinct", oracle=_hll_oracle())
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog over orders.o_custkey
+    (operators/sketch.py): 64 max-rank registers — constant state for any
+    key cardinality, map-side-combined MAX — and a fixed-order harmonic
+    fold for the estimate, next to the exact COUNT(DISTINCT). Completes
+    the sketch family (count-min = frequency, bloom = membership, HLL =
+    cardinality); approx_count_distinct is Spark's native HLL++, this one
+    is engine-portable so DuckDB pins every register and the estimate
+    bit-for-bit."""
+    from ..operators import sketch as sk
+
+    t = Tables(spark, sf_dir)
+    est = sk.hll_estimate(sk.hll_registers(t.orders, "o_custkey"))
+    truth = t.orders.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("true_distinct")
+    )
+    return truth.crossJoin(F.broadcast(est))

@@ -22,6 +22,7 @@ QUERIES = [
     "window_running_sum",  # ordered prefix aggregate
     "dedup_minhash_lsh",  # multi-stage shuffle pipeline
     "sketch_count_min",  # sketch build + probe
+    "sketch_hll_distinct",  # register build + fixed-order fold
     "order_curriculum_stages",  # broadcast-stats bucketing
 ]
 

@@ -943,3 +943,17 @@ def test_count_min_upper_bounds_every_key(spark):
     n = joined.count()
     exact = joined.filter(F.col("cms_count") == F.col("count")).count()
     assert exact > 0 and n > 0
+
+
+def test_hll_estimate_within_expected_error(spark):
+    """Raw HLL with m=64 has ~1.04/sqrt(m) = 13% standard error; pin the
+    estimate within 3 sigma of truth for two different key columns."""
+    from pyspark.sql import functions as F
+
+    from mssql2monetdb_spark.operators import sketch as sk
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    for key in ("o_custkey", "o_orderkey"):
+        true = orders.select(key).distinct().count()
+        est = sk.hll_estimate(sk.hll_registers(orders, key)).collect()[0][0]
+        assert abs(est - true) / true < 3 * 1.04 / (sk.HLL_M ** 0.5), (key, est, true)
