@@ -215,3 +215,24 @@ def hll_sql(table: str, key_expr: str) -> str:
                      (a, x) -> a + x) AS hll_estimate
         FROM regs
     """
+
+
+def count_min_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """One-row (est_join_size) estimate of |A join B| on the sketched key:
+    min over the d rows of the counter dot-product — the classic
+    AMS/CM join-cardinality estimate (upper bound in expectation per row;
+    the min tightens it). Both sketches are <= d*w rows, so this costs a
+    broadcast join of two constant-size relations — the pre-flight that
+    predicts a shuffle join's output volume without running it.
+
+    The dot products are integer arithmetic (exact, order-insensitive) —
+    no FP ordering concerns.
+    """
+    a = sketch_a.select("i", "bucket", F.col("c").alias("ca"))
+    b = sketch_b.select("i", "bucket", F.col("c").alias("cb"))
+    per_row = (
+        a.join(F.broadcast(b), ["i", "bucket"])
+        .groupBy("i")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    return per_row.agg(F.min("dot").cast("bigint").alias("est_join_size"))

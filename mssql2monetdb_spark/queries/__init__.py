@@ -156,6 +156,7 @@ NEXT_WINDOW_QUEUE = [
     "sketch_bloom_membership",
     "fn_lambda_hof",
     "sketch_hll_distinct",
+    "sketch_cms_join_size",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

@@ -1392,3 +1392,53 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").cast("bigint").alias("true_distinct")
     )
     return truth.crossJoin(F.broadcast(est))
+
+
+def _cms_join_size_oracle() -> str:
+    from ..operators import sketch as sk
+
+    def build(table, key):
+        return " UNION ALL ".join(
+            f"SELECT {i} AS i, {sk._bucket_sql(key, i)} AS bucket FROM {table}"
+            for i in range(sk.CMS_DEPTH)
+        )
+
+    return f"""
+        WITH cms_a AS (
+            SELECT i, bucket, COUNT(*) AS ca FROM ({build('lineitem', 'l_orderkey')})
+            GROUP BY i, bucket
+        ), cms_b AS (
+            SELECT i, bucket, COUNT(*) AS cb FROM ({build('orders', 'o_orderkey')})
+            GROUP BY i, bucket
+        ), dots AS (
+            SELECT a.i, SUM(a.ca * b.cb) AS dot
+            FROM cms_a a JOIN cms_b b ON a.i = b.i AND a.bucket = b.bucket
+            GROUP BY a.i
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+                   AS true_join_size,
+               (SELECT CAST(MIN(dot) AS BIGINT) FROM dots) AS est_join_size
+    """
+
+
+@query("sketch_cms_join_size", oracle=_cms_join_size_oracle())
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two count-min sketches (min over
+    rows of the counter dot product) next to the true join count — the
+    planner pre-flight that predicts a shuffle join's output volume from
+    two constant-size relations instead of running the join. At 100 TB
+    the sketches build in one bounded pass per side; the estimate itself
+    is a broadcast join of two <= 1024-row relations."""
+    from ..operators import sketch as sk
+
+    t = Tables(spark, sf_dir)
+    est = sk.count_min_join_size(
+        sk.count_min_build(t.lineitem, "l_orderkey"),
+        sk.count_min_build(t.orders, "o_orderkey"),
+    )
+    truth = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_join_size"))
+    )
+    return truth.crossJoin(F.broadcast(est))

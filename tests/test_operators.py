@@ -957,3 +957,21 @@ def test_hll_estimate_within_expected_error(spark):
         true = orders.select(key).distinct().count()
         est = sk.hll_estimate(sk.hll_registers(orders, key)).collect()[0][0]
         assert abs(est - true) / true < 3 * 1.04 / (sk.HLL_M ** 0.5), (key, est, true)
+
+
+def test_hll_registers_merge_by_max(spark):
+    """HLL registers are mergeable with a plain MAX — the property that
+    makes the sketch distributable: sketching two halves and merging
+    equals sketching the whole."""
+    from pyspark.sql import functions as F
+
+    from mssql2monetdb_spark.operators import sketch as sk
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    whole = sk.hll_registers(orders, "o_custkey")
+    lo = sk.hll_registers(orders.filter(F.col("o_orderkey") % 2 == 0), "o_custkey")
+    hi = sk.hll_registers(orders.filter(F.col("o_orderkey") % 2 == 1), "o_custkey")
+    merged = lo.unionAll(hi).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    a = {(r["bucket"], r["rho"]) for r in whole.collect()}
+    b = {(r["bucket"], r["rho"]) for r in merged.collect()}
+    assert a == b and len(a) > 0
