@@ -528,3 +528,108 @@ def bpe_pair_counts_sql(table: str, *, k: int = 50, text_expr: str = "text") -> 
         FROM pairs GROUP BY pair
         ORDER BY n_occurrences DESC, pair LIMIT {k}
     """
+
+
+def bpe_apply_first_merge(docs: DataFrame, *, k: int = 20, text_col: str = "text") -> DataFrame:
+    """One BPE training iteration, end to end: pick the top pair from
+    :func:`bpe_pair_counts`, merge it greedily left-to-right in every
+    vocabulary entry, and recount pairs over the merged symbols — the top
+    ``k`` pairs that would feed merge #2.
+
+    The merge runs as a string replace on the leading-space symbol
+    encoding (' a b' -> ' ab'): exact greedy BPE for the first step, since
+    base symbols are single characters (plus '</w>', which never starts a
+    pair and is no symbol's prefix), and forward-scan replace() gives
+    identical non-overlapping semantics in Spark and DuckDB — including
+    the a==b self-overlap case ('l l l l' merges to 'll ll').
+
+    Scale shape: everything after tokenization runs on the VOCABULARY
+    (distinct tokens), and the chosen pair is a 1-row broadcast — the
+    per-iteration cost of a distributed BPE trainer, which at 100 TB is
+    dominated by the one-off vocabulary count, not the merge loop.
+    """
+    toks = parallelized(docs).select(
+        F.explode(text.tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("tok_n"))
+    top1 = (
+        bpe_pair_counts(docs, k=1, text_col=text_col)
+        .select(
+            F.split(F.col("pair"), " ").getItem(0).alias("ma"),
+            F.split(F.col("pair"), " ").getItem(1).alias("mb"),
+        )
+    )
+    sym = F.concat(F.split(F.col("tok"), ""), F.array(F.lit("</w>")))
+    sym_str = F.concat(F.lit(" "), F.array_join(sym, " "))
+    merged_str = F.replace(
+        sym_str,
+        F.concat(F.lit(" "), F.col("ma"), F.lit(" "), F.col("mb")),
+        F.concat(F.lit(" "), F.col("ma"), F.col("mb")),
+    )
+    merged_sym = F.split(F.substring(merged_str, 2, 1 << 30), " ")
+    pairs = (
+        vocab.crossJoin(F.broadcast(top1))
+        .select("tok_n", merged_sym.alias("s"))
+        .select(
+            "tok_n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("s") - 1),
+                    lambda i: F.concat(
+                        F.element_at("s", i), F.lit(" "), F.element_at("s", i + 1)
+                    ),
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("tok_n").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(k)
+    )
+
+
+def bpe_apply_first_merge_sql(table: str, *, k: int = 20, text_expr: str = "text") -> str:
+    """DuckDB query matching :func:`bpe_apply_first_merge`."""
+    tok = text.tokens_sql(text_expr)
+    return f"""
+        WITH toks AS (
+            SELECT unnest({tok}) AS tok FROM {table}
+        ), vocab AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS tok_n FROM toks GROUP BY tok
+        ), sym0 AS (
+            SELECT tok_n, list_append(string_split(tok, ''), '</w>') AS s
+            FROM vocab
+        ), pairs0 AS (
+            SELECT tok_n,
+                   unnest(list_transform(generate_series(1, len(s) - 1),
+                          i -> s[i] || ' ' || s[i + 1])) AS pair
+            FROM sym0
+        ), top1 AS (
+            SELECT string_split(pair, ' ')[1] AS ma,
+                   string_split(pair, ' ')[2] AS mb
+            FROM (
+                SELECT pair, SUM(tok_n) AS n FROM pairs0 GROUP BY pair
+                ORDER BY n DESC, pair LIMIT 1
+            )
+        ), merged AS (
+            SELECT tok_n,
+                   string_split(
+                       substring(
+                           replace(' ' || array_to_string(s, ' '),
+                                   ' ' || ma || ' ' || mb,
+                                   ' ' || ma || mb),
+                           2),
+                       ' ') AS s
+            FROM sym0 CROSS JOIN top1
+        ), pairs1 AS (
+            SELECT tok_n,
+                   unnest(list_transform(generate_series(1, len(s) - 1),
+                          i -> s[i] || ' ' || s[i + 1])) AS pair
+            FROM merged
+        )
+        SELECT pair, CAST(SUM(tok_n) AS BIGINT) AS n_occurrences
+        FROM pairs1 GROUP BY pair
+        ORDER BY n_occurrences DESC, pair LIMIT {k}
+    """

@@ -157,6 +157,8 @@ NEXT_WINDOW_QUEUE = [
     "fn_lambda_hof",
     "sketch_hll_distinct",
     "sketch_cms_join_size",
+    "events_anomaly_mad",
+    "vocab_bpe_merge_apply",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

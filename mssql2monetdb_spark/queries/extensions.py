@@ -1442,3 +1442,102 @@ def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("true_join_size"))
     )
     return truth.crossJoin(F.broadcast(est))
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ), with_med AS (
+            SELECT user_id, event_id, value, n,
+                   MAX(CASE WHEN rn = (n + 1) // 2 THEN value END)
+                       OVER (PARTITION BY user_id) AS med
+            FROM ranked
+        ), devs AS (
+            SELECT user_id, event_id, value, n, med, ABS(value - med) AS dev,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ABS(value - med), event_id) AS drn
+            FROM with_med
+        ), with_mad AS (
+            SELECT user_id, value, n, med, dev,
+                   MAX(CASE WHEN drn = (n + 1) // 2 THEN dev END)
+                       OVER (PARTITION BY user_id) AS mad
+            FROM devs
+        )
+        SELECT user_id,
+               CAST(MAX(n) AS BIGINT) AS n_events,
+               MAX(med) AS med, MAX(mad) AS mad,
+               CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers
+        FROM with_mad
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation anomaly screen per user: rank-based lower
+    medians (row_number selection, NO percentile interpolation — lerp
+    formulas differ in last-ulp between engines on arbitrary doubles, so
+    the exact order statistic is the portable choice), dev > 3*MAD flags.
+
+    Scale shape: two keyed window passes over events partitioned by
+    user_id — the same exchange reused (both windows key on user_id), no
+    global sort, robust to any per-user event volume.
+    """
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    w_rank = Window.partitionBy("user_id").orderBy("value", "event_id")
+    w_user = Window.partitionBy("user_id")
+    ranked = t.events.select("user_id", "event_id", "value").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_user).alias("n"),
+    )
+    with_med = ranked.select(
+        "user_id",
+        "event_id",
+        "value",
+        "n",
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value")))
+        .over(w_user)
+        .alias("med"),
+    )
+    dev = F.abs(F.col("value") - F.col("med"))
+    w_dev = Window.partitionBy("user_id").orderBy(dev, "event_id")
+    devs = with_med.select(
+        "user_id",
+        "value",
+        "n",
+        "med",
+        dev.alias("dev"),
+        F.row_number().over(w_dev).alias("drn"),
+    )
+    with_mad = devs.select(
+        "user_id",
+        "value",
+        "n",
+        "med",
+        "dev",
+        F.max(F.when(F.col("drn") == F.expr("(n + 1) div 2"), F.col("dev")))
+        .over(w_user)
+        .alias("mad"),
+    )
+    return (
+        with_mad.groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("user_id")
+    )

@@ -825,3 +825,17 @@ def mix_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "copy_idx")
     )
+
+
+@query(
+    "vocab_bpe_merge_apply",
+    oracle=ranking.bpe_apply_first_merge_sql("documents"),
+)
+def vocab_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE training iteration (operators/ranking.py
+    bpe_apply_first_merge): choose the corpus-best pair, merge it greedily
+    across the vocabulary via the leading-space replace encoding, and
+    recount — the post-merge top-20 pair statistics that drive merge #2.
+    Companion to vocab_bpe_pair_counts (which stops at the counts)."""
+    t = Tables(spark, sf_dir)
+    return ranking.bpe_apply_first_merge(t.documents)
