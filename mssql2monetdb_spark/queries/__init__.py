@@ -164,6 +164,8 @@ NEXT_WINDOW_QUEUE = [
     "dedup_url_normalized",
     "dedup_semantic_cells",
     "dedup_connected_components",
+    "dedup_ngram_jaccard",  # array-side shingle rewrite (late round 3)
+    "tpch_q18_large_orders",  # pre-aggregation rewrite (late round 3)
     # long-green canaries, one per major family
     "agg_tpch_q1",
     "join_broadcast_dims",

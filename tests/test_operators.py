@@ -975,3 +975,24 @@ def test_hll_registers_merge_by_max(spark):
     a = {(r["bucket"], r["rho"]) for r in whole.collect()}
     b = {(r["bucket"], r["rho"]) for r in merged.collect()}
     assert a == b and len(a) > 0
+
+
+def test_jsonl_shards_round_trip_through_spark_reader(spark, sf_dir, tmp_path):
+    """The JSONL export reads back losslessly through spark.read.json with
+    an explicit schema (the loader-side contract of the shard format)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    corpus_prep.write_jsonl_shards(docs, out, n_shards=4)
+    schema = StructType(
+        [StructField("id", LongType()), StructField("text", StringType())]
+    )
+    back = spark.read.schema(schema).json(f"{out}/shard=*/")
+    assert back.count() == docs.count()
+    orig = {(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()}
+    got = {(r["id"], r["text"]) for r in back.collect()}
+    assert got == orig
