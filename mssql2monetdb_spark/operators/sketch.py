@@ -236,3 +236,112 @@ def count_min_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
     )
     return per_row.agg(F.min("dot").cast("bigint").alias("est_join_size"))
+
+
+QH_BUCKETS = 256
+
+
+def quantile_histogram(rows: DataFrame, value_col: str) -> DataFrame:
+    """(bucket, c, lo, w): an equi-width histogram sketch of a value
+    stream — <= QH_BUCKETS counter rows plus the (lo, w) frame, built in
+    one bounded groupBy after a 1-row min/max broadcast. The quantile
+    analog of the CMS/bloom/HLL bounded-state family.
+    """
+    stats = rows.agg(
+        F.min(value_col).alias("lo"),
+        (
+            (F.max(value_col) - F.min(value_col)) / F.lit(float(QH_BUCKETS))
+        ).alias("w"),
+    )
+    b = F.least(
+        F.lit(QH_BUCKETS - 1),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.floor((F.col(value_col) - F.col("lo")) / F.col("w")),
+        ),
+    )
+    return (
+        rows.crossJoin(F.broadcast(stats))
+        .select(b.alias("bucket"), "lo", "w")
+        .groupBy("bucket", "lo", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def quantile_estimates(hist: DataFrame, qs: list[float]) -> DataFrame:
+    """(q, est): upper-bucket-edge quantile estimates from the histogram.
+
+    For each q, the estimate is the upper edge of the first bucket whose
+    running count reaches ceil(q * N) — error bounded by one bucket width.
+    Everything runs on the <= QH_BUCKETS-row histogram: the window and the
+    per-q argmin are constant-size work whatever the input was.
+    """
+    from pyspark.sql.window import Window
+
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        "lo",
+        "w",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    qdf = hist.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+    hits = cum.crossJoin(F.broadcast(qdf)).filter(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n"))
+    )
+    return (
+        hits.groupBy("q")
+        .agg(
+            F.min(F.struct("bucket", "lo", "w")).alias("first_hit"),
+        )
+        .select(
+            "q",
+            (
+                F.col("first_hit.lo")
+                + (F.col("first_hit.bucket") + 1) * F.col("first_hit.w")
+            ).alias("est"),
+        )
+    )
+
+
+def quantile_histogram_sql(table: str, value_expr: str, qs: list[float]) -> str:
+    """DuckDB query matching build + estimate, with exact rank-based truth."""
+    q_values = ", ".join(f"({q})" for q in qs)
+    return f"""
+        WITH stats AS (
+            SELECT MIN({value_expr}) AS lo,
+                   (MAX({value_expr}) - MIN({value_expr})) / {float(QH_BUCKETS)} AS w
+            FROM {table}
+        ), hist AS (
+            SELECT LEAST({QH_BUCKETS - 1},
+                         GREATEST(0, CAST(FLOOR(({value_expr} - lo) / w) AS BIGINT)))
+                       AS bucket,
+                   lo, w, COUNT(*) AS c
+            FROM {table} CROSS JOIN stats
+            GROUP BY 1, 2, 3
+        ), cum AS (
+            SELECT bucket, lo, w,
+                   SUM(c) OVER (ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(c) OVER () AS n
+            FROM hist
+        ), qs(q) AS (VALUES {q_values}),
+        hits AS (
+            SELECT q, MIN(struct_pack(bucket := bucket, lo := lo, w := w)) AS fh
+            FROM cum CROSS JOIN qs
+            WHERE cum >= CEIL(q * n)
+            GROUP BY q
+        ), ranked AS (
+            SELECT {value_expr} AS v,
+                   ROW_NUMBER() OVER (ORDER BY {value_expr}) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM {table}
+        )
+        SELECT h.q,
+               struct_extract(fh, 'lo')
+               + (struct_extract(fh, 'bucket') + 1) * struct_extract(fh, 'w') AS est,
+               (SELECT v FROM ranked WHERE rn = CEIL(h.q * n) LIMIT 1) AS exact
+        FROM hits h, (SELECT MAX(n) AS n FROM ranked)
+        ORDER BY q
+    """

@@ -159,6 +159,7 @@ NEXT_WINDOW_QUEUE = [
     "sketch_cms_join_size",
     "events_anomaly_mad",
     "vocab_bpe_merge_apply",
+    "sketch_quantile_histogram",
     # round-3 changed-code re-verifies (output-identical, per local conformance)
     "fn_pandas_udf",
     "dedup_url_normalized",

@@ -1541,3 +1541,45 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+QH_QS = [0.5, 0.9, 0.99]
+
+
+def _quantile_histogram_oracle() -> str:
+    from ..operators import sketch as sk
+
+    return sk.quantile_histogram_sql("lineitem", "l_extendedprice", QH_QS)
+
+
+@query("sketch_quantile_histogram", oracle=_quantile_histogram_oracle())
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a 256-bucket equi-width histogram sketch
+    (operators/sketch.py) beside the exact rank-based quantile: P50/P90/
+    P99 of l_extendedprice with error bounded by one bucket width. The
+    sketch is the product (bounded state, mergeable by adding counters);
+    the exact side is verification-only — its global rank is the cost the
+    sketch avoids at 100 TB."""
+    from pyspark.sql.window import Window
+
+    from ..operators import sketch as sk
+
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_extendedprice")
+    est = sk.quantile_estimates(
+        sk.quantile_histogram(li, "l_extendedprice"), QH_QS
+    )
+    w_rank = Window.orderBy("l_extendedprice")
+    ranked = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    qdf = spark.createDataFrame([(q,) for q in QH_QS], "q double")
+    exact = (
+        ranked.crossJoin(F.broadcast(qdf))
+        .filter(F.col("rn") == F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(F.min("v").alias("exact"))
+    )
+    return est.join(exact, "q").select("q", "est", "exact").orderBy("q")
