@@ -115,9 +115,12 @@ GATE_PRIORITY = [
 GATE_WINDOW = 50
 
 # Queued for the round-4 window, in priority order: deferrals and round-3
-# additions first, then changed-code re-verifies, then long-green canaries
-# (one per family). tests/test_registry_hygiene.py checks every name still
-# exists and treats queued queries as slot-holders.
+# additions first (including the late-round-3 continuation batch:
+# range/curriculum/epoch/cogroup/stream-adjacent ops, the five sketches,
+# MAD screen, BPE merge iteration, HOF functions), then changed-code
+# re-verifies, then long-green canaries (one per family). 48 entries for
+# the 50-slot window — two spare. tests/test_registry_hygiene.py checks
+# every name still exists and treats queued queries as slot-holders.
 NEXT_WINDOW_QUEUE = [
     # deferred from round 3 (window was exactly full)
     "subquery_correlated_min",

@@ -374,3 +374,39 @@ def test_curriculum_stages_avoid_global_ntile(spark):
     plan = plan_of(spark, "order_curriculum_stages")
     assert "Window" not in plan
     assert "Broadcast" in plan
+
+
+def test_epoch_repeat_is_map_only_plus_order_contract(spark):
+    """The upsampling explode must be narrow: the only exchange in the
+    plan is the rangepartitioning for the result's ORDER BY contract."""
+    plan = plan_of(spark, "mix_epoch_repeat")
+    # no grouping/join shuffle anywhere; the sole exchange is the sort's
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" in plan
+
+
+def test_mad_windows_all_key_on_user(spark):
+    """Every window in the MAD screen partitions by user_id — no global
+    window funnels the event stream through one task."""
+    plan = plan_of(spark, "events_anomaly_mad")
+    wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert wins and all("user_id" in l for l in wins), wins
+
+
+def test_sketch_probes_broadcast_the_sketch(spark):
+    """CMS probe, bloom probe, and the HLL register join all broadcast
+    their constant-size sketch relation — the probe side never shuffles
+    on sketch account."""
+    for name in ("sketch_count_min", "sketch_bloom_membership", "sketch_hll_distinct"):
+        plan = plan_of(spark, name)
+        assert "BroadcastExchange" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_bpe_merge_broadcasts_pair_and_takes_topk(spark):
+    """The chosen merge pair rides a 1-row broadcast into the vocabulary
+    pass, and the post-merge top-k is TakeOrderedAndProject, not a full
+    sort."""
+    plan = plan_of(spark, "vocab_bpe_merge_apply")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
