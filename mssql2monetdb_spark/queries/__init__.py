@@ -118,8 +118,8 @@ GATE_WINDOW = 50
 # additions first (including the late-round-3 continuation batch:
 # range/curriculum/epoch/cogroup/stream-adjacent ops, the five sketches,
 # MAD screen, BPE merge iteration, HOF functions), then changed-code
-# re-verifies, then long-green canaries (one per family). 48 entries for
-# the 50-slot window — two spare. tests/test_registry_hygiene.py checks
+# re-verifies, then long-green canaries (one per family). 50 entries —
+# exactly fills the round-4 window. tests/test_registry_hygiene.py checks
 # every name still exists and treats queued queries as slot-holders.
 NEXT_WINDOW_QUEUE = [
     # deferred from round 3 (window was exactly full)
@@ -170,12 +170,14 @@ NEXT_WINDOW_QUEUE = [
     "dedup_connected_components",
     "dedup_ngram_jaccard",  # array-side shingle rewrite (late round 3)
     "tpch_q18_large_orders",  # pre-aggregation rewrite (late round 3)
-    # long-green canaries, one per major family
+    # long-green canaries, one per major family (join_broadcast_dims and
+    # the text family sit out this window: plan-pinned, unchanged, and
+    # their families carry fresher verdicts than these do)
     "agg_tpch_q1",
-    "join_broadcast_dims",
     "dedup_minhash_lsh",
     "stream_tumbling_hourly",
     "multimodal_image_decode",
+    "tpch_q3_shipping_priority",  # bench watcher flagged in the r2 verdict
 ]
 
 
