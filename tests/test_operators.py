@@ -996,3 +996,29 @@ def test_jsonl_shards_round_trip_through_spark_reader(spark, sf_dir, tmp_path):
     orig = {(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()}
     got = {(r["id"], r["text"]) for r in back.collect()}
     assert got == orig
+
+
+def test_sketches_handle_empty_and_singleton_input(spark):
+    """Edge inputs: an empty key stream yields empty sketch relations (no
+    exceptions, no null rows); a single-key stream estimates exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mssql2monetdb_spark.operators import sketch as sk
+
+    schema = StructType([StructField("k", LongType())])
+    empty = spark.createDataFrame([], schema)
+    one = spark.createDataFrame([(7,)], schema)
+
+    assert sk.count_min_build(empty, "k").count() == 0
+    assert sk.bloom_build(empty, "k").count() == 0
+    assert sk.hll_registers(empty, "k").count() == 0
+    assert sk.quantile_histogram(empty, "k").count() == 0
+
+    cms = sk.count_min_build(one, "k")
+    est = sk.count_min_estimate(cms, one, "k").collect()
+    assert est[0]["cms_count"] == 1
+    probe = sk.bloom_probe(sk.bloom_build(one, "k"), one, "k").collect()
+    assert probe[0]["maybe_present"] is True
+    hll = sk.hll_estimate(sk.hll_registers(one, "k")).collect()[0][0]
+    assert 0 < hll  # raw estimator; small-range bias expected, not a crash

@@ -196,3 +196,28 @@ def test_normalize_url_invariants(rest, scheme, www):
         variants = {norm(s + w + rest) for s in ("http://", "HTTPS://", "")
                     for w in ("www.", "WWW.", "")}
         assert len(variants) == 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seen=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40),
+    probes=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40),
+)
+def test_bloom_never_false_negative(spark, seen, probes):
+    """For ANY seen-set and probe-set: every probe that was seen reports
+    maybe_present — the bloom guarantee that makes it safe as a dedup
+    pre-filter (false positives only cost a redundant exact check)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mssql2monetdb_spark.operators import sketch as sk
+
+    schema = StructType([StructField("k", LongType())])
+    seen_df = spark.createDataFrame([(int(x),) for x in seen], schema)
+    probe_df = spark.createDataFrame([(int(x),) for x in set(probes)], schema)
+    out = {
+        r["k"]: r["maybe_present"]
+        for r in sk.bloom_probe(sk.bloom_build(seen_df, "k"), probe_df, "k").collect()
+    }
+    for p in set(probes):
+        if p in set(seen):
+            assert out[p] is True
