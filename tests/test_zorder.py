@@ -72,11 +72,14 @@ def test_zorder_shrinks_minmax_on_both_columns(spark, tmp_path):
     spans_pk = _per_file_spans(out, "l_partkey")
     assert len(spans_ok) >= 4  # actually split into multiple files
     # every file covers a strict subrange on BOTH dimensions (the z-order
-    # guarantee a single-column sort cannot give)
+    # guarantee a single-column sort cannot give: that would leave one
+    # dimension at ratio ~1.0). Measured ratios are ~0.58 / ~0.34; the
+    # 0.75 bound keeps range-boundary sampling jitter from flaking the
+    # test while still rejecting any single-column degeneration.
     import statistics
 
-    assert statistics.mean(spans_ok) < 0.6 * global_ok
-    assert statistics.mean(spans_pk) < 0.6 * global_pk
+    assert statistics.mean(spans_ok) < 0.75 * global_ok
+    assert statistics.mean(spans_pk) < 0.75 * global_pk
 
 
 def test_zorder_preserves_rows(spark, tmp_path):
