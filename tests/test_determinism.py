@@ -42,3 +42,28 @@ def test_result_invariant_under_shuffle_partitions(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert few == many and len(few) > 0
+
+
+def test_dedup_invariant_under_input_partitioning(spark):
+    """Same results whether the corpus arrives as 3 or 24 input splits —
+    task boundaries must never leak into minhash pairs or chunk-dedup
+    reassembly (collect_set/collect_list aggregates are the risk points;
+    the sort_array/array_sort discipline is what this pins)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mssql2monetdb_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def pairs(d):
+        return sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in dedup.minhash_lsh_pairs(d).collect()
+        )
+
+    def chunks(d):
+        return sorted(tuple(r) for r in dedup.chunk_exact_dedup(d).collect())
+
+    assert pairs(docs.repartition(3)) == pairs(docs.repartition(24))
+    assert chunks(docs.repartition(3)) == chunks(docs.repartition(24))
+    assert len(pairs(docs.repartition(3))) > 0
