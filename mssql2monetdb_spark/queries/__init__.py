@@ -118,8 +118,9 @@ GATE_WINDOW = 50
 # additions first (including the late-round-3 continuation batch:
 # range/curriculum/epoch/cogroup/stream-adjacent ops, the five sketches,
 # MAD screen, BPE merge iteration, HOF functions), then changed-code
-# re-verifies, then long-green canaries (one per family). 50 entries —
-# exactly fills the round-4 window. tests/test_registry_hygiene.py checks
+# re-verifies, then long-green canaries (one per family). The FIRST 50
+# entries fill the round-4 window exactly; entries beyond 50 (latest
+# additions) roll into round 5. tests/test_registry_hygiene.py checks
 # every name still exists and treats queued queries as slot-holders.
 NEXT_WINDOW_QUEUE = [
     # deferred from round 3 (window was exactly full)
@@ -178,6 +179,9 @@ NEXT_WINDOW_QUEUE = [
     "stream_tumbling_hourly",
     "multimodal_image_decode",
     "tpch_q3_shipping_priority",  # bench watcher flagged in the r2 verdict
+    # --- round-5 rollover (beyond the 50-slot round-4 window) ---
+    "text_ngram_novelty",
+    "sample_semantic_coverage",
 ]
 
 

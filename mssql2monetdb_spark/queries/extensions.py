@@ -1583,3 +1583,99 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("v").alias("exact"))
     )
     return est.join(exact, "q").select("q", "est", "exact").orderBy("q")
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {text.tokens_sql('text')} AS tok FROM documents
+        ), grams AS (
+            SELECT doc_id, unnest({text.word_shingles_sql('tok', 3)}) AS gram
+            FROM toks
+        ), dfreq AS (
+            SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram
+        )
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel,
+               CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS novelty
+        FROM grams g JOIN dfreq d ON g.gram = d.gram
+        GROUP BY g.doc_id
+        ORDER BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level novelty score per document: the fraction of its
+    distinct word trigrams that occur NOWHERE else (document frequency 1).
+    High novelty separates original text from boilerplate/templated docs —
+    the cross-document complement of text_repetition's within-document
+    score. One shingle explode, one df count, one keyed join back — the
+    same DF-relation shape as the n-gram dedup path, so the hot-shingle
+    behavior at 100 TB is already characterized (df counts are map-side
+    combined; no pairwise step exists here at all)."""
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select("doc_id", text.tokens(F.col("text")).alias("tok"))
+    grams = toks.select(
+        "doc_id", F.explode(text.word_shingles(F.col("tok"), 3)).alias("gram")
+    )
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint").alias("n_novel"),
+            (
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _semantic_coverage_oracle() -> str:
+    from ..operators.similarity import band_key_sql
+
+    return f"""
+        WITH keyed AS (
+            SELECT vec_id,
+                   {band_key_sql("embedding", 0)} AS bkey
+            FROM embeddings
+        )
+        SELECT bkey,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MIN(vec_id) AS BIGINT) AS representative_id
+        FROM keyed GROUP BY bkey ORDER BY bkey
+    """
+
+
+@query("sample_semantic_coverage", oracle=_semantic_coverage_oracle())
+def sample_semantic_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-first sampling: one deterministic representative per
+    hyperplane-LSH cell (band 0) of the embedding space, with cell
+    population counts — coreset selection that guarantees every occupied
+    region of the space contributes, where uniform sampling oversamples
+    dense clusters. One narrow projection + one keyed aggregate; the
+    number of cells (not the corpus) bounds the output, and the same
+    bucketing already underpins dedup_embedding_cosine, so cells are
+    consistent across curation passes."""
+    t = Tables(spark, sf_dir)
+    emb = F.col("embedding")
+    key = F.lit(0)
+    from ..operators.similarity import BITS_PER_BAND, HYPERPLANES, plane_bit
+
+    for j in range(BITS_PER_BAND):
+        key = key * 2 + plane_bit(emb, HYPERPLANES[j])
+    return (
+        t.embeddings.select("vec_id", key.alias("bkey"))
+        .groupBy("bkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("vec_id").cast("bigint").alias("representative_id"),
+        )
+        .orderBy("bkey")
+    )

@@ -104,10 +104,13 @@ def test_all_extension_operators_verified_or_inside_window():
 
 def test_next_window_queue_names_exist_and_fit():
     """The round-4 queue must reference live registry names (renames can't
-    silently drop a planned verification) and fit one window."""
+    silently drop a planned verification). The FIRST GATE_WINDOW entries
+    define the round-4 window; entries beyond that are the documented
+    round-5 rollover (bounded so the backlog can't silently balloon)."""
     missing = [n for n in NEXT_WINDOW_QUEUE if n not in REGISTRY]
     assert not missing, f"queued names not in registry: {missing}"
-    assert len(NEXT_WINDOW_QUEUE) == len(set(NEXT_WINDOW_QUEUE)) <= GATE_WINDOW
+    assert len(NEXT_WINDOW_QUEUE) == len(set(NEXT_WINDOW_QUEUE))
+    assert len(NEXT_WINDOW_QUEUE) <= 2 * GATE_WINDOW
 
 
 def _atomic(dt: T.DataType) -> bool:
