@@ -60,7 +60,10 @@ def count_min_estimate(sketch: DataFrame, probes: DataFrame, key_col: str) -> Da
     """min-of-d-counters estimate for every probe key.
 
     The sketch is <= d*w rows and broadcasts; each probe key expands to d
-    (i, bucket) lookups and collapses back with MIN.
+    (i, bucket) lookups and collapses back with MIN. The join is LEFT so
+    a key whose counters were never touched estimates 0 (an unseen key
+    must not vanish from the output, and min over only the *colliding*
+    counters would overshoot the CMS bound).
     """
     lookups = probes.select(
         F.col(key_col),
@@ -76,9 +79,11 @@ def count_min_estimate(sketch: DataFrame, probes: DataFrame, key_col: str) -> Da
         ).alias("ib"),
     ).select(key_col, "ib.i", "ib.bucket")
     return (
-        lookups.join(F.broadcast(sketch), ["i", "bucket"])
+        lookups.join(F.broadcast(sketch), ["i", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("c").cast("bigint").alias("cms_count"))
+        .agg(
+            F.min(F.coalesce("c", F.lit(0))).cast("bigint").alias("cms_count")
+        )
     )
 
 
@@ -125,8 +130,12 @@ def bloom_probe(bloom: DataFrame, probes: DataFrame, key_col: str) -> DataFrame:
     marked = lookups.join(
         F.broadcast(bloom.withColumn("_set", F.lit(1))), "bit", "left"
     )
+    # all-lookup-rows-matched, not == BLOOM_HASHES: a key repeated in the
+    # probes relation contributes k rows per occurrence, and a literal-k
+    # comparison would turn a genuinely-seen duplicate key into a false
+    # negative — the one failure the operator guarantees away.
     return marked.groupBy(key_col).agg(
-        (F.count("_set") == BLOOM_HASHES).alias("maybe_present")
+        (F.count("_set") == F.count(F.lit(1))).alias("maybe_present")
     )
 
 
@@ -211,7 +220,7 @@ def hll_sql(table: str, key_expr: str) -> str:
         SELECT {HLL_ALPHA} * {HLL_M} * {HLL_M}
                / list_reduce(
                      list_prepend(CAST(0.0 AS DOUBLE),
-                                  list(1.0 / (1 << rho) ORDER BY bucket)),
+                                  list(1.0 / (1::BIGINT << rho) ORDER BY bucket)),
                      (a, x) -> a + x) AS hll_estimate
         FROM regs
     """
@@ -247,10 +256,14 @@ def quantile_histogram(rows: DataFrame, value_col: str) -> DataFrame:
     one bounded groupBy after a 1-row min/max broadcast. The quantile
     analog of the CMS/bloom/HLL bounded-state family.
     """
+    # w floored at 1e-9: a constant-valued (or single-row) stream has
+    # max == min, and floor(0/0) is NaN in Spark vs NULL in DuckDB — with
+    # the floor every value lands deterministically in bucket 0.
     stats = rows.agg(
         F.min(value_col).alias("lo"),
-        (
-            (F.max(value_col) - F.min(value_col)) / F.lit(float(QH_BUCKETS))
+        F.greatest(
+            (F.max(value_col) - F.min(value_col)) / F.lit(float(QH_BUCKETS)),
+            F.lit(1e-9),
         ).alias("w"),
     )
     b = F.least(
@@ -311,7 +324,8 @@ def quantile_histogram_sql(table: str, value_expr: str, qs: list[float]) -> str:
     return f"""
         WITH stats AS (
             SELECT MIN({value_expr}) AS lo,
-                   (MAX({value_expr}) - MIN({value_expr})) / {float(QH_BUCKETS)} AS w
+                   GREATEST((MAX({value_expr}) - MIN({value_expr}))
+                            / {float(QH_BUCKETS)}, 1e-9) AS w
             FROM {table}
         ), hist AS (
             SELECT LEAST({QH_BUCKETS - 1},

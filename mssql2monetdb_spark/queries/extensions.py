@@ -1260,8 +1260,8 @@ def _cms_oracle() -> str:
         ), probe AS ({buckets_probe})
         SELECT p.l_partkey,
                CAST(MAX(p.true_count) AS BIGINT) AS true_count,
-               CAST(MIN(cms.c) AS BIGINT) AS cms_count
-        FROM probe p JOIN cms ON cms.i = p.i AND cms.bucket = p.bucket
+               CAST(MIN(COALESCE(cms.c, 0)) AS BIGINT) AS cms_count
+        FROM probe p LEFT JOIN cms ON cms.i = p.i AND cms.bucket = p.bucket
         GROUP BY p.l_partkey
         ORDER BY true_count DESC, l_partkey
     """
@@ -1316,7 +1316,7 @@ def _bloom_oracle() -> str:
             SELECT DISTINCT bit FROM ({bits_build})
         ), probe AS ({bits_probe}),
         marked AS (
-            SELECT p.s_suppkey, COUNT(b.bit) = {sk.BLOOM_HASHES} AS maybe_present
+            SELECT p.s_suppkey, COUNT(b.bit) = COUNT(*) AS maybe_present
             FROM probe p LEFT JOIN bloom b ON p.bit = b.bit
             GROUP BY p.s_suppkey
         )

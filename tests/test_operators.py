@@ -1022,3 +1022,78 @@ def test_sketches_handle_empty_and_singleton_input(spark):
     assert probe[0]["maybe_present"] is True
     hll = sk.hll_estimate(sk.hll_registers(one, "k")).collect()[0][0]
     assert 0 < hll  # raw estimator; small-range bias expected, not a crash
+
+    # Singleton / constant-valued histogram: width floors at 1e-9 instead
+    # of producing floor(0/0) = NaN; the single value lands in bucket 0
+    # and every quantile estimate stays finite.
+    hist = sk.quantile_histogram(one, "k").collect()
+    assert len(hist) == 1 and hist[0]["bucket"] == 0 and hist[0]["c"] == 1
+    qs = sk.quantile_estimates(sk.quantile_histogram(one, "k"), [0.5, 0.9]).collect()
+    assert len(qs) == 2
+    for r in qs:
+        assert r["est"] == r["est"]  # not NaN
+        assert abs(r["est"] - 7.0) < 1e-6
+
+
+def test_count_min_estimates_unseen_keys_as_zero(spark):
+    """A probe key whose counters were never incremented must appear in
+    the output with estimate 0 (left join + COALESCE), and a key with
+    only partial collisions must not overshoot by taking MIN over only
+    the colliding counters."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mssql2monetdb_spark.operators import sketch as sk
+
+    schema = StructType([StructField("k", LongType())])
+    seen = spark.createDataFrame([(1,), (1,), (2,)], schema)
+    cms = sk.count_min_build(seen, "k")
+    probes = spark.createDataFrame([(1,), (999_999,)], schema)
+    est = {r["k"]: r["cms_count"] for r in sk.count_min_estimate(cms, probes, "k").collect()}
+    assert est[1] >= 2  # CMS upper bound on the true count
+    assert 999_999 in est  # unseen key does NOT vanish from the output
+    # an unseen key may collide into nonzero counters, but with 3 keys in
+    # a 4x256 sketch a full-depth collision is (3/256)^4-improbable; the
+    # contract being pinned is presence + the 0-when-untouched floor
+    assert est[999_999] == 0
+
+
+def test_bloom_probe_duplicate_probe_keys_no_false_negative(spark):
+    """A genuinely-seen key repeated in the probes relation must still
+    report maybe_present = True: the membership test compares
+    matched-lookup-rows to total-lookup-rows, not to the literal k."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mssql2monetdb_spark.operators import sketch as sk
+
+    schema = StructType([StructField("k", LongType())])
+    seen = spark.createDataFrame([(7,), (8,)], schema)
+    bloom = sk.bloom_build(seen, "k")
+    probes = spark.createDataFrame([(7,), (7,), (7,), (42,)], schema)
+    got = {r["k"]: r["maybe_present"] for r in sk.bloom_probe(bloom, probes, "k").collect()}
+    assert got[7] is True  # duplicated seen key: no false negative
+
+
+def test_hll_oracle_sql_survives_max_rho_sentinel(spark):
+    """The DuckDB oracle's dyadic term must use a BIGINT shift: the v = 0
+    sentinel sets rho = HLL_MAX_RHO = 55, and a 32-bit `1 << 55` raises
+    Out of Range in DuckDB. Run the oracle over a relation engineered to
+    exercise a high rho register and compare against the Spark estimate."""
+    import duckdb
+
+    from mssql2monetdb_spark.operators import sketch as sk
+
+    duckdb_conn = duckdb.connect()
+    # 1 << rho for rho up to HLL_MAX_RHO must evaluate, not raise
+    val = duckdb_conn.execute(
+        f"SELECT 1.0 / (1::BIGINT << {sk.HLL_MAX_RHO})"
+    ).fetchone()[0]
+    assert val > 0
+    # and the full oracle matches Spark on a small key stream
+    import pandas as pd
+
+    keys = pd.DataFrame({"k": list(range(100))})
+    duckdb_conn.register("hll_keys", keys)
+    oracle = duckdb_conn.execute(sk.hll_sql("hll_keys", "k")).fetchone()[0]
+    sdf = spark.createDataFrame(keys)
+    got = sk.hll_estimate(sk.hll_registers(sdf, "k")).collect()[0][0]
+    assert abs(oracle - got) < 1e-9 * max(1.0, abs(oracle))
