@@ -16,7 +16,15 @@ each other — organic within-replica dup density is preserved and simply
 scaled 10x, which is the workload shape a 10x-bigger real corpus has.
 Embeddings get a per-replica deterministic offset for the same reason.
 
-Usage:  python scripts/capacity_check.py [--rebuild]
+``--clones`` additionally builds a WORST-CASE corpus: 10 byte-identical
+replicas (no salting), so every document sits in a 10-clone near-dup
+cluster — 45 candidate pairs per group, the densest candidate load the
+banded join can produce. This is the direct stress test for the
+verification joins that ship per-candidate shingle-hash arrays
+(operators/dedup.py minhash/ngram verify), flagged as the first thing to
+profile at 100 TB.
+
+Usage:  python scripts/capacity_check.py [--rebuild] [--clones]
 Writes: /tmp/capacity_sf1/ (derived parquet), prints a JSON report line.
 """
 
@@ -33,8 +41,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from mssql2monetdb_spark.session import get_spark  # noqa: E402
 from mssql2monetdb_spark.queries import REGISTRY  # noqa: E402
+from mssql2monetdb_spark.session import _BUILD_CONF, default_parallelism  # noqa: E402
+
+UI_PORT = 4049
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/capacity_sf1"
@@ -49,12 +59,12 @@ QUERIES = [
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
-def build_sf1(spark) -> None:
+def build_sf1(spark, *, out_dir: str = SF1, salt: bool = True) -> None:
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
     n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
     parts = []
     for i in range(REPLICAS):
-        rot = ALPHA[i:] + ALPHA[:i]
+        rot = ALPHA[i:] + ALPHA[:i] if salt else ALPHA
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
@@ -65,7 +75,15 @@ def build_sf1(spark) -> None:
     big_docs = parts[0]
     for p in parts[1:]:
         big_docs = big_docs.unionByName(p)
-    big_docs.repartition(32).write.mode("overwrite").parquet(f"{SF1}/documents.parquet")
+    big_docs.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    if not salt:
+        # clones mode only needs documents; link the rest through
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            src, dst = f"{SF01}/{t}.parquet", f"{out_dir}/{t}.parquet"
+            if os.path.exists(src) and not os.path.exists(dst):
+                os.symlink(src, dst)
+        return
 
     emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
     id_col = "emb_id" if "emb_id" in emb.columns else emb.columns[0]
@@ -96,16 +114,42 @@ def build_sf1(spark) -> None:
             os.symlink(src, dst)
 
 
+def _bench_session():
+    """get_spark's exact conf, plus the monitoring REST API (public,
+    stable) for per-stage shuffle metrics — the internal AppStatusStore
+    signature changed across Spark versions, the REST route has not."""
+    from pyspark.sql import SparkSession
+
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName("capacity-check")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for key, value in _BUILD_CONF.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
 def shuffle_bytes(spark) -> int | None:
-    """Total shuffle-write bytes across completed stages (AppStatusStore);
-    None if the internal API moved."""
+    """Total shuffle-write bytes across completed stages via the
+    monitoring REST API; None if the UI endpoint is unavailable."""
+    import urllib.request
+
     try:
-        store = spark.sparkContext._jsc.sc().statusStore()
-        it = store.stageList(None).iterator()
-        total = 0
-        while it.hasNext():
-            total += it.next().shuffleWriteBytes()
-        return int(total)
+        base = f"http://localhost:{UI_PORT}/api/v1"
+        apps = json.load(urllib.request.urlopen(f"{base}/applications", timeout=10))
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(f"{base}/applications/{app_id}/stages", timeout=10)
+        )
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
     except Exception:
         return None
 
@@ -121,8 +165,37 @@ def run_one(spark, name: str, sf_dir: str) -> dict:
     return {"wall_sec": round(wall, 3), "shuffle_bytes": delta}
 
 
+SF1_CLONES = "/tmp/capacity_sf1_clones"
+
+
 def main() -> int:
-    spark = get_spark("capacity-check")
+    spark = _bench_session()
+    clones = "--clones" in sys.argv
+    if clones:
+        if "--rebuild" in sys.argv or not os.path.isdir(SF1_CLONES):
+            build_sf1(spark, out_dir=SF1_CLONES, salt=False)
+        targets = ["dedup_minhash_lsh", "dedup_ngram_jaccard"]
+        for name in targets:
+            REGISTRY[name].build(spark, "/root/testdata/sf0.01").write.mode(
+                "overwrite"
+            ).format("noop").save()
+        report = {}
+        for name in targets:
+            small = run_one(spark, name, SF01)
+            big = run_one(spark, name, SF1_CLONES)
+            report[name] = {
+                "sf0.1_organic": small,
+                "sf1_worstcase_clones": big,
+                "wall_ratio_10x": round(big["wall_sec"] / small["wall_sec"], 2),
+                "shuffle_ratio_10x": (
+                    round(big["shuffle_bytes"] / small["shuffle_bytes"], 2)
+                    if small.get("shuffle_bytes") and big.get("shuffle_bytes")
+                    else None
+                ),
+            }
+        print(json.dumps(report))
+        return 0
+
     if "--rebuild" in sys.argv or not os.path.isdir(SF1):
         build_sf1(spark)
 
