@@ -27,13 +27,21 @@ def build_parser() -> argparse.ArgumentParser:
         prog="mssql2monetdb_spark",
         description="PySpark-native copy/query engine (reference: mssql2monetdb CopyTool)",
     )
-    p.add_argument("-c", "--config", help="job spec JSON file")
+    p.add_argument(
+        "-c",
+        "--config",
+        help="job spec: JSON file, or a reference-format .properties file "
+        "(CopyToolConfig.java:116-279 — requires --warehouse as the copy "
+        "target, standing in for the monetdb.* connection block)",
+    )
     p.add_argument(
         "--switch-table",
         help="config-less switch-only mode: publish the newest loaded version "
         "of this table (requires --warehouse; reference CopyToolConfig.java:219-249)",
     )
-    p.add_argument("--warehouse", help="warehouse dir for --switch-table")
+    p.add_argument(
+        "--warehouse", help="warehouse dir for --switch-table / .properties configs"
+    )
     mode = p.add_mutually_exclusive_group()
     mode.add_argument(
         "--no-switch", action="store_true", help="run phases 1-2 only (load, don't publish)"
@@ -85,7 +93,19 @@ def main(argv: list[str] | None = None) -> int:
         print("error: -c/--config is required (or use --switch-table)", file=sys.stderr)
         return EXIT_ERROR
     try:
-        spec = load_spec(args.config)
+        if args.config.endswith(".properties"):
+            if not args.warehouse:
+                print(
+                    "error: a .properties config requires --warehouse "
+                    "(the Spark-side copy target)",
+                    file=sys.stderr,
+                )
+                return EXIT_ERROR
+            from .config.properties import load_properties_spec
+
+            spec = load_properties_spec(args.config, warehouse_dir=args.warehouse)
+        else:
+            spec = load_spec(args.config)
     except (SpecError, OSError, ValueError) as exc:
         print(f"error: invalid spec: {exc}", file=sys.stderr)
         return EXIT_ERROR

@@ -33,7 +33,9 @@ from . import tpch_full  # noqa: E402,F401
 # HOF/map/url function variants, recursive CTE, as-of joins, ...), the six
 # round-3 changed-code re-verifies (fn_pandas_udf, dedup_url_normalized,
 # dedup_semantic_cells, dedup_connected_components, dedup_ngram_jaccard,
-# tpch_q18_large_orders), and five long-green family canaries.
+# tpch_q18_large_orders), three long-green family canaries, and the two
+# late-round-3 rollovers (promoted per VERDICT item 8 — window at 50
+# closes driver coverage to 186/186 this round).
 #
 # Round-4 ADVICE fixes landed BEFORE this window runs, all inside it:
 # sketch_count_min (probe left-join + 0-floor, oracle updated in step),
@@ -94,30 +96,34 @@ GATE_PRIORITY = [
     "dedup_connected_components",
     "dedup_ngram_jaccard",  # array-side shingle rewrite (late round 3)
     "tpch_q18_large_orders",  # pre-aggregation rewrite (late round 3)
+    # the two late-round-3 rollovers, promoted per round-3 VERDICT item 8
+    # ("closing to 186/186 one round early is worth a canary slot"): they
+    # replace the two most-redundant canaries — agg_tpch_q1 (green r1+r2+r3
+    # AND exercised by the driver bench every round) and
+    # multimodal_image_decode (green r2; multimodal_image_resize in this
+    # window covers the family)
+    "text_ngram_novelty",
+    "sample_semantic_coverage",
     # long-green canaries, one per major family
-    "agg_tpch_q1",
     "dedup_minhash_lsh",
     "stream_tumbling_hourly",
-    "multimodal_image_decode",
     "tpch_q3_shipping_priority",  # bench watcher flagged in the r2 verdict
 ]
 
 GATE_WINDOW = 50
 
-# ROUND-5 PLAN — after CORRECTNESS_r04 lands green, only the two
-# late-round-3 rollovers still lack a verdict (driver coverage 184/186);
-# round 5 closes to 186/186 plus re-verifies for anything round 4 changes
-# (the four ADVICE-fixed sketches are already in the round-4 window, so
-# the fixes and their verdicts land in the same round) and family
-# canaries. Registry growth is frozen until verification catches up
-# (round-3 VERDICT item 3): round-4 additions are capped at ~5 and must
-# be appended here as they land.
+# ROUND-5 PLAN — with the two rollovers promoted into this window,
+# CORRECTNESS_r04 green closes driver coverage to 186/186: every registry
+# query holds a verdict. Round 5 becomes pure canary rotation (plus
+# re-verifies for anything round 4 changes — nothing query-visible so
+# far: the ADVICE sketch fixes are already inside this window). Registry
+# growth stays frozen (round-3 VERDICT item 3): round-4 additions are
+# capped at ~5 and must be appended here as they land.
 NEXT_WINDOW_QUEUE = [
-    # the last two never-verified queries (late round-3 additions)
-    "text_ngram_novelty",
-    "sample_semantic_coverage",
     # long-green canaries, one per major family (rotating members that sat
     # out the round-4 window)
+    "agg_tpch_q1",
+    "multimodal_image_decode",
     "join_broadcast_dims",
     "text_stats",
     "window_row_number",

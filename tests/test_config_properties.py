@@ -309,3 +309,34 @@ def test_watermark_probe_matches_top1_desc(spark):
     orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     top1 = orders.orderBy(F.col("o_orderdate").desc()).select("o_orderdate").first()[0]
     assert probe_max(orders, "o_orderdate").value == top1
+
+
+def test_cli_accepts_properties_config(tmp_path, monkeypatch):
+    """`-c config.properties` routes through the adapter (drop-in CLI
+    migration); without --warehouse it fails closed with exit 1."""
+    import mssql2monetdb_spark.cli as cli
+
+    cfg = tmp_path / "config.properties"
+    cfg.write_text(
+        "mssql.db1.server = h\nmssql.db1.database = d\n"
+        "table.t.source = db1\ntable.t.from = x\n"
+    )
+    # missing --warehouse: the properties front-end fails closed
+    assert cli.main(["-c", str(cfg)]) == 1
+
+    # with --warehouse: the adapter compiles the spec, then the engine is
+    # reached (stub it — no JDBC server exists here)
+    seen = {}
+
+    class FakeEngine:
+        def __init__(self, spark, spec):
+            seen["spec"] = spec
+
+        def run(self, **kw):
+            return 0
+
+    monkeypatch.setattr(cli, "CopyEngine", FakeEngine)
+    monkeypatch.setattr(cli, "get_spark", lambda name: None)
+    assert cli.main(["-c", str(cfg), "--warehouse", str(tmp_path / "wh")]) == 0
+    assert seen["spec"].jobs["t"].from_table == "x"
+    assert seen["spec"].sources["db1"].options["url"].startswith("jdbc:jtds:sqlserver://h:1433")
