@@ -9,12 +9,13 @@ super-linear candidate blowup (e.g. the verification joins in
 operators/dedup.py shipping per-candidate shingle arrays) before claiming
 100 TB readiness.
 
-The 10x corpus derives from the driver-generated sf0.1 fixtures (never
-synthesized from scratch): each replica character-rotates the text
-(ROT-i over the letter alphabet) so replicas are NOT near-duplicates of
-each other — organic within-replica dup density is preserved and simply
-scaled 10x, which is the workload shape a 10x-bigger real corpus has.
-Embeddings get a per-replica deterministic offset for the same reason.
+The scaled corpus derives from the driver-generated sf0.1 fixtures (never
+synthesized from scratch): each replica passes the text through a distinct
+affine letter permutation (312 available — supports --factor up to 312)
+so replicas are NOT near-duplicates of each other — organic within-replica
+dup density is preserved and simply scaled Nx, which is the workload shape
+an Nx-bigger real corpus has. Embeddings get a per-replica deterministic
+offset for the same reason.
 
 ``--clones`` additionally builds a WORST-CASE corpus: 10 byte-identical
 replicas (no salting), so every document sits in a 10-clone near-dup
@@ -24,7 +25,7 @@ verification joins that ship per-candidate shingle-hash arrays
 (operators/dedup.py minhash/ngram verify), flagged as the first thing to
 profile at 100 TB.
 
-Usage:  python scripts/capacity_check.py [--rebuild] [--clones]
+Usage:  python scripts/capacity_check.py [--rebuild] [--clones] [--factor N]
 Writes: /tmp/capacity_sf1/ (derived parquet), prints a JSON report line.
 """
 
@@ -49,6 +50,18 @@ UI_PORT = 4049
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/capacity_sf1"
 REPLICAS = 10
+
+#: multipliers coprime to 26 — with 26 shifts they give 312 distinct affine
+#: letter permutations, so --factor up to 312 still yields pairwise-distinct
+#: (non-near-dup) replicas
+_COPRIMES = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+
+def _affine_perm(i: int) -> str:
+    """Replica-i substitution alphabet: letter j -> (a*j + b) mod 26."""
+    a = _COPRIMES[(i // 26) % len(_COPRIMES)]
+    b = i % 26
+    return "".join(ALPHA[(a * j + b) % 26] for j in range(26))
 QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -59,16 +72,16 @@ QUERIES = [
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
-def build_sf1(spark, *, out_dir: str = SF1, salt: bool = True) -> None:
+def build_sf1(spark, *, out_dir: str = SF1, salt: bool = True, factor: int = REPLICAS) -> None:
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
     n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
     parts = []
-    for i in range(REPLICAS):
-        rot = ALPHA[i:] + ALPHA[:i] if salt else ALPHA
+    for i in range(factor):
+        perm = _affine_perm(i) if salt else ALPHA
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
-                F.translate(F.col("text"), ALPHA, rot).alias("text"),
+                F.translate(F.col("text"), ALPHA, perm).alias("text"),
                 *[c for c in docs.columns if c not in ("doc_id", "text")],
             )
         )
@@ -90,7 +103,7 @@ def build_sf1(spark, *, out_dir: str = SF1, salt: bool = True) -> None:
     vec_col = "embedding" if "embedding" in emb.columns else emb.columns[-1]
     n_emb = emb.agg(F.max(id_col)).first()[0] + 1
     eparts = []
-    for i in range(REPLICAS):
+    for i in range(factor):
         eparts.append(
             emb.select(
                 (F.col(id_col) + F.lit(i * n_emb)).alias(id_col),
@@ -103,13 +116,13 @@ def build_sf1(spark, *, out_dir: str = SF1, salt: bool = True) -> None:
     big_emb = eparts[0]
     for p in eparts[1:]:
         big_emb = big_emb.unionByName(p)
-    big_emb.repartition(32).write.mode("overwrite").parquet(f"{SF1}/embeddings.parquet")
+    big_emb.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
     # the four queries only read documents/embeddings; link the relational
     # tables through so Tables() loading doesn't fail if a query touches one
     for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"):
         src = f"{SF01}/{t}.parquet"
-        dst = f"{SF1}/{t}.parquet"
+        dst = f"{out_dir}/{t}.parquet"
         if os.path.exists(src) and not os.path.exists(dst):
             os.symlink(src, dst)
 
@@ -196,8 +209,12 @@ def main() -> int:
         print(json.dumps(report))
         return 0
 
-    if "--rebuild" in sys.argv or not os.path.isdir(SF1):
-        build_sf1(spark)
+    factor = REPLICAS
+    if "--factor" in sys.argv:
+        factor = int(sys.argv[sys.argv.index("--factor") + 1])
+    big_dir = SF1 if factor == REPLICAS else f"/tmp/capacity_x{factor}"
+    if "--rebuild" in sys.argv or not os.path.isdir(big_dir):
+        build_sf1(spark, out_dir=big_dir, factor=factor)
 
     # warmup at the smallest SF so codegen isn't billed to the first run
     for name in QUERIES:
@@ -205,15 +222,25 @@ def main() -> int:
             "overwrite"
         ).format("noop").save()
 
-    report = {}
+    report = {"factor": factor}
     for name in QUERIES:
         small = run_one(spark, name, SF01)
-        big = run_one(spark, name, SF1)
-        exponent = math.log(big["wall_sec"] / small["wall_sec"]) / math.log(REPLICAS)
+        big = run_one(spark, name, big_dir)
+        exponent = math.log(big["wall_sec"] / small["wall_sec"]) / math.log(factor)
+        shuffle_exp = (
+            round(
+                math.log(big["shuffle_bytes"] / small["shuffle_bytes"])
+                / math.log(factor),
+                3,
+            )
+            if small.get("shuffle_bytes") and big.get("shuffle_bytes")
+            else None
+        )
         report[name] = {
             "sf0.1": small,
-            "sf1": big,
-            "scaling_exponent": round(exponent, 3),
+            f"x{factor}": big,
+            "wall_exponent": round(exponent, 3),
+            "shuffle_exponent": shuffle_exp,
         }
     print(json.dumps(report))
     return 0
