@@ -340,3 +340,58 @@ def test_cli_accepts_properties_config(tmp_path, monkeypatch):
     assert cli.main(["-c", str(cfg), "--warehouse", str(tmp_path / "wh")]) == 0
     assert seen["spec"].jobs["t"].from_table == "x"
     assert seen["spec"].sources["db1"].options["url"].startswith("jdbc:jtds:sqlserver://h:1433")
+
+
+def test_properties_config_runs_pipeline_against_real_jdbc(spark, tmp_path, monkeypatch):
+    """End-to-end migration proof: a reference-format .properties file
+    drives the full 4-phase copy pipeline against a REAL JDBC endpoint
+    (embedded Derby, in-JVM). The derby dialect is injected test-only —
+    the adapter's dialect table normally holds the reference's two
+    (mssql/postgresql, which need servers this sandbox doesn't have) —
+    so the path proven is: properties text -> compiled spec -> JDBC
+    extract -> versioned parquet load -> published view."""
+    from datetime import datetime
+
+    from mssql2monetdb_spark.catalog import load_table
+    from mssql2monetdb_spark.config import properties as props_mod
+    from mssql2monetdb_spark.engine.copy import CopyEngine
+    from mssql2monetdb_spark.sources.jdbc import jdbc_writer
+    from mssql2monetdb_spark.config.spec import SourceSpec
+
+    db_path = tmp_path / "derbydb"
+    seed = SourceSpec(
+        name="seed",
+        format="jdbc",
+        options={
+            "url": f"jdbc:derby:{db_path};create=true",
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        },
+    )
+    region = load_table(spark, "/root/testdata/sf0.001", "region")
+    jdbc_writer(region, seed, "region", mode="overwrite", locked_mode=False)
+
+    monkeypatch.setitem(
+        props_mod.DIALECTS,
+        "derby",
+        {
+            # str.format ignores the unused port/database slots
+            "url": f"jdbc:derby:{{server}}",
+            "port": 0,
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        },
+    )
+    text = f"""
+derby.src.server = {db_path}
+derby.src.database = unused
+table.regions.source = src
+table.regions.from = region
+table.regions.to = region_copy
+"""
+    spec = props_mod.load_properties_spec(
+        text, warehouse_dir=str(tmp_path / "wh"), env={}
+    )
+    engine = CopyEngine(spark, spec)
+    published = engine.do_copy(load_date=datetime(2024, 6, 1))
+    assert published == {"regions": "region_copy_2024_06_01_00_00_00"}
+    got = engine.sql("SELECT COUNT(*) AS n FROM region_copy").collect()[0]["n"]
+    assert got == region.count()
