@@ -76,10 +76,13 @@ def interpolate_reference_env(value: str, env: dict[str, str]) -> str:
 
 def parse_properties(text: str) -> dict[str, str]:
     """Minimal Java ``.properties`` reader: ``#``/``!`` comments, ``=`` or
-    ``:`` separators, trimmed keys/values, backslash line continuation."""
+    ``:`` separators, trimmed keys/values, backslash line continuation.
+    Lines break ONLY on \\n / \\r (like java.util.Properties) — not on the
+    form-feed/unicode separators Python's splitlines() also honors, which
+    would corrupt values containing them."""
     props: dict[str, str] = {}
     pending = ""
-    for raw_line in text.splitlines():
+    for raw_line in re.split(r"\r\n|\r|\n", text):
         line = pending + raw_line.strip()
         pending = ""
         if not line or line.startswith(("#", "!")):

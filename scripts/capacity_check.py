@@ -180,6 +180,44 @@ def run_one(spark, name: str, sf_dir: str) -> dict:
 
 SF1_CLONES = "/tmp/capacity_sf1_clones"
 
+EVENTS_QUERIES = [
+    "events_sessionize",
+    "events_transition_matrix",
+    "events_anomaly_mad",
+    "funnel_stages",
+    "retention_cohorts",
+]
+
+
+def build_events(spark, *, out_dir: str, factor: int) -> None:
+    """Nx events corpus: replicas shift user_id/event_id into fresh ranges,
+    so per-user history length stays organic while user count scales Nx —
+    the workload shape of an Nx-bigger event log (the window-heavy events
+    family partitions by user_id, so MORE users is the relevant axis)."""
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    n_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    n_u = ev.agg(F.max("user_id")).first()[0] + 1
+    parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * n_ev)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * n_u)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(factor)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        src, dst = f"{SF01}/{t}.parquet", f"{out_dir}/{t}.parquet"
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+
 
 def main() -> int:
     spark = _bench_session()
@@ -212,6 +250,36 @@ def main() -> int:
     factor = REPLICAS
     if "--factor" in sys.argv:
         factor = int(sys.argv[sys.argv.index("--factor") + 1])
+    if "--events" in sys.argv:
+        ev_dir = f"/tmp/capacity_events_x{factor}"
+        if "--rebuild" in sys.argv or not os.path.isdir(ev_dir):
+            build_events(spark, out_dir=ev_dir, factor=factor)
+        for name in EVENTS_QUERIES:
+            REGISTRY[name].build(spark, "/root/testdata/sf0.01").write.mode(
+                "overwrite"
+            ).format("noop").save()
+        report = {"factor": factor, "mode": "events"}
+        for name in EVENTS_QUERIES:
+            small = run_one(spark, name, SF01)
+            big = run_one(spark, name, ev_dir)
+            report[name] = {
+                "sf0.1": small,
+                f"x{factor}": big,
+                "wall_exponent": round(
+                    math.log(big["wall_sec"] / small["wall_sec"]) / math.log(factor), 3
+                ),
+                "shuffle_exponent": (
+                    round(
+                        math.log(big["shuffle_bytes"] / small["shuffle_bytes"])
+                        / math.log(factor),
+                        3,
+                    )
+                    if small.get("shuffle_bytes") and big.get("shuffle_bytes")
+                    else None
+                ),
+            }
+        print(json.dumps(report))
+        return 0
     big_dir = SF1 if factor == REPLICAS else f"/tmp/capacity_x{factor}"
     if "--rebuild" in sys.argv or not os.path.isdir(big_dir):
         build_sf1(spark, out_dir=big_dir, factor=factor)

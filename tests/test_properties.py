@@ -221,3 +221,46 @@ def test_bloom_never_false_negative(spark, seen, probes):
     for p in set(probes):
         if p in set(seen):
             assert out[p] is True
+
+
+# --- .properties adapter (config/properties.py) -----------------------------
+
+_key_chars = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="._-"),
+    min_size=1,
+    max_size=40,
+).filter(lambda s: s[0] not in "#!" and "=" not in s and ":" not in s)
+
+_val_chars = st.text(
+    alphabet=st.characters(blacklist_characters="\n\r\\", blacklist_categories=("Cs",)),
+    min_size=0,
+    max_size=60,
+).map(str.strip)
+
+
+@given(st.dictionaries(_key_chars, _val_chars, min_size=0, max_size=12))
+def test_properties_parse_round_trip(d):
+    """Serializing a key/value map as `k = v` lines and parsing it back
+    yields the same map (modulo the format's key/value trimming)."""
+    from mssql2monetdb_spark.config.properties import parse_properties
+
+    text = "\n".join(f"{k} = {v}" for k, v in d.items())
+    parsed = parse_properties(text)
+    assert parsed == {k.strip(): v for k, v in d.items() if k.strip()}
+
+
+@given(
+    st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu"), whitelist_characters="_"), min_size=1, max_size=12),
+    st.text(alphabet=st.characters(blacklist_characters="{}:\n", blacklist_categories=("Cs",)), max_size=20),
+    st.text(alphabet=st.characters(blacklist_characters="{}:\n", blacklist_categories=("Cs",)), max_size=20),
+)
+def test_reference_env_interpolation_total(var, default, other):
+    """ENV:/{env:} interpolation never raises (fail-open like the
+    reference) and resolves set > default > empty, in that order."""
+    from mssql2monetdb_spark.config.properties import interpolate_reference_env
+
+    assert interpolate_reference_env(f"ENV:{var}:{default}", {var: "X"}) == "X"
+    assert interpolate_reference_env(f"ENV:{var}:{default}", {}) == default
+    assert interpolate_reference_env(f"ENV:{var}", {}) == ""
+    got = interpolate_reference_env(f"pre-{{env:{var}}}-post", {var: other})
+    assert got == f"pre-{other}-post"
