@@ -180,3 +180,33 @@ def test_notify_hook_called(spark, tmp_path):
     seen = []
     assert engine.run(notify=seen.append) == 1
     assert len(seen) == 1 and isinstance(seen[0], Exception)
+
+
+def test_load_table_handles_legacy_nanos_events(spark, tmp_path):
+    """Older driver fixtures persist events.ts as parquet TIMESTAMP(NANOS),
+    which Spark (nanosAsLong) surfaces as an epoch-nanos LONG; catalog
+    dispatch must rebuild a session TIMESTAMP with exact integer ns->us
+    truncation (catalog.py load_table bigint branch — keep BOTH branches,
+    the fixture type varies by generation)."""
+    from pyspark.sql import functions as F
+
+    from mssql2monetdb_spark.catalog import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    as_nanos = src.select(
+        "event_id",
+        (F.unix_micros(F.col("ts")) * F.lit(1000) + F.lit(999)).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    out = str(tmp_path / "fixtures")
+    as_nanos.write.parquet(f"{out}/events.parquet")
+
+    got = load_table(spark, out, "events")
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    # +999 ns must floor away: values equal the original micro timestamps
+    orig = {r["event_id"]: r["ts"] for r in src.select("event_id", "ts").collect()}
+    back = {r["event_id"]: r["ts"] for r in got.select("event_id", "ts").collect()}
+    assert back == orig
