@@ -189,11 +189,17 @@ EVENTS_QUERIES = [
 ]
 
 
-def build_events(spark, *, out_dir: str, factor: int) -> None:
+def build_events(spark, *, out_dir: str, factor: int, hot_user: bool = False) -> None:
     """Nx events corpus: replicas shift user_id/event_id into fresh ranges,
     so per-user history length stays organic while user count scales Nx —
     the workload shape of an Nx-bigger event log (the window-heavy events
-    family partitions by user_id, so MORE users is the relevant axis)."""
+    family partitions by user_id, so MORE users is the relevant axis).
+
+    ``hot_user=True`` collapses replica 0's users onto a single user id —
+    1/N of ALL events land on one key. Per-user windows cannot split a key
+    (AQE skew-join splitting doesn't apply to window sorts), so this probes
+    the family's true worst case: one task sorting the hot user's history.
+    """
     ev = spark.read.parquet(f"{SF01}/events.parquet")
     n_ev = ev.agg(F.max("event_id")).first()[0] + 1
     n_u = ev.agg(F.max("user_id")).first()[0] + 1
@@ -201,7 +207,11 @@ def build_events(spark, *, out_dir: str, factor: int) -> None:
         ev.select(
             (F.col("event_id") + F.lit(i * n_ev)).alias("event_id"),
             "ts",
-            (F.col("user_id") + F.lit(i * n_u)).alias("user_id"),
+            (
+                F.lit(0)
+                if (hot_user and i == 0)
+                else (F.col("user_id") + F.lit(i * n_u))
+            ).cast("bigint").alias("user_id"),
             "event_type",
             "value",
             "props",
@@ -250,6 +260,32 @@ def main() -> int:
     factor = REPLICAS
     if "--factor" in sys.argv:
         factor = int(sys.argv[sys.argv.index("--factor") + 1])
+    if "--skew" in sys.argv:
+        # same-size corpora, organic vs one hot user owning 1/factor of all
+        # events — isolates key-skew cost in the per-user window family
+        even_dir = f"/tmp/capacity_events_x{factor}"
+        hot_dir = f"/tmp/capacity_events_hot_x{factor}"
+        if "--rebuild" in sys.argv or not os.path.isdir(even_dir):
+            build_events(spark, out_dir=even_dir, factor=factor)
+        if "--rebuild" in sys.argv or not os.path.isdir(hot_dir):
+            build_events(spark, out_dir=hot_dir, factor=factor, hot_user=True)
+        targets = ["events_sessionize", "events_anomaly_mad"]
+        for name in targets:
+            REGISTRY[name].build(spark, "/root/testdata/sf0.01").write.mode(
+                "overwrite"
+            ).format("noop").save()
+        report = {"factor": factor, "mode": "skew"}
+        for name in targets:
+            even = run_one(spark, name, even_dir)
+            hot = run_one(spark, name, hot_dir)
+            report[name] = {
+                "organic": even,
+                "hot_user": hot,
+                "skew_penalty": round(hot["wall_sec"] / even["wall_sec"], 2),
+            }
+        print(json.dumps(report))
+        return 0
+
     if "--events" in sys.argv:
         ev_dir = f"/tmp/capacity_events_x{factor}"
         if "--rebuild" in sys.argv or not os.path.isdir(ev_dir):
