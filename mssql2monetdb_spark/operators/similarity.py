@@ -592,13 +592,28 @@ PQ_KS = 4  # codewords per subspace for the sf fixtures; 256 in production
 
 
 def _pq_codebook(
-    emb_df: DataFrame, id_col: str, emb_col: str, m: int, ks: int
+    emb_df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    m: int,
+    ks: int,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Deterministic per-subspace codebook ``(j, cid, cw)``: the subvectors
     of the first ``ks`` vectors by id (the same seeding discipline as the
-    IVF centroids — production swaps in k-means-trained codewords)."""
+    IVF centroids).
+
+    ``refine_iters`` > 0 runs that many per-subspace Lloyd iterations
+    (assign every subvector to its nearest codeword, recompute codewords
+    as cell means) — the k-means training that production PQ uses. Each
+    iteration costs one broadcast-argmin pass + one keyed mean aggregate
+    per subspace (all m subspaces ride the same two stages); the corpus
+    never shuffles on anything wider than (id, j). Kept opt-in (default
+    0) so the oracle-pinned fixture queries stay on the seeded codebook
+    the DuckDB SQL mirrors.
+    """
     d_sub = EMBED_DIM // m
-    return (
+    cb = (
         parallelized(emb_df)
         .filter(F.col(id_col) < ks)
         .select(
@@ -612,6 +627,43 @@ def _pq_codebook(
             F.slice(F.col("_emb"), F.col("j") * d_sub + 1, d_sub).alias("cw"),
         )
     )
+    if refine_iters <= 0:
+        return cb
+    sub = _pq_subvectors(emb_df, id_col, emb_col, m, "_sid")
+    for _ in range(refine_iters):
+        assigned = (
+            sub.join(F.broadcast(cb), "j")
+            .select(
+                "_sid",
+                "j",
+                "sv",
+                "cid",
+                vectors.l2sq(F.col("sv"), F.col("cw")).alias("dist2"),
+            )
+            .groupBy("_sid", "j")
+            .agg(F.min(F.struct("dist2", "cid", "sv")).alias("b"))
+            .select("j", F.col("b.cid").alias("cid"), F.col("b.sv").alias("sv"))
+        )
+        # cell mean per (j, cid): aggregate each dimension; empty cells
+        # keep their previous codeword (left join back onto the old book)
+        dim_means = assigned.groupBy("j", "cid").agg(
+            F.array(
+                *[
+                    F.avg(F.element_at("sv", d + 1)).alias(f"d{d}")
+                    for d in range(d_sub)
+                ]
+            ).alias("cw_new"),
+        )
+        cb = (
+            cb.join(dim_means, ["j", "cid"], "left")
+            .select(
+                "j",
+                "cid",
+                F.coalesce("cw_new", "cw").alias("cw"),
+            )
+            .localCheckpoint()  # truncate the per-iteration plan lineage
+        )
+    return cb
 
 
 def _pq_subvectors(
@@ -634,14 +686,19 @@ def _pq_subvectors(
 
 
 def _pq_codes(
-    emb_df: DataFrame, id_col: str, emb_col: str, m: int, ks: int
+    emb_df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    m: int,
+    ks: int,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Per-(vector, subspace) nearest codeword: ``(id, j, cid, dist2)``.
 
     The argmin is a map-side-combinable min(struct(dist2, cid)) aggregate
     keyed on (id, j) — the corpus shuffles once on its own id and the
     codebook (m x ks rows) broadcasts."""
-    cb = _pq_codebook(emb_df, id_col, emb_col, m, ks)
+    cb = _pq_codebook(emb_df, id_col, emb_col, m, ks, refine_iters)
     sub = _pq_subvectors(emb_df, id_col, emb_col, m, id_col)
     scored = sub.join(F.broadcast(cb), "j").select(
         id_col, "j", "cid", vectors.l2sq(F.col("sv"), F.col("cw")).alias("dist2")
@@ -665,6 +722,7 @@ def pq_encode(
     *,
     m: int = PQ_M,
     ks: int = PQ_KS,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """PQ-encode every vector: ``(vec_id, codes, recon_err)`` where
     ``codes`` is the comma-joined per-subspace codeword id and
@@ -677,7 +735,7 @@ def pq_encode(
     bytes/vector instead of EMBED_DIM floats — which is what lets a
     1000-executor scan rank billions of candidates in memory.
     """
-    best = _pq_codes(emb_df, id_col, emb_col, m, ks)
+    best = _pq_codes(emb_df, id_col, emb_col, m, ks, refine_iters)
     return best.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -742,6 +800,7 @@ def topk_pq_adc(
     m: int = PQ_M,
     ks: int = PQ_KS,
     k: int = 5,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) PQ top-k: each query precomputes an
     (m x ks) lookup table of exact subspace distances to every codeword;
@@ -755,10 +814,10 @@ def topk_pq_adc(
     point of PQ at 100 TB. Ranking is a per-query window over corpus-
     sized-but-narrow rows.
     """
-    codes = _pq_codes(emb_df, id_col, emb_col, m, ks).select(
+    codes = _pq_codes(emb_df, id_col, emb_col, m, ks, refine_iters).select(
         F.col(id_col).alias("vec_id"), "j", "cid"
     )
-    cb = _pq_codebook(emb_df, id_col, emb_col, m, ks)
+    cb = _pq_codebook(emb_df, id_col, emb_col, m, ks, refine_iters)
     q_sub = _pq_subvectors(
         parallelized(emb_df).filter(F.col(id_col).isin(query_ids)),
         id_col,

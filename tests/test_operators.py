@@ -1097,3 +1097,34 @@ def test_hll_oracle_sql_survives_max_rho_sentinel(spark):
     sdf = spark.createDataFrame(keys)
     got = sk.hll_estimate(sk.hll_registers(sdf, "k")).collect()[0][0]
     assert abs(oracle - got) < 1e-9 * max(1.0, abs(oracle))
+
+
+def test_pq_codebook_lloyd_refinement_reduces_error(spark, sf_dir):
+    """Opt-in PQ codebook training (refine_iters): each Lloyd iteration can
+    only lower the total reconstruction error vs the seeded codebook (the
+    k-means objective is monotone non-increasing), and the default
+    refine_iters=0 path is byte-identical to the seeded behavior the
+    oracle-pinned queries rely on."""
+    from pyspark.sql import functions as F
+
+    from mssql2monetdb_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def total_err(refine_iters):
+        return (
+            sim.pq_encode(emb, refine_iters=refine_iters)
+            .agg(F.sum("recon_err"))
+            .first()[0]
+        )
+
+    seeded = total_err(0)
+    seeded_again = total_err(0)
+    assert seeded == seeded_again  # deterministic default path
+
+    one = total_err(1)
+    two = total_err(2)
+    assert one <= seeded * (1 + 1e-12)
+    assert two <= one * (1 + 1e-12)
+    # and refinement genuinely moves the objective on this data
+    assert one < seeded
