@@ -388,6 +388,116 @@ def unigram_rarity_sql(
     """
 
 
+BIGRAM_HEAD_MAX = 29.5  # mean inverse conditional freq below -> 'head'
+BIGRAM_MIDDLE_MAX = 30.5  # ... below -> 'middle', else 'tail'
+
+
+def bigram_conditional_rarity(
+    docs: DataFrame,
+    *,
+    head_max: float = BIGRAM_HEAD_MAX,
+    middle_max: float = BIGRAM_MIDDLE_MAX,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM perplexity proxy — the conditional upgrade of
+    :func:`unigram_rarity` (CCNet scores documents with a real LM; the
+    unigram operator uses marginal token probability, this one uses
+    P(w_i | w_{i-1}), which is what separates fluent text from
+    bag-of-common-words spam that unigram scoring cannot see).
+
+    Per bigram occurrence the surprisal surrogate is the integer-floored
+    inverse CONDITIONAL frequency ``count(w1 •) // count(w1 w2)`` — both
+    counts from the same corpus pass, all-BIGINT until the single final
+    division (the same no-libm discipline as unigram_rarity: no log(),
+    so DuckDB reproduces every value bit-for-bit).
+
+    Scale shape: bigram construction is per-row array work (zero
+    shuffles); bigram and prefix counts are two map-side-combined
+    aggregates; scoring is two keyed joins (AQE splits hot prefixes like
+    'the') and one per-doc aggregate. Nothing pairwise, no driver state.
+    """
+    tok = text.tokens(F.col(text_col))
+    cnt = F.size(tok) - 1
+    pairs = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.struct(
+            F.element_at(tok, i).alias("w1"), F.element_at(tok, i + 1).alias("w2")
+        ),
+    )
+    safe = F.when(cnt >= 1, pairs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    bi = (
+        parallelized(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(safe).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    pc = bi.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(pc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.expr("c1 div c2")).cast("bigint").alias("sum_inv_cond"),
+        )
+        .withColumn(
+            "cond_rarity", F.col("sum_inv_cond").cast("double") / F.col("n_bigrams")
+        )
+    )
+    return scored.withColumn(
+        "bucket",
+        F.when(F.col("cond_rarity") < head_max, "head")
+        .when(F.col("cond_rarity") < middle_max, "middle")
+        .otherwise("tail"),
+    )
+
+
+def bigram_conditional_rarity_sql(
+    table: str,
+    *,
+    head_max: float = BIGRAM_HEAD_MAX,
+    middle_max: float = BIGRAM_MIDDLE_MAX,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB query matching :func:`bigram_conditional_rarity`."""
+    tok = text.tokens_sql(text_expr)
+    pairs = (
+        f"CASE WHEN len({tok}) - 1 >= 1 THEN "
+        f"list_transform(generate_series(1, len({tok}) - 1), "
+        f"i -> struct_pack(w1 := {tok}[i], w2 := {tok}[i + 1])) "
+        f"ELSE [] END"
+    )
+    return f"""
+        WITH bi AS (
+            SELECT doc_id, struct_extract(p, 'w1') AS w1,
+                   struct_extract(p, 'w2') AS w2
+            FROM (SELECT {id_expr} AS doc_id, unnest({pairs}) AS p FROM {table})
+        ), bc AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bi GROUP BY w1, w2
+        ), pc AS (
+            SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bi GROUP BY w1
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(pc.c1 // bc.c2) AS BIGINT) AS sum_inv_cond
+            FROM bi JOIN bc USING (w1, w2) JOIN pc USING (w1)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams, sum_inv_cond,
+               CAST(sum_inv_cond AS DOUBLE) / n_bigrams AS cond_rarity,
+               CASE WHEN CAST(sum_inv_cond AS DOUBLE) / n_bigrams < {head_max}
+                    THEN 'head'
+                    WHEN CAST(sum_inv_cond AS DOUBLE) / n_bigrams < {middle_max}
+                    THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored
+    """
+
+
 POSTINGS_DF_CAP = 20  # materialize posting lists only for grams with df <= cap
 
 

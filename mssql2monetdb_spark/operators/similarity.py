@@ -903,3 +903,194 @@ def topk_pq_adc_sql(
         SELECT query_id, vec_id, adc_dist, rnk
         FROM ranked WHERE rnk <= {k}
     """
+
+
+def topk_ivf_adc(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    index: IvfIndex | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al.): coarse IVF cell probe + PQ asymmetric-distance
+    ranking — the composition production ANN systems actually deploy (a
+    FAISS ``IVFx,PQy`` index). The coarse quantizer prunes the corpus to
+    ``nprobe`` cells per query; within the probed cells candidates are
+    ranked by the ADC sum over their stored PQ codes, so the original
+    vectors are touched only at index-build time.
+
+    Scale shape — the intersection of both parents' properties: centroids
+    (K rows) and the per-query LUT (|queries| x m x ks) broadcast; the
+    probe joins the cell-keyed assignments relation (partition-prunable
+    when the index is persisted via :meth:`IvfIndex.write`) against the
+    broadcast probe-cell list; ADC pairing shuffles only the probed
+    candidates' narrow (vec_id, j, cid) code rows. At 100 TB the scan is
+    1/K of the corpus in PQ_M-byte rows instead of EMBED_DIM floats.
+
+    Returns ``(query_id, vec_id, adc_dist, rnk)``, rnk <= k per query.
+    """
+    if index is None:
+        index = ivf_build_index(emb_df, id_col, emb_col)
+    assigned = index.assignments
+
+    queries = assigned.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    cdist = queries.crossJoin(F.broadcast(index.centroids)).select(
+        "query_id",
+        "q_emb",
+        F.col("cid").alias("cell"),
+        vectors.l2sq(F.col("q_emb"), F.col("cvec")).alias("dist2"),
+    )
+    wc = Window.partitionBy("query_id").orderBy("dist2", "cell")
+    probe_cells = (
+        cdist.withColumn("_cr", F.row_number().over(wc))
+        .filter(F.col("_cr") <= nprobe)
+        .select("query_id", "cell")
+    )
+
+    codes = _pq_codes(emb_df, id_col, emb_col, m, ks).select(
+        F.col(id_col).alias("vec_id"), "j", "cid"
+    )
+    cb = _pq_codebook(emb_df, id_col, emb_col, m, ks)
+    q_sub = _pq_subvectors(
+        parallelized(emb_df).filter(F.col(id_col).isin(query_ids)),
+        id_col,
+        emb_col,
+        m,
+        "query_id",
+    )
+    lut = q_sub.join(F.broadcast(cb), "j").select(
+        "query_id", "j", "cid", vectors.l2sq(F.col("sv"), F.col("cw")).alias("d2")
+    )
+
+    cand = (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("vec_id"))
+    )
+    paired = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "j", "cid"])
+    )
+    scored = paired.groupBy("query_id", "vec_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "d2"))),
+                lambda x: x["d2"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def topk_ivf_adc_sql(
+    table: str,
+    query_ids: list[int],
+    id_expr: str = "vec_id",
+    emb_expr: str = "embedding",
+    *,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    k: int = 5,
+) -> str:
+    """DuckDB query matching :func:`topk_ivf_adc` at nprobe=1 (the probe
+    cell is then exactly the query's own assigned cell — the same identity
+    topk_ivf documents). Coarse CTEs mirror the IVF oracle (seed argmin ->
+    decimal-exact Lloyd means -> reassign); fine CTEs mirror the PQ-ADC
+    oracle restricted to same-cell candidates."""
+    dist2 = (
+        f"list_reduce(list_transform(generate_series(1, len(e.{emb_expr})), "
+        f"i -> (CAST(e.{emb_expr}[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) "
+        f"* (CAST(e.{emb_expr}[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))), (a, b) -> a + b)"
+    )
+    d = EMBED_DIM // m
+    lo, hi = f"j * {d} + 1", f"j * {d} + {d}"
+    qlist = ", ".join(str(q) for q in query_ids)
+    return f"""
+    WITH seed AS (
+        SELECT CAST({id_expr} AS INTEGER) AS cid, {emb_expr} AS cvec
+        FROM {table} WHERE {id_expr} < {IVF_K}
+    ), scored0 AS (
+        SELECT e.{id_expr} AS vec_id, e.{emb_expr} AS embedding, c.cid, {dist2} AS dist2
+        FROM {table} e CROSS JOIN seed c
+    ), a0 AS (
+        SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+            FROM scored0
+        ) WHERE rn = 1
+    ), dims AS (
+        SELECT cell, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+        FROM a0, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ), centroids AS (
+        SELECT cell AS cid, list(mean_val ORDER BY dim) AS cvec FROM (
+            SELECT cell, dim,
+                   CAST(SUM(CAST(val AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*) AS mean_val
+            FROM dims GROUP BY cell, dim
+        ) GROUP BY cell
+    ), scored1 AS (
+        SELECT e.{id_expr} AS vec_id, c.cid, {dist2} AS dist2
+        FROM {table} e CROSS JOIN centroids c
+    ), assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+            FROM scored1
+        ) WHERE rn = 1
+    ), js AS (
+        SELECT unnest(generate_series(0, {m - 1})) AS j
+    ), sub AS (
+        SELECT {id_expr} AS vid, j, {emb_expr}[{lo} : {hi}] AS sv
+        FROM {table} CROSS JOIN js
+    ), cb AS (
+        SELECT {id_expr} AS cid, j, {emb_expr}[{lo} : {hi}] AS cw
+        FROM {table} CROSS JOIN js WHERE {id_expr} < {ks}
+    ), pq_scored AS (
+        SELECT s.vid, s.j, c.cid, {vectors.l2sq_sql('s.sv', 'c.cw')} AS dist2
+        FROM sub s JOIN cb c ON s.j = c.j
+    ), best AS (
+        SELECT vid, j, MIN(struct_pack(d := dist2, c := cid)) AS b
+        FROM pq_scored GROUP BY vid, j
+    ), codes AS (
+        SELECT vid AS vec_id, j, struct_extract(b, 'c') AS cid FROM best
+    ), lut AS (
+        SELECT s.vid AS query_id, s.j, c.cid,
+               {vectors.l2sq_sql('s.sv', 'c.cw')} AS d2
+        FROM sub s JOIN cb c ON s.j = c.j
+        WHERE s.vid IN ({qlist})
+    ), q AS (
+        SELECT vec_id AS query_id, cell FROM assigned WHERE vec_id IN ({qlist})
+    ), cand AS (
+        SELECT q.query_id, a.vec_id
+        FROM assigned a JOIN q ON a.cell = q.cell
+        WHERE a.vec_id <> q.query_id
+    ), paired AS (
+        SELECT cd.query_id, cd.vec_id, co.j, l.d2
+        FROM cand cd
+        JOIN codes co ON co.vec_id = cd.vec_id
+        JOIN lut l ON l.query_id = cd.query_id AND l.j = co.j AND l.cid = co.cid
+    ), summed AS (
+        SELECT query_id, vec_id,
+               list_reduce(list_prepend(0.0, list(d2 ORDER BY j)),
+                           (x, y) -> x + y) AS adc_dist
+        FROM paired GROUP BY query_id, vec_id
+    ), ranked AS (
+        SELECT query_id, vec_id, adc_dist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist, vec_id) AS INTEGER) AS rnk
+        FROM summed
+    )
+    SELECT query_id, vec_id, adc_dist, rnk
+    FROM ranked WHERE rnk <= {k}
+    """

@@ -120,6 +120,9 @@ GATE_WINDOW = 50
 # growth stays frozen (round-3 VERDICT item 3): round-4 additions are
 # capped at ~5 and must be appended here as they land.
 NEXT_WINDOW_QUEUE = [
+    # round-4 additions (within the <=5 budget), locally conformant
+    "quality_lm_bigram",
+    "ann_ivfadc_topk",
     # long-green canaries, one per major family (rotating members that sat
     # out the round-4 window)
     "agg_tpch_q1",

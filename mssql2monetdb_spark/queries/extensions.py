@@ -636,6 +636,22 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivfadc_topk",
+    oracle=similarity.topk_ivf_adc_sql("embeddings", ANN_QUERY_IDS)
+    + " ORDER BY query_id, rnk",
+)
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the FAISS-style composition production ANN deploys
+    (operators/similarity.py topk_ivf_adc): coarse IVF cell probe prunes
+    the corpus to ~1/K, then PQ asymmetric-distance ranks the probed
+    candidates over their compressed codes; original vectors are touched
+    only at index-build time. Completes the ANN ladder: brute -> LSH ->
+    IVF -> PQ-ADC -> IVF+ADC composed."""
+    t = Tables(spark, sf_dir)
+    return similarity.topk_ivf_adc(t.embeddings, ANN_QUERY_IDS)
+
+
+@query(
     "events_sessionize",
     oracle="SELECT * FROM ("
     + events_ops.sessionize_sql("events")

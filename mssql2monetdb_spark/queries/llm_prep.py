@@ -283,6 +283,24 @@ def quality_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking.unigram_rarity(t.documents).orderBy("doc_id")
 
 
+# Thresholds 29.5/30.5 split the sf0.01 fixture 215 head / 190 middle /
+# 95 tail (measured) — all three buckets carry real rows.
+@query(
+    "quality_lm_bigram",
+    oracle=ranking.bigram_conditional_rarity_sql("documents") + " ORDER BY doc_id",
+)
+def quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality partition — the CONDITIONAL upgrade of
+    quality_unigram_rarity: per-token surprisal surrogate is the integer
+    inverse of P(w_i | w_{i-1}) (count(w1 *) // count(w1 w2)), so fluent
+    common-word text scores head while bag-of-common-words spam (which
+    unigram scoring cannot distinguish) falls to tail. All-BIGINT until
+    one final division; two map-side-combined count passes + two keyed
+    joins, nothing pairwise (operators/ranking.py)."""
+    t = Tables(spark, sf_dir)
+    return ranking.bigram_conditional_rarity(t.documents).orderBy("doc_id")
+
+
 # df_cap=20 against the sf0.01 fixture's 916 distinct bigrams (df 1..46)
 # materializes 80 posting lists and leaves 836 df-only rows — both tiers
 # of the index carry real rows.

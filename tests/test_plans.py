@@ -410,3 +410,22 @@ def test_bpe_merge_broadcasts_pair_and_takes_topk(spark):
     plan = plan_of(spark, "vocab_bpe_merge_apply")
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lm_bigram_is_keyed_joins_no_pairwise(spark):
+    """Bigram quality scoring: two map-side-combined count aggregates and
+    keyed joins back — no cartesian, no broadcast of the corpus itself."""
+    plan = plan_of(spark, "quality_lm_bigram")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivfadc_probes_broadcast_and_never_cartesian_on_corpus(spark):
+    """IVFADC: centroid/LUT/probe-cell relations broadcast (BNL-Cross
+    against K-row relations is the intended plan); the corpus-side joins
+    (assignments x probe cells, codes x candidates) are hash joins."""
+    plan = plan_of(spark, "ann_ivfadc_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
