@@ -1200,3 +1200,85 @@ def write_jsonl_shards(
         .partitionBy("shard")
         .text(out_dir)
     )
+
+
+CHUNK_SIZE = 32  # tokens per overlapping chunk
+CHUNK_STRIDE = 24  # tokens between consecutive chunk starts (overlap = 8)
+
+
+def chunk_overlap(
+    docs: DataFrame,
+    *,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlapping stride
+    — the context-window / RAG chunking prep step (each chunk carries
+    ``size`` tokens, consecutive chunks share ``size - stride``).
+
+    Returns ``(doc_id, chunk_id, n_tokens, chunk_text)``; every document
+    yields at least one chunk (a short doc is its own single chunk), and
+    the final chunk may run short rather than padding past the end.
+
+    Scale shape: entirely map-side — tokenize, compute the start count in
+    exact integer arithmetic, explode a per-doc ``sequence``, slice. No
+    join, no aggregate, no window; the only exchange in the plan is the
+    rangepartitioning for the result's ORDER BY contract, so the operator
+    is embarrassingly parallel at any corpus size. The start-count
+    division ``(dl - size + stride - 1) / stride`` keeps both operands
+    positive (guarded by the ``dl <= size`` branch), so floor == truncate
+    and Spark's FLOOR matches DuckDB's ``//`` exactly.
+    """
+    toks = text.tokens(F.col(text_col))
+    d = parallelized(docs).select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"), F.size(toks).alias("dl")
+    )
+    n_starts = F.when(F.col("dl") <= size, F.lit(1)).otherwise(
+        (F.lit(1) + F.floor((F.col("dl") - size + stride - 1) / stride)).cast("int")
+    )
+    e = d.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_starts - F.lit(1))).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("toks"), (F.col("chunk_id") * stride + 1).cast("int"), size)
+    return e.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def chunk_overlap_sql(
+    table: str,
+    *,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB query matching :func:`chunk_overlap`."""
+    tok = text.tokens_sql(text_expr)
+    return f"""
+        WITH base AS (
+            SELECT {id_expr} AS doc_id, {tok} AS toks, len({tok}) AS dl
+            FROM {table}
+        ), starts AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0,
+                       CASE WHEN dl <= {size} THEN 0
+                            ELSE (dl - {size} + {stride} - 1) // {stride} END)) AS chunk_id
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS INTEGER) AS chunk_id,
+               CAST(len(list_slice(toks, chunk_id * {stride} + 1,
+                                   chunk_id * {stride} + {size})) AS INTEGER) AS n_tokens,
+               array_to_string(list_slice(toks, chunk_id * {stride} + 1,
+                                          chunk_id * {stride} + {size}), ' ') AS chunk_text
+        FROM starts
+        ORDER BY doc_id, chunk_id
+    """

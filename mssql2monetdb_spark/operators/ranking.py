@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import parallelized
 from ..functions import text
@@ -742,4 +743,109 @@ def bpe_apply_first_merge_sql(table: str, *, k: int = 20, text_expr: str = "text
         SELECT pair, CAST(SUM(tok_n) AS BIGINT) AS n_occurrences
         FROM pairs1 GROUP BY pair
         ORDER BY n_occurrences DESC, pair LIMIT {k}
+    """
+
+
+TFIDF_TOP_TERMS = 3  # keyword terms kept per document
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    k: int = TFIDF_TOP_TERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by rational-idf TF-IDF —
+    the classic keyword-extraction signal (and the per-doc counterpart of
+    :func:`bm25_scores`, which scores docs for a *fixed* query bag; here
+    every corpus term is scored and ranked per doc).
+
+    Determinism follows the module convention: idf is the *rational* BM25
+    form ``(N - df + 0.5) / (df + 0.5)`` (no libm log — +,-,*,/ are
+    IEEE-exact-rounded and bit-identical across the JVM and DuckDB), and
+    rank ties break by term ASC.
+
+    Scale shape: ONE exploded pass builds the map-side-combined
+    (doc_id, term) counts (the only corpus-sized shuffle), cached so the
+    tf consumer and the df reduction share it instead of re-scanning;
+    document frequency reduces it to a vocabulary-sized (term, df) table
+    that BROADCASTS (natural-language vocabularies are ~1e7 rows / tens
+    of MB even at 100 TB; if a tokenizer-free corpus overflows the
+    broadcast ceiling, drop the hint and this becomes a keyed shuffle
+    join — same result); the corpus doc count is a plain un-exploded
+    row count (doc_id is the table key, and tokenization never yields an
+    empty array, so COUNT(*) == COUNT(DISTINCT doc_id) over the exploded
+    relation — the cheap form is semantically identical) riding a 1-row
+    broadcast; and the per-doc top-k is a doc_id-keyed window
+    (WindowGroupLimit prunes to k per group map-side; no global sort
+    before the final ORDER BY contract).
+    """
+    tok = text.tokens(F.col(text_col))
+    d = parallelized(docs)
+    per_dt = (
+        d.select(F.col(id_col).alias("doc_id"), F.explode(tok).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .cache()
+    )
+    df_rel = per_dt.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    stats = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = (F.col("n_docs") - F.col("df").cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    scored = (
+        per_dt.join(F.broadcast(df_rel), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") * idf).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("doc_id", "rank")
+    )
+
+
+def tfidf_top_terms_sql(
+    table: str,
+    *,
+    k: int = TFIDF_TOP_TERMS,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB query matching :func:`tfidf_top_terms` term-for-term."""
+    tok = text.tokens_sql(text_expr)
+    return f"""
+        WITH toks AS (
+            SELECT {id_expr} AS doc_id, unnest({tok}) AS term FROM {table}
+        ), per_dt AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, term
+        ), df_rel AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM per_dt GROUP BY term
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM {table}
+        ), scored AS (
+            SELECT p.doc_id, p.term, p.tf, d.df,
+                   CAST(p.tf AS DOUBLE)
+                   * ((s.n_docs - CAST(d.df AS DOUBLE) + 0.5)
+                      / (CAST(d.df AS DOUBLE) + 0.5)) AS tfidf
+            FROM per_dt p JOIN df_rel d USING (term) CROSS JOIN stats s
+        )
+        SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term
+            ) AS rank
+            FROM scored
+        )
+        WHERE rank <= {k}
+        ORDER BY doc_id, rank
     """

@@ -123,6 +123,8 @@ NEXT_WINDOW_QUEUE = [
     # round-4 additions (within the <=5 budget), locally conformant
     "quality_lm_bigram",
     "ann_ivfadc_topk",
+    "text_tfidf_topk",
+    "prep_chunk_overlap",
     # long-green canaries, one per major family (rotating members that sat
     # out the round-4 window)
     "agg_tpch_q1",

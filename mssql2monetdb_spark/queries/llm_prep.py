@@ -857,3 +857,36 @@ def vocab_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Companion to vocab_bpe_pair_counts (which stops at the counts)."""
     t = Tables(spark, sf_dir)
     return ranking.bpe_apply_first_merge(t.documents)
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=ranking.tfidf_top_terms_sql("documents"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by rational-idf TF-IDF
+    (operators/ranking.py:tfidf_top_terms) — keyword extraction over the
+    whole vocabulary, the per-doc counterpart of rank_bm25_terms' fixed
+    query bag. One corpus-sized (doc, term) count shuffle; document
+    frequency and the doc-count scalar both broadcast; per-doc top-k is a
+    WindowGroupLimit-pruned window, never a global sort. Round-4
+    addition, registered behind the window; NEXT_WINDOW_QUEUE slot for
+    the round-5 gate."""
+    t = Tables(spark, sf_dir)
+    return ranking.tfidf_top_terms(t.documents)
+
+
+@query(
+    "prep_chunk_overlap",
+    oracle=corpus_prep.chunk_overlap_sql("documents"),
+)
+def prep_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunking (32-token chunks, stride 24)
+    — the context-window / RAG prep step
+    (operators/corpus_prep.py:chunk_overlap). Entirely map-side (explode
+    of a per-doc integer sequence + slice): the only exchange is the
+    result's ORDER BY contract, so the operator scales embarrassingly.
+    Round-4 addition, registered behind the window; NEXT_WINDOW_QUEUE
+    slot for the round-5 gate."""
+    t = Tables(spark, sf_dir)
+    return corpus_prep.chunk_overlap(t.documents)

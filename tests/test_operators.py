@@ -1128,3 +1128,72 @@ def test_pq_codebook_lloyd_refinement_reduces_error(spark, sf_dir):
     assert two <= one * (1 + 1e-12)
     # and refinement genuinely moves the objective on this data
     assert one < seeded
+
+
+def test_chunk_overlap_short_doc_is_single_chunk(spark):
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    rows = [
+        (1, "only three tokens"),  # < size
+        (2, " ".join(f"w{i}" for i in range(32))),  # exactly size
+        (3, ""),  # empty text -> [''] token -> one chunk of ''
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus_prep.chunk_overlap(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert {len(v) for v in by_doc.values()} == {1}
+    assert by_doc[1][0]["chunk_text"] == "only three tokens"
+    assert by_doc[1][0]["n_tokens"] == 3
+    assert by_doc[2][0]["n_tokens"] == 32
+    assert by_doc[3][0]["chunk_text"] == "" and by_doc[3][0]["n_tokens"] == 1
+
+
+def test_chunk_overlap_covers_every_token_with_expected_overlap(spark):
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    n, size, stride = 100, 32, 24
+    toks = [f"t{i:03d}" for i in range(n)]
+    docs = spark.createDataFrame([(7, " ".join(toks))], "doc_id long, text string")
+    out = sorted(
+        corpus_prep.chunk_overlap(docs, size=size, stride=stride).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # chunk count: 1 + ceil((100 - 32) / 24) = 1 + 3 = 4
+    assert [r["chunk_id"] for r in out] == [0, 1, 2, 3]
+    seen = []
+    for r in out:
+        piece = r["chunk_text"].split(" ")
+        assert piece == toks[r["chunk_id"] * stride : r["chunk_id"] * stride + size]
+        assert r["n_tokens"] == len(piece)
+        seen.extend(piece)
+    # every token covered; consecutive full chunks overlap by size - stride
+    assert set(seen) == set(toks)
+    assert out[0]["chunk_text"].split(" ")[stride:] == out[1]["chunk_text"].split(" ")[: size - stride]
+
+
+def test_tfidf_ranks_distinctive_term_above_ubiquitous(spark):
+    from mssql2monetdb_spark.operators import ranking
+
+    # 'common' appears in all 4 docs; 'zebra' only in doc 0. Within doc 0
+    # both have tf=2, so idf must decide — zebra outranks common.
+    rows = [
+        (0, "zebra common zebra common filler0"),
+        (1, "common common filler1 filler1b x1"),
+        (2, "common filler2 y2 y2b y2c"),
+        (3, "common filler3 z3 z3b z3c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ranking.tfidf_top_terms(docs, k=3).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], {})[r["term"]] = r
+    assert all(len(v) <= 3 for v in per_doc.values())
+    d0 = per_doc[0]
+    assert "zebra" in d0
+    assert d0["zebra"]["df"] == 1 and d0["zebra"]["tf"] == 2
+    assert d0["zebra"]["rank"] < d0.get("common", d0["zebra"])["rank"] or "common" not in d0
+    # ranks are 1..k dense per doc
+    for v in per_doc.values():
+        assert sorted(r["rank"] for r in v.values()) == list(range(1, len(v) + 1))

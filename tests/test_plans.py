@@ -429,3 +429,27 @@ def test_ivfadc_probes_broadcast_and_never_cartesian_on_corpus(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_broadcasts_stats_and_prunes_topk(spark):
+    """TF-IDF keyword extraction: the (doc, term) relation is cached and
+    shared by the tf and df consumers (one exploded pass over the corpus,
+    not three), the vocabulary-sized df relation and the 1-row doc count
+    both broadcast, and the per-doc top-k is WindowGroupLimit-pruned —
+    never a global sort over the scored relation."""
+    plan = plan_of(spark, "text_tfidf_topk")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # shared exploded relation
+    assert "BroadcastHashJoin" in plan  # (term, df) rides a broadcast
+    assert "WindowGroupLimit" in plan  # top-k pruned map-side
+
+
+def test_chunk_overlap_is_map_only_plus_order_contract(spark):
+    """Overlapping chunking must stay embarrassingly parallel: no join,
+    no aggregate, no window — the only exchange in the plan is the
+    rangepartitioning for the result's ORDER BY contract."""
+    plan = plan_of(spark, "prep_chunk_overlap")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "HashAggregate", "windowspecdefinition"):
+        assert op not in plan, op
