@@ -264,3 +264,32 @@ def test_reference_env_interpolation_total(var, default, other):
     assert interpolate_reference_env(f"ENV:{var}", {}) == ""
     got = interpolate_reference_env(f"pre-{{env:{var}}}-post", {var: other})
     assert got == f"pre-{other}-post"
+
+
+@settings(max_examples=200)
+@given(
+    st.integers(min_value=1, max_value=100_000),  # dl: token count
+    st.integers(min_value=1, max_value=512),  # size
+    st.integers(min_value=1, max_value=512),  # stride (clamped <= size)
+)
+def test_chunk_overlap_start_formula_covers_exactly(dl, size, stride):
+    """The integer start-count formula shared by chunk_overlap and its
+    DuckDB oracle — ``1 + floor((dl - size + stride - 1) / stride)`` when
+    dl > size, else 1 — yields starts that (a) cover every token index,
+    (b) are minimal (dropping the last chunk uncovers the tail), and
+    (c) keep both division operands positive so FLOOR == truncate ==
+    DuckDB ``//``."""
+    stride = min(stride, size)
+    if dl <= size:
+        n_starts = 1
+    else:
+        assert dl - size + stride - 1 > 0  # positive operands guarantee
+        n_starts = 1 + (dl - size + stride - 1) // stride
+    starts = [i * stride + 1 for i in range(n_starts)]  # 1-based
+    # coverage: the last chunk reaches the final token
+    assert starts[-1] + size - 1 >= dl
+    # minimality: one fewer chunk would leave the tail uncovered
+    if n_starts > 1:
+        assert starts[-2] + size - 1 < dl
+    # every chunk is non-empty (its start is inside the document)
+    assert all(s <= dl for s in starts)
