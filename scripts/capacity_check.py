@@ -67,6 +67,12 @@ QUERIES = [
     "dedup_ngram_jaccard",
     "ann_ivf_topk",
     "dedup_chunk_substring",
+    # round-4 additions: the affine salting gives each replica a DISJOINT
+    # vocabulary, so factor-N grows the tfidf broadcast df relation ~N x —
+    # the worst case for its broadcast decision (real corpora grow vocab
+    # sub-linearly). chunk_overlap is the map-only control.
+    "text_tfidf_topk",
+    "prep_chunk_overlap",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
@@ -320,14 +326,19 @@ def main() -> int:
     if "--rebuild" in sys.argv or not os.path.isdir(big_dir):
         build_sf1(spark, out_dir=big_dir, factor=factor)
 
+    queries = QUERIES
+    if "--only" in sys.argv:  # comma-separated subset, e.g. re-measuring one
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        queries = [n for n in QUERIES if n in only]
+
     # warmup at the smallest SF so codegen isn't billed to the first run
-    for name in QUERIES:
+    for name in queries:
         REGISTRY[name].build(spark, "/root/testdata/sf0.01").write.mode(
             "overwrite"
         ).format("noop").save()
 
     report = {"factor": factor}
-    for name in QUERIES:
+    for name in queries:
         small = run_one(spark, name, SF01)
         big = run_one(spark, name, big_dir)
         exponent = math.log(big["wall_sec"] / small["wall_sec"]) / math.log(factor)
