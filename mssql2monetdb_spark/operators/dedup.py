@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import parallelized
 from ..functions import hashing, text
@@ -568,4 +569,103 @@ def keep_best_in_cluster(
             F.col("b.doc_id").alias("survivor_id"),
             (-F.col("b.negq")).cast("bigint").alias("survivor_quality"),
         )
+    )
+
+
+SETSIM_T_NUM = 4  # exact-rational Jaccard threshold 4/5 = 0.8 — integer
+SETSIM_T_DEN = 5  # arithmetic end-to-end, so both engines agree bit-for-bit
+
+
+def setsim_prefix_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    t_num: int = SETSIM_T_NUM,
+    t_den: int = SETSIM_T_DEN,
+) -> DataFrame:
+    """EXACT set-similarity self-join on distinct word-shingle sets via
+    prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+    Search") — the no-false-negative counterpart of the probabilistic
+    MinHash-LSH and the df-capped n-gram blocking: every pair with
+    shingle-set Jaccard >= t_num/t_den is guaranteed to surface. With the
+    default 3-gram/0.8 parameters this is the exact reference for
+    minhash_lsh_pairs (same set basis, same threshold): its output is a
+    certified superset of what any banding scheme can find. (Unigram
+    token sets would degenerate on the synthetic fixture — its vocabulary
+    is 31 words, so nearly all token-set pairs exceed 0.8; shingles keep
+    the join selective there and everywhere real.)
+
+    Tokens are globally ordered rarest-first (document frequency ASC, hash
+    ASC — a deterministic total order); each document keeps only its first
+    ``sz - ceil(t*sz) + 1`` tokens as its prefix, and the classical
+    theorem guarantees any qualifying pair shares a *prefix* token, so the
+    candidate join touches prefixes only. The threshold is a RATIONAL
+    (t_num/t_den): the prefix ceiling is computed as the integer
+    ``floor((t_num*sz + t_den - 1) / t_den)`` and the final filter as
+    ``t_den*inter >= t_num*union`` — no float threshold anywhere, so a
+    last-ulp 0.8*sz could never shrink a prefix below the sound bound.
+
+    Scale shape: one corpus shuffle into cached per-doc sorted hash sets;
+    document frequencies reduce to a vocabulary-sized broadcast; the
+    per-doc prefix rank window runs on the groupBy(id) partitioning
+    (no extra exchange); candidates join on prefix-token keys with the
+    size filter ``t*a <= b <= a/t`` applied IN the join (a qualifying
+    pair implication, pruning before the distinct); verification is the
+    same candidate-driven array_intersect used by minhash/ngram. Prefix
+    pruning removes the frequent-token candidate blowup by construction:
+    a stopword shared by every document ranks LAST in the global order
+    and never enters any prefix unless the math requires it.
+
+    Token identity is the 60-bit md5 hash (collision-negligible at corpus
+    scale); the oracle intersects raw token strings, so a real collision
+    would surface as a verdict mismatch rather than hide.
+    """
+    rows = shingle_rows(docs, text_col, id_col, shingle_n, distinct=False)
+    sets = (
+        rows.groupBy("id")
+        .agg(F.sort_array(F.collect_set("h64")).alias("hs"))
+        .withColumn("sz", F.size("hs"))
+        .cache()
+    )
+    expl = sets.select("id", "sz", F.explode("hs").alias("sh"))
+    df_rel = expl.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))
+    ranked = expl.join(F.broadcast(df_rel), "sh")
+    win = Window.partitionBy("id").orderBy("df_count", "sh")
+    ceil_t_sz = F.floor(
+        (F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den)
+    ).cast("int")
+    p = F.col("sz") - ceil_t_sz + F.lit(1)
+    prefix = (
+        ranked.withColumn("r", F.row_number().over(win))
+        .filter(F.col("r") <= p)
+        .select("id", "sz", "sh")
+    )
+    la = prefix.select(F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"), "sh")
+    lb = prefix.select(F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"), "sh")
+    candidates = (
+        la.join(lb, "sh")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.lit(t_num) * F.col("sz_a") <= F.lit(t_den) * F.col("sz_b"))
+            & (F.lit(t_num) * F.col("sz_b") <= F.lit(t_den) * F.col("sz_a"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.lit(t_den) * inter >= F.lit(t_num) * union)
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

@@ -113,8 +113,9 @@ GATE_PRIORITY = [
     # every round regardless, and all three are green-on-record r1-r3,
     # while these three have never held a driver verdict. All are
     # locally conformant at sf0.001, sf0.01 (drive_entry) and sf0.1.
-    # A green gate leaves prep_chunk_overlap as the only query in the
-    # registry without a driver verdict (189/190).
+    # A green gate leaves prep_chunk_overlap and dedup_setsim_exact as
+    # the only queries in the registry without a driver verdict
+    # (189/191).
     "quality_lm_bigram",
     "ann_ivfadc_topk",
     "text_tfidf_topk",
@@ -122,17 +123,18 @@ GATE_PRIORITY = [
 
 GATE_WINDOW = 50
 
-# ROUND-5 PLAN — with the rollovers AND three of the four round-4
+# ROUND-5 PLAN — with the rollovers AND three of the five round-4
 # additions promoted into this window, CORRECTNESS_r04 green leaves
-# exactly ONE registry query without a driver verdict
-# (prep_chunk_overlap, first slot below). Round 5 becomes that single
-# close-out plus canary rotation (plus re-verifies for anything round 5
-# changes). Registry growth stays frozen (round-3 VERDICT item 3):
-# additions must be appended here as they land.
+# exactly TWO registry queries without a driver verdict
+# (prep_chunk_overlap and dedup_setsim_exact, first slots below). Round
+# 5 becomes that close-out plus canary rotation (plus re-verifies for
+# anything round 5 changes). Registry growth stays frozen (round-3
+# VERDICT item 3): additions must be appended here as they land.
 NEXT_WINDOW_QUEUE = [
-    # the last never-verified round-4 addition (locally conformant at
+    # the last never-verified round-4 additions (locally conformant at
     # sf0.001 / sf0.01 drive_entry / sf0.1)
     "prep_chunk_overlap",
+    "dedup_setsim_exact",
     # long-green canaries, one per major family (rotating members that sat
     # out the round-4 window)
     "agg_tpch_q1",

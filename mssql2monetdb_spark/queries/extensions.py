@@ -1695,3 +1695,53 @@ def sample_semantic_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bkey")
     )
+
+
+def _setsim_exact_naive_oracle(shingle_n: int, t_num: int, t_den: int) -> str:
+    """NAIVE ground truth — deliberately algorithm-independent (no prefix
+    filter, no df cap, no size heuristic), so a prefix-filter bug on the
+    Spark side cannot be mirrored into the oracle. Pairs sharing zero
+    shingles can't reach any positive threshold, so the exploded
+    equi-join enumeration is complete.
+    """
+    tok = text.tokens_sql("text")
+    sh = text.word_shingles_sql("tok", shingle_n)
+    jac = "CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter)"
+    return f"""
+    WITH tokenized AS (
+        SELECT doc_id AS id, {tok} AS tok FROM documents
+    ), base AS (
+        SELECT id, {sh} AS shingles FROM tokenized
+    ), expl AS (
+        SELECT DISTINCT id, unnest(shingles) AS w
+        FROM base WHERE len(shingles) > 0
+    ), sz AS (
+        SELECT id, COUNT(*) AS sz FROM expl GROUP BY id
+    ), i AS (
+        SELECT ea.id AS doc_a, eb.id AS doc_b, COUNT(*) AS n_inter
+        FROM expl ea JOIN expl eb ON ea.w = eb.w AND ea.id < eb.id
+        GROUP BY ea.id, eb.id
+    )
+    SELECT i.doc_a, i.doc_b, {jac} AS jaccard
+    FROM i JOIN sz sa ON sa.id = i.doc_a JOIN sz sb ON sb.id = i.doc_b
+    WHERE {t_den} * i.n_inter >= {t_num} * (sa.sz + sb.sz - i.n_inter)
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query(
+    "dedup_setsim_exact",
+    oracle=_setsim_exact_naive_oracle(3, dedup.SETSIM_T_NUM, dedup.SETSIM_T_DEN),
+)
+def dedup_setsim_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (word-trigram-set Jaccard >= 4/5)
+    via prefix filtering (operators/dedup.py:setsim_prefix_pairs) — the
+    no-false-negative rung of the dedup ladder, and the exact reference
+    for minhash_lsh_pairs (same 3-gram basis, same 0.8 threshold): its
+    output certifies what any banding scheme may miss. The oracle is the
+    naive ground truth, so the driver verdict certifies the prefix
+    filter's completeness, not just self-consistency. Round-4 addition
+    (5/5 of the growth budget), registered behind the window;
+    NEXT_WINDOW_QUEUE slot for the round-5 gate."""
+    t = Tables(spark, sf_dir)
+    return dedup.setsim_prefix_pairs(t.documents)

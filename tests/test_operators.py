@@ -1197,3 +1197,23 @@ def test_tfidf_ranks_distinctive_term_above_ubiquitous(spark):
     # ranks are 1..k dense per doc
     for v in per_doc.values():
         assert sorted(r["rank"] for r in v.values()) == list(range(1, len(v) + 1))
+
+
+def test_setsim_exact_contains_every_minhash_pair(spark):
+    """Recall certification: minhash_lsh_pairs verifies exact Jaccard on
+    its LSH candidates, so every pair it reports truly clears 0.8 — the
+    prefix-filter join (no false negatives by theorem) must contain all
+    of them. The exact join is what certifies what banding missed."""
+    from mssql2monetdb_spark.operators import dedup as _d
+
+    docs = load_table(spark, SF, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in _d.setsim_prefix_pairs(docs).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"]) for r in _d.minhash_lsh_pairs(docs, shingle_n=3, threshold=0.8).collect()
+    }
+    assert exact, "fixture must yield qualifying pairs"
+    assert approx <= set(exact)
+    assert all(j >= 0.8 for j in exact.values())

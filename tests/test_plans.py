@@ -453,3 +453,15 @@ def test_chunk_overlap_is_map_only_plus_order_contract(spark):
     assert "rangepartitioning" in plan
     for op in ("SortMergeJoin", "BroadcastHashJoin", "HashAggregate", "windowspecdefinition"):
         assert op not in plan, op
+
+
+def test_setsim_prefix_broadcasts_df_and_windows_on_id(spark):
+    """Exact set-similarity join: the document-frequency relation rides a
+    broadcast into the global token ordering, the prefix-rank window
+    partitions by id (never a global window), and no plan node is a
+    cartesian — candidates come only from the prefix-token equi-join."""
+    plan = plan_of(spark, "dedup_setsim_exact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert wins and all("id#" in l for l in wins), wins
