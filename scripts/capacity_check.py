@@ -73,6 +73,9 @@ QUERIES = [
     # sub-linearly). chunk_overlap is the map-only control.
     "text_tfidf_topk",
     "prep_chunk_overlap",
+    # exact prefix-filter join: candidates only within a replica (salted
+    # shingle spaces are disjoint), so factor-N scales organic density Nx
+    "dedup_setsim_exact",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
