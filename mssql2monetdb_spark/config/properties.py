@@ -69,8 +69,12 @@ def interpolate_reference_env(value: str, env: dict[str, str]) -> str:
         var = parts[1] if len(parts) >= 2 else ""
         default = parts[2] if len(parts) >= 3 else ""
         return _env_value(var, default, env)
+    # the reference keeps only refParts[2] as the default, so an embedded
+    # default truncates at the next ':' exactly like the whole-value form
+    # (CopyToolConfig.java:281-357 splits on ':' and reads split[2])
     return _EMBED_RE.sub(
-        lambda m: _env_value(m.group(1), m.group(2) or "", env), value
+        lambda m: _env_value(m.group(1), (m.group(2) or "").split(":")[0], env),
+        value,
     )
 
 
@@ -79,22 +83,39 @@ def parse_properties(text: str) -> dict[str, str]:
     ``:`` separators, trimmed keys/values, backslash line continuation.
     Lines break ONLY on \\n / \\r (like java.util.Properties) — not on the
     form-feed/unicode separators Python's splitlines() also honors, which
-    would corrupt values containing them."""
+    would corrupt values containing them.
+
+    java.util.Properties semantics honored here: the key ends at the FIRST
+    separator in the line (so ``a.query: SELECT ... WHERE x=1`` keeps the
+    ``=`` inside the value); a line continues only on an ODD number of
+    trailing backslashes (``\\\\`` is an escaped literal backslash, not a
+    continuation); a dangling continuation at EOF still yields its logical
+    line. Out of scope (documented divergence): escape-sequence *decoding*
+    (``\\n``/``\\uXXXX``/``\\\\`` are kept literally) and whitespace-only
+    key/value separation."""
     props: dict[str, str] = {}
+
+    def emit(line: str) -> None:
+        if not line or line.startswith(("#", "!")):
+            return
+        seps = [i for i in (line.find("="), line.find(":")) if i > 0]
+        if seps:
+            idx = min(seps)
+            props[line[:idx].strip()] = line[idx + 1 :].strip()
+
     pending = ""
     for raw_line in re.split(r"\r\n|\r|\n", text):
-        line = pending + raw_line.strip()
+        stripped = raw_line.strip()
+        if not pending and (not stripped or stripped.startswith(("#", "!"))):
+            continue  # comments/blanks never open a continuation
+        line = pending + stripped
         pending = ""
-        if not line or line.startswith(("#", "!")):
-            continue
-        if line.endswith("\\"):
+        n_backslashes = len(line) - len(line.rstrip("\\"))
+        if n_backslashes % 2 == 1:
             pending = line[:-1]
             continue
-        for sep in ("=", ":"):
-            idx = line.find(sep)
-            if idx > 0:
-                props[line[:idx].strip()] = line[idx + 1 :].strip()
-                break
+        emit(line)
+    emit(pending)  # dangling continuation at EOF is still a logical line
     return props
 
 
@@ -297,11 +318,23 @@ def load_properties_spec(
     and any edit (key added, value changed) changes it, which is what
     invalidates persisted watermark state (``CopyToolConfig.java:1088-1112``).
     """
-    if "\n" in path_or_text or "=" in path_or_text:
+    import os
+
+    # A newline is the one safe "this is literal text" marker; '=' is not —
+    # a config *path* may legally contain it (/configs/env=prod/c.properties).
+    # Single-line input is a path if it exists on disk, else literal text
+    # (a one-line literal like "table.t.from = x" never collides with a real
+    # file, and a missing path then fails in load_spec with the offending
+    # string visible rather than a bare FileNotFoundError).
+    if "\n" in path_or_text or "\r" in path_or_text:
         text = path_or_text
-    else:
+    elif os.path.exists(path_or_text):
         with open(path_or_text) as fh:
             text = fh.read()
+    elif "=" in path_or_text or ":" in path_or_text:
+        text = path_or_text  # one-line literal like "table.t.from = x"
+    else:
+        raise FileNotFoundError(f"properties file not found: {path_or_text!r}")
     props = parse_properties(text)
     spec_dict = properties_to_spec_dict(
         props, warehouse_dir=warehouse_dir, env=env, query_loader=query_loader

@@ -249,6 +249,66 @@ def test_properties_parser_handles_separators_comments_continuation():
     }
 
 
+def test_properties_key_ends_at_first_separator():
+    """java.util.Properties terminates the key at the FIRST separator, so a
+    ':'-separated value keeps any '=' it contains (round-4 ADVICE: the old
+    '=-first' search silently corrupted queries and JDBC URLs)."""
+    props = parse_properties(
+        "table.t.from.query: SELECT * FROM x WHERE a=1\n"
+        "url: jdbc:postgresql://h/db?user=u&password=p=q\n"
+        "eq.first = a:b=c\n"
+    )
+    assert props["table.t.from.query"] == "SELECT * FROM x WHERE a=1"
+    assert props["url"] == "jdbc:postgresql://h/db?user=u&password=p=q"
+    assert props["eq.first"] == "a:b=c"  # '=' earlier than ':' -> '=' wins
+
+
+def test_properties_continuation_eof_and_escaped_backslash():
+    # dangling continuation at EOF still yields its logical line
+    assert parse_properties("a = 1,\\\nb,\\") == {"a": "1,b,"}
+    # even trailing backslashes = escaped literal, NOT a continuation
+    assert parse_properties("p = C:\\\\\nq = 2") == {"p": "C:\\\\", "q": "2"}
+    # odd (3) trailing backslashes: one pair literal + one continuation
+    assert parse_properties("r = x\\\\\\\ny = tail") == {"r": "x\\\\y = tail"}
+    # a comment line never opens a continuation
+    assert parse_properties("# c \\\nk = v") == {"k": "v"}
+
+
+def test_embedded_env_default_truncates_at_colon_like_reference():
+    """CopyToolConfig.getEnvironmentValue keeps only refParts[2], so
+    '{env:VAR:a:b}' defaults to 'a' — both interpolation forms agree."""
+    assert interpolate_reference_env("{env:NOPE:a:b}", {}) == "a"
+    assert interpolate_reference_env("ENV:NOPE:a:b", {}) == "a"
+
+
+def test_load_spec_path_containing_equals_is_opened(tmp_path):
+    cfg_dir = tmp_path / "env=prod"
+    cfg_dir.mkdir()
+    cfg = cfg_dir / "config.properties"
+    cfg.write_text(
+        "derby.src.server = unused\nderby.src.database = unused\n"
+        "table.t.source = src\ntable.t.from = region\ntable.t.to = region_copy\n"
+    )
+    # the round-4 ADVICE bug: '=' in the *path* made the filename itself get
+    # parsed as properties text; os.path.exists now disambiguates
+    import mssql2monetdb_spark.config.properties as props_mod
+
+    old = dict(props_mod.DIALECTS)
+    props_mod.DIALECTS.setdefault(
+        "derby",
+        {"url": "jdbc:derby:{server}", "port": 0, "driver": "x"},
+    )
+    try:
+        spec = load_properties_spec(str(cfg), warehouse_dir="/tmp/wh", env={})
+        assert "t" in spec.jobs
+    finally:
+        props_mod.DIALECTS.clear()
+        props_mod.DIALECTS.update(old)
+    with pytest.raises(FileNotFoundError):
+        # separator-free missing path -> clear error, not a silent parse
+        load_properties_spec(str(tmp_path / "missing_properties"), warehouse_dir="/tmp/wh")
+
+
 # --- dialect option-builder coverage (SourceDatabase.java:33-78,
 # SourceDatabaseType.java:8-55): a reference user's mssql/postgresql config
 # block must produce exactly the JDBC options Spark needs — URL, driver
