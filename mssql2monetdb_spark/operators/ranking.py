@@ -749,12 +749,21 @@ def bpe_apply_first_merge_sql(table: str, *, k: int = 20, text_expr: str = "text
 TFIDF_TOP_TERMS = 3  # keyword terms kept per document
 
 
+#: vocabulary-cardinality ceiling for broadcasting the (term, df) relation.
+#: Natural-language vocabularies sit well under this even at 100 TB (~1e7
+#: distinct terms is tens of MB); a tokenizer-free / high-entropy corpus can
+#: blow past it, and broadcasting such a relation would OOM the driver — the
+#: guard measures instead of assuming.
+TFIDF_BROADCAST_MAX_TERMS = 10_000_000
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     *,
     k: int = TFIDF_TOP_TERMS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_df_max_terms: int | None = TFIDF_BROADCAST_MAX_TERMS,
 ) -> DataFrame:
     """Top-``k`` characteristic terms per document by rational-idf TF-IDF —
     the classic keyword-extraction signal (and the per-doc counterpart of
@@ -770,10 +779,15 @@ def tfidf_top_terms(
     (doc_id, term) counts (the only corpus-sized shuffle), cached so the
     tf consumer and the df reduction share it instead of re-scanning;
     document frequency reduces it to a vocabulary-sized (term, df) table
-    that BROADCASTS (natural-language vocabularies are ~1e7 rows / tens
-    of MB even at 100 TB; if a tokenizer-free corpus overflows the
-    broadcast ceiling, drop the hint and this becomes a keyed shuffle
-    join — same result); the corpus doc count is a plain un-exploded
+    that BROADCASTS when it fits (natural-language vocabularies are ~1e7
+    rows / tens of MB even at 100 TB) — the choice is MEASURED, not
+    assumed: an ``approx_count_distinct`` probe over the cached exploded
+    relation (one cheap job that also materializes the cache the scoring
+    pass reuses) drops the hint past ``broadcast_df_max_terms`` so a
+    tokenizer-free corpus degrades to a keyed shuffle join on ``term``
+    instead of OOMing the driver (identical output either way; pass
+    ``None`` to skip the probe and let AQE decide); the corpus doc count
+    is a plain un-exploded
     row count (doc_id is the table key, and tokenization never yields an
     empty array, so COUNT(*) == COUNT(DISTINCT doc_id) over the exploded
     relation — the cheap form is semantically identical) riding a 1-row
@@ -790,12 +804,16 @@ def tfidf_top_terms(
         .cache()
     )
     df_rel = per_dt.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    if broadcast_df_max_terms is not None:
+        n_terms = per_dt.agg(F.approx_count_distinct("term").alias("n")).first()["n"]
+        if n_terms <= broadcast_df_max_terms:
+            df_rel = F.broadcast(df_rel)
     stats = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     idf = (F.col("n_docs") - F.col("df").cast("double") + F.lit(0.5)) / (
         F.col("df").cast("double") + F.lit(0.5)
     )
     scored = (
-        per_dt.join(F.broadcast(df_rel), "term")
+        per_dt.join(df_rel, "term")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

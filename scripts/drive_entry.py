@@ -1,7 +1,14 @@
-"""Simulate the driver: vanilla session, driver-contract surface only."""
+"""Simulate the driver: vanilla session, driver-contract surface only.
+
+Usage: drive_entry.py [--only name1,name2,...]   (default: every query)
+"""
 import sys, json
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
+
+only = None
+if "--only" in sys.argv:
+    only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
 
 # vanilla session: NO engine tuning, like an external driver would build
 spark = (SparkSession.builder.appName("driver-sim").master("local[8]")
@@ -30,6 +37,8 @@ sf = "/root/testdata/sf0.01"
 duck = duckdb_connection(sf)
 bad = []
 for name, fn in sorted(qs.items()):
+    if only is not None and name not in only:
+        continue
     sdf = fn(spark, sf)
     spdf = sdf.toPandas()
     if name in osql:

@@ -1199,6 +1199,50 @@ def test_tfidf_ranks_distinctive_term_above_ubiquitous(spark):
         assert sorted(r["rank"] for r in v.values()) == list(range(1, len(v) + 1))
 
 
+def test_tfidf_broadcast_guard_paths_agree(spark):
+    """The adaptive df-broadcast guard (round-4 VERDICT item 4): below the
+    vocabulary-cardinality threshold the (term, df) relation rides a
+    broadcast hint; above it the hint is dropped (keyed shuffle join on
+    term once Spark's own size estimate also rules out broadcast, as it
+    would for a 1e9-term relation). Output is identical either way."""
+    from mssql2monetdb_spark.operators import ranking
+
+    rows = [
+        (0, "zebra common zebra common filler0"),
+        (1, "common common filler1 filler1b x1"),
+        (2, "common filler2 y2 y2b y2c"),
+        (3, "common filler3 z3 z3b z3c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def plan(df):
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    hinted = ranking.tfidf_top_terms(docs, k=3)
+    assert "BroadcastHashJoin" in plan(hinted)
+
+    # above-threshold path: hint dropped; neutralize the planner's own
+    # small-size broadcast (fixture relations are tiny) to expose the
+    # shuffle join a genuinely overflowing vocabulary would get
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        unhinted = ranking.tfidf_top_terms(docs, k=3, broadcast_df_max_terms=0)
+        p = plan(unhinted)
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        a = sorted(map(tuple, hinted.collect()))
+        b = sorted(map(tuple, unhinted.collect()))
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_setsim_exact_contains_every_minhash_pair(spark):
     """Recall certification: minhash_lsh_pairs verifies exact Jaccard on
     its LSH candidates, so every pair it reports truly clears 0.8 — the
