@@ -357,3 +357,122 @@ def transition_matrix_sql(
                    AS p_transition
         FROM pairs
     """
+
+
+SESSION_BUCKET_S = 86400  # coarse pre-bucket for the bounded variant (1 day)
+
+
+def sessionize_bounded(
+    events: DataFrame,
+    *,
+    gap_s: int = SESSION_GAP_S,
+    bucket_s: int = SESSION_BUCKET_S,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Hot-key-bounded sessionization: identical output to
+    :func:`sessionize`, but no task ever sorts a user's ENTIRE history.
+
+    Per-user windows cannot be split by AQE (skew handling applies to
+    joins, not window sorts), so plain sessionization's worst case is one
+    task materializing a hot key's full event stream — the documented
+    cliff once a single user holds >= ~1/cores of the corpus (SCALE.md
+    key-skew probe). This operator is the mitigation SCALE.md promised:
+
+    1. **Time-range pre-bucketing.** Events bucket by
+       ``floor(ts_us / bucket_us)`` and sessionize within ``(user_id,
+       bucket)`` — the only event-sized window keys on a pair whose
+       cardinality grows with the hot user's time span, so the hot key
+       parallelizes across buckets (pick ``bucket_s`` down to ``gap_s``
+       for maximal splitting).
+    2. **Boundary merge.** With ``bucket_s >= gap_s``, events two or
+       more buckets apart are ``> bucket_us >= gap_us`` apart, so only
+       ADJACENT buckets can merge. The per-bucket sessions then
+       chain-merge in one per-user ordered pass: consecutive sessions
+       merge iff ``next.start - prev.end <= gap`` — same-bucket
+       neighbors never re-merge (the in-bucket split already proved
+       their gap exceeds ``gap_s``), adjacent-bucket neighbors merge
+       exactly when plain sessionization would, and a session spanning
+       whole buckets chains through transitively. Sessions within one
+       bucket are ``> gap_s`` apart, so this pass sees at most
+       ``bucket_s/gap_s + 1`` rows per (user, bucket) — per-user window
+       state is O(time-span / gap), INDEPENDENT of event count.
+
+    The chain running-sum is itself the dense per-user session ordinal
+    (first session flags 0, each true split adds 1), so ``session_no``
+    falls out of the merge pass — no extra renumbering window. All
+    comparisons are exact integer epoch-microseconds — bit-identical to
+    :func:`sessionize` and to the DuckDB oracle by construction
+    (property-tested equal on organic + adversarial data).
+    """
+    if bucket_s < gap_s:
+        raise ValueError(
+            f"bucket_s ({bucket_s}) must be >= gap_s ({gap_s}): coarser buckets "
+            "are what confine session merges to adjacent buckets"
+        )
+    gap_us = gap_s * 1_000_000
+    bucket_us = bucket_s * 1_000_000
+
+    e = parallelized(events).select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).alias("ts"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+    )
+    # ts_us can predate the epoch in principle; floor-divide keeps bucket
+    # math correct for negatives (Spark div is floor for pmod-style expr;
+    # use explicit floor via shift-free arithmetic on BIGINT)
+    e = e.withColumn(
+        "bucket",
+        F.floor(F.col("ts_us") / F.lit(bucket_us)).cast("bigint"),
+    )
+
+    # 1. in-bucket sessionization — the only event-sized window, keyed on
+    # (user_id, bucket) so a hot user's history splits across buckets
+    w = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, 1)
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn("local_no", F.sum("new_session").over(run).cast("int"))
+    sess = flagged.groupBy("user_id", "bucket", "local_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+
+    # 2. chain-merge across buckets: one per-user ordered pass over
+    # SESSION rows (disjoint intervals — start_us is unique per user and
+    # at most bucket_s/gap_s + 1 rows exist per bucket). The running sum
+    # of split flags doubles as the dense session ordinal.
+    cw = Window.partitionBy("user_id").orderBy("start_us")
+    crun = cw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        sess.withColumn(
+            "new_chain",
+            F.when(F.col("start_us") - F.lag("end_us").over(cw) > gap_us, 1)
+            .otherwise(0)
+            .cast("int"),
+        )
+        .withColumn("session_no", F.sum("new_chain").over(crun).cast("int"))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            (F.max("end_us") - F.min("start_us")).cast("bigint").alias("duration_us"),
+        )
+        .select(
+            "user_id",
+            "session_no",
+            "session_start",
+            "session_end",
+            "n_events",
+            "duration_us",
+        )
+    )

@@ -23,130 +23,151 @@ from . import streaming_batch  # noqa: E402,F401
 from . import llm_prep  # noqa: E402,F401
 from . import tpch_full  # noqa: E402,F401
 
-# ROTATION — round 4: CORRECTNESS_r03 landed 50/50 green, so every round-3
-# window entry now holds a verdict on record and rotates behind the window
-# (protected by tests/test_registry_hygiene.py: green-on-record + local
-# conformance). This window is the round-3 VERDICT's pre-staged plan
-# verbatim (the former NEXT_WINDOW_QUEUE's first 50): the round-3 deferral
-# (subquery_correlated_min), the 38 never-verified round-3 additions
-# (all five sketches, PQ-ANN, chunk substring dedup, events family, BPE,
-# HOF/map/url function variants, recursive CTE, as-of joins, ...), the six
-# round-3 changed-code re-verifies (fn_pandas_udf, dedup_url_normalized,
-# dedup_semantic_cells, dedup_connected_components, dedup_ngram_jaccard,
-# tpch_q18_large_orders), the two late-round-3 rollovers, and — replacing
-# the three canary slots, per VERDICT item 8's promotion logic — three of
-# the four round-4 additions, so a green gate closes driver coverage to
-# 189/190 this round (every displaced canary is a bench query the driver
-# exercises every round anyway).
+# ROTATION — round 5: CORRECTNESS_r04 landed 50/50 green, taking
+# cumulative driver coverage to 189/191 (every round-4 window entry now
+# holds a verdict on record and rotates behind the window, protected by
+# tests/test_registry_hygiene.py: green-on-record + local conformance).
+# This window is the registry CLOSE-OUT plus the first steady-state
+# canary rotation:
 #
-# Round-4 ADVICE fixes landed BEFORE this window runs, all inside it:
-# sketch_count_min (probe left-join + 0-floor, oracle updated in step),
-# sketch_bloom_membership (all-rows-matched membership, oracle in step),
-# sketch_hll_distinct (oracle 1::BIGINT shift — Spark side unchanged),
-# sketch_quantile_histogram (1e-9 width floor both sides). Outputs at
-# sf0.01 are unchanged by construction (probes are seen+distinct, data is
-# non-constant); local conformance re-run post-fix confirms.
+#   slots 0-1   the only two queries ever registered without a driver
+#               verdict (the last round-4 additions, locally DuckDB-
+#               conformant at sf0.001/sf0.01/sf0.1) — a green gate closes
+#               the registry to 192/192 verified;
+#   slot  2     the round-5 growth-budget addition (events_sessionize_
+#               bounded — the hot-key window mitigation SCALE.md
+#               documented; oracle identical to events_sessionize);
+#   slot  3     the one round-5 changed-code re-verify: text_tfidf_topk
+#               gained the adaptive df-broadcast guard (output-identical
+#               by construction — the guard only drops a join hint — and
+#               re-driven locally post-change);
+#   slots 4-49  STEADY-STATE CANARY ROTATION, least-recently-verified
+#               first: all 45 queries whose latest verdict is round 1,
+#               then the oldest round-2 query in registration order
+#               (join_anti). Next rounds continue down the age order —
+#               see NEXT_WINDOW_QUEUE.
 #
-# Vacuity audit (round 4, sf0.01): every window oracle returns >0 rows —
+# Vacuity audit (round 5, sf0.01): every window oracle returns >0 rows —
 # checked by test_window_oracles_non_vacuous on every commit.
 GATE_PRIORITY = [
-    # deferred from round 3 (window was exactly full)
-    "subquery_correlated_min",
-    # round-3 additions, never driver-verified
-    "fn_udtf_shingles",
-    "vocab_token_freq_stats",
-    "multimodal_image_resize",
-    "filter_gopher_rules",
-    "mix_sqrt_temperature",
-    "events_sessionize",
-    "events_transition_matrix",
-    "merge_scd2_history",
-    "dedup_chunk_substring",
-    "quality_unigram_rarity",
-    "index_inverted_postings",
-    "join_salted_skew",
-    "embed_pq_encode",
-    "ann_pq_adc_topk",
-    "dedup_keep_best_in_cluster",
-    "fn_url_parse",
-    "fn_map",
-    "cte_recursive",
-    "report_key_skew",
-    "asof_join_forward",
-    "window_count_distinct",
-    "agg_grouping_flags",
-    "fn_try_arithmetic",
-    "vocab_bpe_pair_counts",
-    "report_packing_efficiency",
-    "report_dedup_by_source",
-    "join_range_bucketed",
-    "order_curriculum_stages",
-    "mix_epoch_repeat",
-    "asof_join_cogroup",
-    "sketch_count_min",
-    "sketch_bloom_membership",
-    "fn_lambda_hof",
-    "sketch_hll_distinct",
-    "sketch_cms_join_size",
-    "events_anomaly_mad",
-    "vocab_bpe_merge_apply",
-    "sketch_quantile_histogram",
-    # round-3 changed-code re-verifies (output-identical, per local conformance)
-    "fn_pandas_udf",
-    "dedup_url_normalized",
-    "dedup_semantic_cells",
-    "dedup_connected_components",
-    "dedup_ngram_jaccard",  # array-side shingle rewrite (late round 3)
-    "tpch_q18_large_orders",  # pre-aggregation rewrite (late round 3)
-    # the two late-round-3 rollovers, promoted per round-3 VERDICT item 8
-    # ("closing to 186/186 one round early is worth a canary slot"): they
-    # replace the two most-redundant canaries — agg_tpch_q1 (green r1+r2+r3
-    # AND exercised by the driver bench every round) and
-    # multimodal_image_decode (green r2; multimodal_image_resize in this
-    # window covers the family)
-    "text_ngram_novelty",
-    "sample_semantic_coverage",
-    # three of the four round-4 additions, promoted by the same VERDICT
-    # item-8 logic over the canary slots they replace: the displaced
-    # canaries (dedup_minhash_lsh, stream_tumbling_hourly,
-    # tpch_q3_shipping_priority) are ALL bench queries the driver runs
-    # every round regardless, and all three are green-on-record r1-r3,
-    # while these three have never held a driver verdict. All are
-    # locally conformant at sf0.001, sf0.01 (drive_entry) and sf0.1.
-    # A green gate leaves prep_chunk_overlap and dedup_setsim_exact as
-    # the only queries in the registry without a driver verdict
-    # (189/191).
-    "quality_lm_bigram",
-    "ann_ivfadc_topk",
+    # never-verified round-4 additions — the registry close-out
+    "prep_chunk_overlap",
+    "dedup_setsim_exact",
+    # round-5 growth-budget addition
+    "events_sessionize_bounded",
+    # round-5 changed-code re-verify (adaptive broadcast guard)
     "text_tfidf_topk",
+    # canaries: every latest-verdict-round-1 query, registration order
+    "scan_lineitem",
+    "projection",
+    "filter_predicates",
+    "filter_like_null",
+    "join_inner",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_broadcast_dims",
+    "join_theta_range",
+    "join_cross",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_having",
+    "agg_minmax",
+    "subquery_scalar",
+    "subquery_correlated",
+    "window_row_number",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_ntile",
+    "sort_multi_key",
+    "topk_limit",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q10_returned_items",
+    "tpch_q12_conditional_agg",
+    "tpch_q14_promo_ratio",
+    "window_percent_cume",
+    "window_moving_avg",
+    "agg_string_agg",
+    "agg_pivot",
+    "agg_percentiles",
+    "agg_grouping_sets",
+    "sample_deterministic_hash",
+    "asof_join_events",
+    "agg_variance_exact",
+    "agg_mode_deterministic",
+    # oldest round-2 canary (registration order) fills the last slot
+    "join_anti",
 ]
 
 GATE_WINDOW = 50
 
-# ROUND-5 PLAN — with the rollovers AND three of the five round-4
-# additions promoted into this window, CORRECTNESS_r04 green leaves
-# exactly TWO registry queries without a driver verdict
-# (prep_chunk_overlap and dedup_setsim_exact, first slots below). Round
-# 5 becomes that close-out plus canary rotation (plus re-verifies for
-# anything round 5 changes). Registry growth stays frozen (round-3
-# VERDICT item 3): additions must be appended here as they land.
+# STEADY-STATE ROTATION POLICY (round-5 VERDICT item 7) — with the
+# registry closed out, each round's window is composed in this order:
+#   1. any never-verified additions (new queries land HERE, inside the
+#      window, the same round they are registered — growth stays gated
+#      on the per-round budget);
+#   2. a re-verify slot for every query whose building code changed this
+#      round (even when the output is identical by construction);
+#   3. canaries, least-recently-verified first (ties broken by
+#      registration order), filling the window to 50.
+# With 192 queries and ~46 canary slots per round, every query's verdict
+# age stays <= ~4 rounds; the per-family representation guarantee is
+# enforced structurally by test_every_capability_family_verified_or_
+# inside_window. NEXT_WINDOW_QUEUE below pre-stages round 6 under this
+# policy: the remaining 43 round-2-verdict queries (registration order),
+# then the oldest round-3 verdicts.
 NEXT_WINDOW_QUEUE = [
-    # the last never-verified round-4 additions (locally conformant at
-    # sf0.001 / sf0.01 drive_entry / sf0.1)
-    "prep_chunk_overlap",
-    "dedup_setsim_exact",
-    # long-green canaries, one per major family (rotating members that sat
-    # out the round-4 window)
     "agg_tpch_q1",
-    "multimodal_image_decode",
-    "join_broadcast_dims",
-    "text_stats",
-    "window_row_number",
+    "agg_approx_count_distinct",
+    "agg_array_collect",
+    "subquery_not_in_nulls",
+    "cte_with_clause",
+    "window_range_frame",
+    "fn_string",
+    "fn_datetime",
+    "fn_math",
     "fn_json",
-    "pipeline_clean_corpus",
+    "fn_array",
+    "fn_explode_posexplode",
+    "fn_null_semantics",
+    "fn_array_setops",
+    "fn_try_cast",
+    "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "text_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "multimodal_binary_meta",
+    "multimodal_image_decode",
+    "rollup_time_buckets",
+    "pipeline_clean_corpus",
+    "multimodal_audio_decode",
+    "multimodal_video_frames",
+    "dedup_incremental_ingest",
+    "rollup_approx_users_daily",
     "stream_tumbling_hourly",
-    "tpch_q3_shipping_priority",
+    "stream_sliding_windows",
+    "stream_session_windows",
+    "stream_dedup_first",
+    "stream_watermark_recent",
+    "stream_static_enrich",
+    "text_pii_scrub",
+    "pack_sequences",
+    "split_train_val_test",
+    "text_repetition",
 ]
 
 

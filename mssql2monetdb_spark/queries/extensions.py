@@ -666,6 +666,30 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sessionize_bounded",
+    oracle="SELECT * FROM ("
+    + events_ops.sessionize_sql("events")
+    + ") ORDER BY user_id, session_no",
+)
+def events_sessionize_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-BOUNDED sessionization (operators/events.py
+    sessionize_bounded): bit-identical output to events_sessionize — the
+    oracle is literally the same SQL — but no task ever sorts a user's
+    entire history. Events pre-bucket by day, sessionize within
+    (user_id, bucket), interior sessions stream straight out, and only
+    the <= 2 boundary sessions per bucket enter the per-user chain-merge
+    window, so the per-key window state is O(active days), not O(events).
+    This is the mitigation for the per-user window family's documented
+    skew cliff (a single key holding >= ~1/cores of the corpus, where
+    AQE cannot help because skew splitting applies to joins, not window
+    sorts)."""
+    t = Tables(spark, sf_dir)
+    return events_ops.sessionize_bounded(t.events).orderBy(
+        "user_id", "session_no"
+    )
+
+
+@query(
     "events_transition_matrix",
     oracle="SELECT * FROM ("
     + events_ops.transition_matrix_sql("events")

@@ -744,6 +744,94 @@ def test_sessionize_gap_boundary_and_numbering(spark):
     assert out[(2, 0)]["duration_us"] == 0
 
 
+def _sessions_key(rows):
+    return sorted(
+        (
+            r["user_id"],
+            r["session_no"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            r["duration_us"],
+        )
+        for r in rows
+    )
+
+
+def test_sessionize_bounded_equals_plain_on_adversarial_boundaries(spark):
+    """The hot-key-bounded variant must be bit-identical to plain
+    sessionize, especially across bucket boundaries: exact-gap merges,
+    gap+1 splits, sessions chaining through several whole buckets, and
+    single-session buckets."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from mssql2monetdb_spark.operators import events as events_ops
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    gap, bucket = 1800, 3600  # small bucket so the fixture spans many
+
+    def ev(eid, user, offset_s, frac_us=0):
+        return (eid, user, t0 + timedelta(seconds=offset_s, microseconds=frac_us))
+
+    rows = [
+        # user 1: events straddle a bucket edge exactly gap apart (merge),
+        # then gap + 1 us later (split)
+        ev(1, 1, 3600 - 900), ev(2, 1, 3600 + 900),
+        ev(3, 1, 3600 + 900 + gap, 1),
+        # user 2: continuous activity every 600 s across 5 buckets — one
+        # session chaining transitively through whole buckets
+        *[ev(100 + i, 2, i * 600) for i in range(30)],
+        # user 3: one lone event per bucket, each > gap from the next
+        ev(200, 3, 0), ev(201, 3, 7200), ev(202, 3, 14400),
+        # user 4: two events in the same microsecond + one at exact gap
+        ev(300, 4, 50), ev(301, 4, 50), ev(302, 4, 50 + gap),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    plain = events_ops.sessionize(df, gap_s=gap).collect()
+    bounded = events_ops.sessionize_bounded(
+        df, gap_s=gap, bucket_s=bucket
+    ).collect()
+    assert _sessions_key(bounded) == _sessions_key(plain)
+    # sanity on the fixture itself: user 2 really is one long session
+    by_user = {}
+    for r in bounded:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[2]) == 1 and by_user[2][0]["n_events"] == 30
+    assert len(by_user[3]) == 3
+    with _pytest.raises(ValueError, match="bucket_s"):
+        events_ops.sessionize_bounded(df, gap_s=1800, bucket_s=60)
+
+
+def test_sessionize_bounded_equals_plain_on_random_streams(spark):
+    """Randomized equivalence: many users, geometric-ish gaps spanning the
+    split threshold, several bucket widths."""
+    import random
+
+    from datetime import datetime, timedelta
+
+    from mssql2monetdb_spark.operators import events as events_ops
+
+    rng = random.Random(20260814)
+    t0 = datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for user in range(12):
+        t = rng.randrange(0, 4000)
+        for _ in range(rng.randrange(1, 60)):
+            rows.append((eid, user, t0 + timedelta(seconds=t)))
+            eid += 1
+            t += rng.choice([1, 30, 1799, 1800, 1801, 5000, 90000])
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    plain = _sessions_key(events_ops.sessionize(df, gap_s=1800).collect())
+    for bucket_s in (1800, 3600, 86400):
+        bounded = events_ops.sessionize_bounded(
+            df, gap_s=1800, bucket_s=bucket_s
+        ).collect()
+        assert _sessions_key(bounded) == plain, f"bucket_s={bucket_s}"
+
+
 def test_transition_matrix_counts_and_rownorm(spark):
     from datetime import datetime, timedelta
 

@@ -310,6 +310,28 @@ def test_sessionize_single_user_shuffle(spark):
     assert plan.count("hashpartitioning(") == 1, plan
 
 
+def test_sessionize_bounded_splits_the_event_window_by_bucket(spark):
+    """The hot-key-bounded variant must key its only EVENT-sized window on
+    (user_id, bucket) — that split is the whole point — and touch the
+    corpus once: a single parquet scan feeding one linear chain of
+    (user_id, bucket) exchange -> per-bucket sessionize -> map-side-
+    combined aggregate -> user_id exchange over SESSION rows. A second
+    scan (branch recomputation) or a user_id-only event window would
+    reintroduce the skew cliff it exists to remove."""
+    plan = plan_of(spark, "events_sessionize_bounded")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2  # tree + once in section list
+    # exactly two hash exchanges: (user_id, bucket) then user_id
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert len(parts) == 2, plan
+    assert any("bucket" in p and "user_id" in p for p in parts), parts
+    assert any("bucket" not in p and "user_id" in p for p in parts), parts
+    # session aggregation is map-side combinable (partial + final pairs)
+    assert plan.count("HashAggregate") >= 4
+
+
 def test_scd2_broadcasts_the_batch(spark):
     """Change detection must broadcast the incoming batch against the
     current slice; a sort-merge join here would shuffle the whole
