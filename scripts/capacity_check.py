@@ -198,7 +198,9 @@ EVENTS_QUERIES = [
 ]
 
 
-def build_events(spark, *, out_dir: str, factor: int, hot_user: bool = False) -> None:
+def build_events(
+    spark, *, out_dir: str, factor: int, hot_user: bool = False, hot_replicas: int = 1
+) -> None:
     """Nx events corpus: replicas shift user_id/event_id into fresh ranges,
     so per-user history length stays organic while user count scales Nx —
     the workload shape of an Nx-bigger event log (the window-heavy events
@@ -208,6 +210,9 @@ def build_events(spark, *, out_dir: str, factor: int, hot_user: bool = False) ->
     1/N of ALL events land on one key. Per-user windows cannot split a key
     (AQE skew-join splitting doesn't apply to window sorts), so this probes
     the family's true worst case: one task sorting the hot user's history.
+    ``hot_replicas`` collapses that many replicas (hot_replicas/factor of
+    ALL events on one key) — the past-the-cliff concentration the bounded
+    sessionizer exists for.
     """
     ev = spark.read.parquet(f"{SF01}/events.parquet")
     n_ev = ev.agg(F.max("event_id")).first()[0] + 1
@@ -218,7 +223,7 @@ def build_events(spark, *, out_dir: str, factor: int, hot_user: bool = False) ->
             "ts",
             (
                 F.lit(0)
-                if (hot_user and i == 0)
+                if (hot_user and i < hot_replicas)
                 else (F.col("user_id") + F.lit(i * n_u))
             ).cast("bigint").alias("user_id"),
             "event_type",
@@ -292,6 +297,45 @@ def main() -> int:
                 "hot_user": hot,
                 "skew_penalty": round(hot["wall_sec"] / even["wall_sec"], 2),
             }
+        print(json.dumps(report))
+        return 0
+
+    if "--skew-bounded" in sys.argv:
+        # past-the-cliff concentration: HALF of all events on ONE user —
+        # plain sessionize must sort that key in a single task; the
+        # bounded variant splits it across (user, day-bucket) groups.
+        even_dir = f"/tmp/capacity_events_x{factor}"
+        hot_dir = f"/tmp/capacity_events_hot50_x{factor}"
+        if "--rebuild" in sys.argv or not os.path.isdir(even_dir):
+            build_events(spark, out_dir=even_dir, factor=factor)
+        if "--rebuild" in sys.argv or not os.path.isdir(hot_dir):
+            build_events(
+                spark,
+                out_dir=hot_dir,
+                factor=factor,
+                hot_user=True,
+                hot_replicas=max(1, factor // 2),
+            )
+        targets = ["events_sessionize", "events_sessionize_bounded"]
+        for name in targets:
+            REGISTRY[name].build(spark, "/root/testdata/sf0.01").write.mode(
+                "overwrite"
+            ).format("noop").save()
+        report = {"factor": factor, "mode": "skew-bounded",
+                  "hot_share": round(max(1, factor // 2) / factor, 2)}
+        for name in targets:
+            even = run_one(spark, name, even_dir)
+            hot = run_one(spark, name, hot_dir)
+            report[name] = {
+                "organic": even,
+                "hot_user": hot,
+                "skew_penalty": round(hot["wall_sec"] / even["wall_sec"], 2),
+            }
+        report["bounded_vs_plain_on_hot"] = round(
+            report["events_sessionize_bounded"]["hot_user"]["wall_sec"]
+            / report["events_sessionize"]["hot_user"]["wall_sec"],
+            2,
+        )
         print(json.dumps(report))
         return 0
 
