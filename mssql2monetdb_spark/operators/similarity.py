@@ -849,6 +849,46 @@ def topk_pq_adc(
     )
 
 
+#: production PQ quality preset (round-5 VERDICT item 5): Lloyd-trained
+#: codebook (4 iterations is where the k-means objective plateaus on the
+#: fixtures) and a wider codebook than the oracle-tractable PQ_KS = 4.
+#: The oracle-pinned queries stay on the seeded refine_iters=0 path; this
+#: preset is what a production caller uses when no cross-engine hash must
+#: be preserved.
+PQ_TRAINED_REFINE_ITERS = 4
+PQ_TRAINED_KS = 64
+
+
+def topk_pq_adc_trained(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    m: int = PQ_M,
+    ks: int = PQ_TRAINED_KS,
+    k: int = 5,
+    refine_iters: int = PQ_TRAINED_REFINE_ITERS,
+) -> DataFrame:
+    """:func:`topk_pq_adc` with the production quality preset: a
+    Lloyd-trained ``ks``-codeword codebook instead of the seeded
+    oracle-pinned one. Identical plan shape (training adds
+    ``refine_iters`` broadcast-argmin + keyed-mean passes at index-build
+    time only); measured on the clustered fixture variant it lifts
+    recall@5 over the seeded codebook at the same ks (SCALE.md, round-5
+    PQ preset measurement)."""
+    return topk_pq_adc(
+        emb_df,
+        query_ids,
+        id_col=id_col,
+        emb_col=emb_col,
+        m=m,
+        ks=ks,
+        k=k,
+        refine_iters=refine_iters,
+    )
+
+
 def topk_pq_adc_sql(
     table: str,
     query_ids: list[int],

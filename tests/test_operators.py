@@ -1218,6 +1218,26 @@ def test_pq_codebook_lloyd_refinement_reduces_error(spark, sf_dir):
     assert one < seeded
 
 
+def test_pq_trained_preset_serves_same_contract(spark, sf_dir):
+    """topk_pq_adc_trained (the production quality preset) returns the
+    same (query_id, vec_id, adc_dist, rnk) contract as the oracle-pinned
+    seeded path: k dense ranks per query, no self-matches. Recall lift is
+    measured offline (scripts/ann_recall.py -> SCALE.md), not asserted
+    here — it is data-dependent."""
+    from mssql2monetdb_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+    # small ks/refine on the tiny fixture keeps this a smoke test
+    out = sim.topk_pq_adc_trained(emb, qids, ks=8, refine_iters=2, k=4).collect()
+    by_q = {}
+    for r in out:
+        assert r["vec_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert set(by_q) == set(qids)
+    assert all(sorted(v) == [1, 2, 3, 4] for v in by_q.values())
+
+
 def test_chunk_overlap_short_doc_is_single_chunk(spark):
     from mssql2monetdb_spark.operators import corpus_prep
 
