@@ -191,6 +191,7 @@ SF1_CLONES = "/tmp/capacity_sf1_clones"
 
 EVENTS_QUERIES = [
     "events_sessionize",
+    "events_sessionize_bounded",
     "events_transition_matrix",
     "events_anomaly_mad",
     "funnel_stages",
