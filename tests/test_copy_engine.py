@@ -10,6 +10,7 @@ import pytest
 
 from mssql2monetdb_spark.config.spec import load_spec
 from mssql2monetdb_spark.engine.copy import (
+    EXIT_ERROR,
     EXIT_NO_NEW_DATA,
     EXIT_OK,
     CopyEngine,
@@ -175,6 +176,32 @@ def test_no_switch_then_switch_only(spark, tmp_path):
     published = engine.do_copy(switch_only=True)
     assert published["nation_job"] == loaded["nation_job"]
     assert engine.sql("SELECT COUNT(*) AS n FROM nation").collect()[0]["n"] == 25
+
+
+def test_switch_table_cli_configless(spark, tmp_path, capsys):
+    """The reference's config-less single-table switch synthesis
+    (CopyToolConfig.java:219-249: --switch-only + connection/table params
+    and NO config file builds a drop+fast-view-switch job on the fly).
+    Spark-side: `--switch-table schema.table --warehouse dir` publishes
+    the newest loaded-but-unpublished version, phases 3-4 only."""
+    from mssql2monetdb_spark.cli import main
+
+    engine = CopyEngine(spark, make_spec(tmp_path))
+    loaded = engine.do_copy(no_switch=True, load_date=datetime(2024, 1, 1))
+    assert engine.catalog.current_version("default", "nation") is None
+
+    rc = main(["--switch-table", "nation", "--warehouse", str(tmp_path / "wh")])
+    assert rc == 0
+    assert "published default.nation" in capsys.readouterr().out
+    cat = VersionedCatalog(str(tmp_path / "wh"))
+    assert cat.current_version("default", "nation") == loaded["nation_job"]
+
+    # missing prerequisites fail with the reference's error exit, not a crash
+    assert main(["--switch-table", "nation"]) == EXIT_ERROR
+    assert (
+        main(["--switch-table", "missing", "--warehouse", str(tmp_path / "wh")])
+        == EXIT_ERROR
+    )
 
 
 def test_temp_table_promotion(spark, tmp_path):
