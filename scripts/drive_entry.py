@@ -1,6 +1,11 @@
 """Simulate the driver: vanilla session, driver-contract surface only.
 
-Usage: drive_entry.py [--only name1,name2,...]   (default: every query)
+Usage: drive_entry.py [--only name1,name2,...] [--tz America/New_York]
+
+--only restricts the oracle comparison to the named queries (targeted
+re-drive after a change). --tz sets the SESSION timezone, simulating a
+driver in another zone — the probe that catches any timestamp oracle not
+forced through UTC (see .claude/skills/verify/SKILL.md).
 """
 import sys, json
 sys.path.insert(0, "/root/repo")
@@ -9,12 +14,17 @@ from pyspark.sql import SparkSession
 only = None
 if "--only" in sys.argv:
     only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+tz = None
+if "--tz" in sys.argv:
+    tz = sys.argv[sys.argv.index("--tz") + 1]
 
 # vanilla session: NO engine tuning, like an external driver would build
-spark = (SparkSession.builder.appName("driver-sim").master("local[8]")
-         .config("spark.ui.enabled", "false")
-         .config("spark.ui.showConsoleProgress", "false")
-         .getOrCreate())
+builder = (SparkSession.builder.appName("driver-sim").master("local[8]")
+           .config("spark.ui.enabled", "false")
+           .config("spark.ui.showConsoleProgress", "false"))
+if tz:
+    builder = builder.config("spark.sql.session.timeZone", tz)
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as mod
