@@ -574,6 +574,7 @@ def keep_best_in_cluster(
 
 SETSIM_T_NUM = 4  # exact-rational Jaccard threshold 4/5 = 0.8 — integer
 SETSIM_T_DEN = 5  # arithmetic end-to-end, so both engines agree bit-for-bit
+SETSIM_BROADCAST_MAX_SHINGLES = 10_000_000  # same ceiling as the tf-idf df guard
 
 
 def setsim_prefix_pairs(
@@ -584,6 +585,7 @@ def setsim_prefix_pairs(
     shingle_n: int = 3,
     t_num: int = SETSIM_T_NUM,
     t_den: int = SETSIM_T_DEN,
+    broadcast_df_max_shingles: int | None = SETSIM_BROADCAST_MAX_SHINGLES,
 ) -> DataFrame:
     """EXACT set-similarity self-join on distinct word-shingle sets via
     prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
@@ -608,7 +610,17 @@ def setsim_prefix_pairs(
     last-ulp 0.8*sz could never shrink a prefix below the sound bound.
 
     Scale shape: one corpus shuffle into cached per-doc sorted hash sets;
-    document frequencies reduce to a vocabulary-sized broadcast; the
+    document frequencies reduce to a vocabulary-sized (shingle, df)
+    relation that BROADCASTS when it fits — and, as with the tf-idf df
+    guard, the choice is MEASURED, not assumed: an
+    ``approx_count_distinct`` probe over the exploded relation (one cheap
+    job that also materializes the per-doc-set cache the later passes
+    reuse) drops the hint past ``broadcast_df_max_shingles``, so a
+    shingle vocabulary that outgrows driver memory (shingle spaces grow
+    faster than word vocabularies — n-grams multiply) degrades to a keyed
+    shuffle join on the shingle hash instead of OOMing the driver
+    (identical output either way; pass ``None`` to skip the probe and let
+    AQE decide); the
     per-doc prefix rank window runs on the groupBy(id) partitioning
     (no extra exchange); candidates join on prefix-token keys with the
     size filter ``t*a <= b <= a/t`` applied IN the join (a qualifying
@@ -631,7 +643,11 @@ def setsim_prefix_pairs(
     )
     expl = sets.select("id", "sz", F.explode("hs").alias("sh"))
     df_rel = expl.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))
-    ranked = expl.join(F.broadcast(df_rel), "sh")
+    if broadcast_df_max_shingles is not None:
+        n_sh = expl.agg(F.approx_count_distinct("sh").alias("n")).first()["n"]
+        if n_sh <= broadcast_df_max_shingles:
+            df_rel = F.broadcast(df_rel)
+    ranked = expl.join(df_rel, "sh")
     win = Window.partitionBy("id").orderBy("df_count", "sh")
     ceil_t_sz = F.floor(
         (F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den)

@@ -33,7 +33,11 @@ from . import tpch_full  # noqa: E402,F401
 #   slots 0-1   the only two queries ever registered without a driver
 #               verdict (the last round-4 additions, locally DuckDB-
 #               conformant at sf0.001/sf0.01/sf0.1) — a green gate closes
-#               the registry to 192/192 verified;
+#               the registry to 192/192 verified; dedup_setsim_exact
+#               additionally gained the round-5 adaptive shingle-df
+#               broadcast guard (same shape as the tf-idf guard below;
+#               output-identical, re-driven locally post-change), so its
+#               verdict lands on the changed code;
 #   slot  2     the round-5 growth-budget addition (events_sessionize_
 #               bounded — the hot-key window mitigation SCALE.md
 #               documented; oracle identical to events_sessionize);

@@ -1369,3 +1369,41 @@ def test_setsim_exact_contains_every_minhash_pair(spark):
     assert exact, "fixture must yield qualifying pairs"
     assert approx <= set(exact)
     assert all(j >= 0.8 for j in exact.values())
+
+
+def test_setsim_broadcast_guard_paths_agree(spark):
+    """The shingle-df broadcast guard mirrors the tf-idf one: below the
+    ceiling the (shingle, df) relation rides a broadcast hint; past it the
+    hint is dropped and the global token ordering degrades to a keyed
+    shuffle join — with BIT-IDENTICAL pairs either way (the guard only
+    moves a join hint, never the rational threshold math)."""
+    from mssql2monetdb_spark.operators import dedup as _d
+
+    docs = load_table(spark, SF, "documents")
+
+    def plan(df):
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    hinted = _d.setsim_prefix_pairs(docs)
+    assert "BroadcastHashJoin" in plan(hinted)
+
+    # above-threshold path: hint dropped; neutralize the planner's own
+    # small-size broadcast (fixture relations are tiny) to expose the
+    # shuffle join a genuinely overflowing shingle space would get
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        unhinted = _d.setsim_prefix_pairs(docs, broadcast_df_max_shingles=0)
+        p = plan(unhinted)
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        a = sorted(map(tuple, hinted.collect()))
+        b = sorted(map(tuple, unhinted.collect()))
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
