@@ -644,7 +644,17 @@ def setsim_prefix_pairs(
     expl = sets.select("id", "sz", F.explode("hs").alias("sh"))
     df_rel = expl.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))
     if broadcast_df_max_shingles is not None:
-        n_sh = expl.agg(F.approx_count_distinct("sh").alias("n")).first()["n"]
+        # Probe the PRE-aggregation relation (same distinct-h64 vocabulary,
+        # map-side-only partial sketches, zero shuffle) rather than the
+        # cached per-doc sets: an aggregate over `sets` would materialize
+        # the cache as a standalone action, and AQE's exact in-memory
+        # stats then flip the candidate-verify joins from
+        # broadcast-candidates to shuffling per-candidate hash arrays —
+        # measured 719 MB -> 2.98 GB shuffle at the 100x capacity corpus
+        # for identical output. The extra corpus scan is embarrassingly
+        # parallel; the cache stays unmaterialized until the main action
+        # plans, preserving the broadcast-candidates plan shape.
+        n_sh = rows.agg(F.approx_count_distinct("h64").alias("n")).first()["n"]
         if n_sh <= broadcast_df_max_shingles:
             df_rel = F.broadcast(df_rel)
     ranked = expl.join(df_rel, "sh")
