@@ -340,6 +340,105 @@ def main() -> int:
         print(json.dumps(report))
         return 0
 
+    if "--join-skew" in sys.argv:
+        # Big-big equi-join with HALF the fact rows on ONE key — the join
+        # analogue of --skew-bounded. Three arms, identical output
+        # (checksummed): (1) plain join under the repo's default session
+        # (AQE skew-split ON — the posture SCALE.md claims handles
+        # moderate join skew), (2) plain join with skew-split DISABLED
+        # (what the hot key costs with no mitigation), (3) explicit
+        # joins.salted_join with skew-split disabled (what the manual
+        # fallback buys when AQE can't help, priced with its n_salts-fold
+        # dimension replication). Corpus is deterministic (id-derived
+        # keys, no rand()): fact rows alternate key 0 / xxhash-spread,
+        # dim is wide enough (~4M rows of hash strings) to defeat the
+        # 64 MB auto-broadcast so the join genuinely shuffles.
+        from mssql2monetdb_spark.operators.joins import salted_join
+
+        jdir = f"/tmp/capacity_joinskew_x{factor}"
+        n_fact = 200_000 * factor
+        n_dim = 4_000_000
+        if "--rebuild" in sys.argv or not os.path.isdir(jdir):
+            fact = spark.range(n_fact).select(
+                F.when(F.col("id") % 2 == 0, F.lit(0).cast("bigint"))
+                .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_dim)))
+                .alias("k"),
+                F.pmod(F.col("id") * 17, F.lit(1000)).alias("v"),
+                # incompressible payload so the fact side also exceeds the
+                # 64 MB broadcast ceiling — otherwise Spark (correctly)
+                # broadcasts the small fact and no shuffle join exists to
+                # measure skew on
+                F.md5(F.col("id").cast("string")).alias("p"),
+            )
+            fact.repartition(32).write.mode("overwrite").parquet(f"{jdir}/fact.parquet")
+            dim = spark.range(n_dim).select(
+                F.col("id").alias("k"),
+                F.md5(F.col("id").cast("string")).alias("a1"),
+                F.sha1(F.col("id").cast("string")).alias("a2"),
+            )
+            dim.repartition(32).write.mode("overwrite").parquet(f"{jdir}/dim.parquet")
+        fact = spark.read.parquet(f"{jdir}/fact.parquet")
+        dim = spark.read.parquet(f"{jdir}/dim.parquet")
+
+        def _measure_join(df) -> dict:
+            before = shuffle_bytes(spark)
+            start = time.perf_counter()
+            chk = df.agg(
+                # pmod keeps the sum far from bigint overflow at any factor;
+                # the checksum reads BOTH payload columns so column pruning
+                # can't shrink either scan back under the broadcast ceiling
+                F.sum(F.pmod(F.xxhash64("k", "v", "p", "a1"), F.lit(1_000_000_007))).alias("chk"),
+                F.count(F.lit(1)).alias("rows"),
+            ).first()
+            wall = time.perf_counter() - start
+            after = shuffle_bytes(spark)
+            return {
+                "wall_sec": round(wall, 3),
+                "shuffle_bytes": (after - before)
+                if (before is not None and after is not None)
+                else None,
+                "chk": int(chk["chk"]),
+                "rows": int(chk["rows"]),
+            }
+
+        arms = {}
+
+        def _arm_plain():
+            return _measure_join(fact.join(dim, "k", "inner"))
+
+        def _arm_no_split():
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            try:
+                return _measure_join(fact.join(dim, "k", "inner"))
+            finally:
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+        def _arm_salted():
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            try:
+                return _measure_join(salted_join(fact, dim, on="k", n_salts=8))
+            finally:
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+        runs = {"plain_aqe_skew_split": _arm_plain,
+                "plain_no_mitigation": _arm_no_split,
+                "salted_8": _arm_salted}
+        for _ in range(2):  # interleaved rounds, not sequential arms
+            for arm, fn in runs.items():
+                arms.setdefault(arm, []).append(fn())
+        chks = {r["chk"] for rs in arms.values() for r in rs}
+        report = {
+            "factor": factor,
+            "mode": "join-skew",
+            "hot_share": 0.5,
+            "n_fact": n_fact,
+            "n_dim": n_dim,
+            "all_arms_equal": len(chks) == 1,
+            **arms,
+        }
+        print(json.dumps(report))
+        return 0
+
     if "--events" in sys.argv:
         ev_dir = f"/tmp/capacity_events_x{factor}"
         if "--rebuild" in sys.argv or not os.path.isdir(ev_dir):
