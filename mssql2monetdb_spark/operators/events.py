@@ -420,12 +420,14 @@ def sessionize_bounded(
         F.col(ts_col).alias("ts"),
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
     )
-    # ts_us can predate the epoch in principle; floor-divide keeps bucket
-    # math correct for negatives (Spark div is floor for pmod-style expr;
-    # use explicit floor via shift-free arithmetic on BIGINT)
+    # ts_us can predate the epoch in principle; subtract the non-negative
+    # pmod remainder and `div` the exact multiple — floor division done
+    # entirely on BIGINT, exact for any ts_us (a double-division floor
+    # would lose integer precision past 2^53; the algebra tolerates any
+    # monotone bucketing, but there is no reason to rely on that)
     e = e.withColumn(
         "bucket",
-        F.floor(F.col("ts_us") / F.lit(bucket_us)).cast("bigint"),
+        F.expr(f"(ts_us - pmod(ts_us, {bucket_us}L)) div {bucket_us}L"),
     )
 
     # 1. in-bucket sessionization — the only event-sized window, keyed on

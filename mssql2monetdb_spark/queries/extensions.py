@@ -676,9 +676,10 @@ def events_sessionize_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionize_bounded): bit-identical output to events_sessionize — the
     oracle is literally the same SQL — but no task ever sorts a user's
     entire history. Events pre-bucket by day, sessionize within
-    (user_id, bucket), interior sessions stream straight out, and only
-    the <= 2 boundary sessions per bucket enter the per-user chain-merge
-    window, so the per-key window state is O(active days), not O(events).
+    (user_id, bucket), then ONE per-user chain-merge pass runs over the
+    resulting SESSION rows (at most bucket_s/gap_s + 1 per bucket — 49
+    at the defaults), so the per-key window state is O(sessions), not
+    O(events): a hot key's event-sized sort splits across its buckets.
     This is the mitigation for the per-user window family's documented
     skew cliff (a single key holding >= ~1/cores of the corpus, where
     AQE cannot help because skew splitting applies to joins, not window

@@ -11,12 +11,17 @@ import sys, json
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 
-only = None
-if "--only" in sys.argv:
-    only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
-tz = None
-if "--tz" in sys.argv:
-    tz = sys.argv[sys.argv.index("--tz") + 1]
+def _flag_value(flag):
+    if flag not in sys.argv:
+        return None
+    i = sys.argv.index(flag)
+    if i + 1 >= len(sys.argv):
+        sys.exit(f"error: {flag} requires a value")
+    return sys.argv[i + 1]
+
+only_arg = _flag_value("--only")
+only = set(only_arg.split(",")) if only_arg is not None else None
+tz = _flag_value("--tz")
 
 # vanilla session: NO engine tuning, like an external driver would build
 builder = (SparkSession.builder.appName("driver-sim").master("local[8]")
@@ -39,6 +44,13 @@ assert len(rows) > 0
 qs = mod.queries()
 osql = mod.oracle_sql()
 print("QUERIES:", len(qs), "ORACLES:", len(osql), "rows-only:", sorted(set(qs) - set(osql)))
+
+# A typo in --only must fail LOUDLY: silently matching zero queries and
+# exiting 0 would read as "all oracles match" to the verify workflow.
+if only is not None:
+    unknown = sorted(only - set(qs))
+    if unknown:
+        sys.exit(f"error: --only names not in queries(): {unknown}")
 
 # 3. side-by-side at sf0.01, driver style
 sys.path.insert(0, "/root/repo/tests")

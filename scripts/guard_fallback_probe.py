@@ -80,12 +80,13 @@ def main() -> None:
                 spark.catalog.clearCache()
         report = {"operator": name, "dir": args.dir, "n": args.n}
         for arm, rs in results.items():
+            shuffles = [r["shuffle_bytes"] for r in rs if r["shuffle_bytes"] is not None]
             report[arm] = {
                 "wall_median": round(statistics.median(r["wall_sec"] for r in rs), 3),
                 "wall_all": [r["wall_sec"] for r in rs],
-                "shuffle_bytes_median": statistics.median(
-                    r["shuffle_bytes"] for r in rs if r["shuffle_bytes"] is not None
-                ),
+                # None when the UI REST endpoint was unavailable — don't
+                # throw away the wall-time arms over a missing metric
+                "shuffle_bytes_median": statistics.median(shuffles) if shuffles else None,
             }
         report["wall_ratio_fallback_over_broadcast"] = round(
             report["fallback"]["wall_median"] / report["broadcast"]["wall_median"], 3
