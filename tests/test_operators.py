@@ -832,6 +832,41 @@ def test_sessionize_bounded_equals_plain_on_random_streams(spark):
         assert _sessions_key(bounded) == plain, f"bucket_s={bucket_s}"
 
 
+def test_sessionize_bounded_equals_plain_on_extreme_era_timestamps(spark):
+    """Timestamps far outside the double-exact integer range (year 9999:
+    ts_us ~ 2.5e17 > 2^53) and pre-epoch negatives must flow through the
+    BIGINT bucket arithmetic unharmed — the regression this pins was a
+    double-division floor whose bucket assignment went inexact past 2^53
+    (output survived only via the monotone-bucketing tolerance)."""
+    from datetime import datetime, timedelta
+
+    from mssql2monetdb_spark.operators import events as events_ops
+
+    gap = 1800
+    rows = []
+    # year 9999: a merge pair straddling a day edge at exact gap, a split
+    # at gap + 1 us, and a microsecond-adjacent pair
+    t9999 = datetime(9999, 12, 30, 23, 45, 0)
+    rows += [
+        (1, 1, t9999), (2, 1, t9999 + timedelta(seconds=gap)),
+        (3, 1, t9999 + timedelta(seconds=2 * gap, microseconds=1)),
+        (4, 1, t9999 + timedelta(seconds=2 * gap, microseconds=2)),
+    ]
+    # pre-epoch: negative ts_us exercises the floor-for-negatives branch
+    t1902 = datetime(1902, 6, 15, 0, 10, 0)
+    rows += [
+        (10, 2, t1902), (11, 2, t1902 + timedelta(seconds=gap)),
+        (12, 2, t1902 + timedelta(seconds=3 * gap)),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    plain = _sessions_key(events_ops.sessionize(df, gap_s=gap).collect())
+    for bucket_s in (gap, 86400):
+        bounded = events_ops.sessionize_bounded(
+            df, gap_s=gap, bucket_s=bucket_s
+        ).collect()
+        assert _sessions_key(bounded) == plain, f"bucket_s={bucket_s}"
+
+
 def test_transition_matrix_counts_and_rownorm(spark):
     from datetime import datetime, timedelta
 
