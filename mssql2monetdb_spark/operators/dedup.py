@@ -88,11 +88,12 @@ def shingle_rows(
                 F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
             ).alias("sh_str"),
         )
-    m = F.md5(F.col("sh_str"))  # WSCG eliminates the common md5 subexpression
+    # the shared helpers repeat md5(sh_str) per column; WSCG eliminates
+    # the common subexpression, so this stays one md5 per row
     out = rows.select(
         "id",
-        F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("h32"),
-        F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint").alias("h64"),
+        hashing.md5_int32(F.col("sh_str")).alias("h32"),
+        hashing.md5_int60(F.col("sh_str")).alias("h64"),
     )
     return out.distinct() if distinct else out
 
@@ -340,6 +341,7 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("id"))
         .cache()
     )
+    changed = 0
     for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -368,6 +370,17 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        if changed != 0:
+            # exhausting max_iter with labels still moving means the
+            # returned components are WRONG (a >max_iter-diameter chain
+            # splits into several components) — failing loudly beats
+            # silently keeping multiple survivors of one true cluster
+            raise RuntimeError(
+                f"connected_components did not converge in max_iter={max_iter} "
+                f"rounds ({changed} labels still changing) — raise max_iter "
+                "for chain-shaped duplicate graphs with diameter > max_iter"
+            )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))
 
 
@@ -613,9 +626,12 @@ def setsim_prefix_pairs(
     document frequencies reduce to a vocabulary-sized (shingle, df)
     relation that BROADCASTS when it fits — and, as with the tf-idf df
     guard, the choice is MEASURED, not assumed: an
-    ``approx_count_distinct`` probe over the exploded relation (one cheap
-    job that also materializes the per-doc-set cache the later passes
-    reuse) drops the hint past ``broadcast_df_max_shingles``, so a
+    ``approx_count_distinct`` probe — deliberately over the
+    PRE-aggregation rows, NOT the cached per-doc sets, so the cache stays
+    unmaterialized and AQE cannot re-plan the verify joins around its
+    exact stats (see the inline comment: the cached-probe variant
+    measured 4x the shuffle) — drops the hint past
+    ``broadcast_df_max_shingles``, so a
     shingle vocabulary that outgrows driver memory (shingle spaces grow
     faster than word vocabularies — n-grams multiply) degrades to a keyed
     shuffle join on the shingle hash instead of OOMing the driver

@@ -236,10 +236,24 @@ def _recompute_centroids(assigned: DataFrame, emb_col: str) -> DataFrame:
 
 
 def _seed_centroids(emb_df: DataFrame, id_col: str, emb_col: str, k: int) -> DataFrame:
-    """Deterministic k-means seed: the first ``k`` vectors by id."""
-    return emb_df.filter(F.col(id_col) < k).select(
+    """Deterministic k-means seed: the vectors with id in [0, k).
+
+    REQUIRES ids 0..k-1 to exist (``filter(id < k)`` pushes to the scan,
+    which a first-k-by-id TakeOrdered would not). A sparse or offset id
+    space would otherwise silently yield too few centroids and EMPTY
+    downstream results, so the seed count is checked — one tiny
+    pushdown-filtered job at build time, k rows."""
+    seed = emb_df.filter(F.col(id_col) < k).select(
         F.col(id_col).cast("int").alias("cid"), F.col(emb_col).alias("cvec")
     )
+    n = seed.count()
+    if n < k:
+        raise ValueError(
+            f"centroid seeding needs ids 0..{k - 1} present in {id_col}: "
+            f"found {n} of {k} (sparse or non-zero-based id space — "
+            "remap ids or seed explicitly)"
+        )
+    return seed
 
 
 class IvfIndex:
@@ -516,10 +530,14 @@ def cross_split_contamination(
     catches near-duplicates: cell assignment bounds the candidate set, the
     train x test comparison is keyed on ``cell``, and each contaminated
     train vector reports its single most-similar test vector
-    (deterministic argmax: cosine desc, test id). At 100 TB the test split
-    is tiny relative to train, so the per-cell join's small side is
-    broadcast-size — the train corpus itself never re-shuffles beyond the
-    one assignment pass.
+    (deterministic argmax: cosine desc, test id). The test side is NOT
+    hinted broadcast: assign_split buckets 80/10/10, so test is a fixed
+    ~10% of the corpus — corpus-proportional, not broadcast-size — and a
+    mandatory hint would collect it to the driver at any scale (the same
+    unbounded-broadcast class the tf-idf/setsim guards exist for). AQE
+    broadcasts it when it measures small and keys the join on ``cell``
+    otherwise; either way the train corpus re-shuffles at most once past
+    the assignment pass.
     """
     from ..operators import corpus_prep
 
@@ -534,7 +552,7 @@ def cross_split_contamination(
         "cell", F.col(id_col).alias("test_id"), F.col(emb_col).alias("emb_q")
     )
     scored = (
-        train.join(F.broadcast(test), "cell")
+        train.join(test, "cell")
         .select(
             "train_id",
             "test_id",
@@ -613,10 +631,18 @@ def _pq_codebook(
     the DuckDB SQL mirrors.
     """
     d_sub = EMBED_DIM // m
+    seed = parallelized(emb_df).filter(F.col(id_col) < ks)
+    n_seed = seed.count()
+    if n_seed < ks:
+        # same contract (and same silent-empty failure mode) as
+        # _seed_centroids: the seeding filter requires ids 0..ks-1
+        raise ValueError(
+            f"PQ codebook seeding needs ids 0..{ks - 1} present in "
+            f"{id_col}: found {n_seed} of {ks} (sparse or non-zero-based "
+            "id space — remap ids or lower ks)"
+        )
     cb = (
-        parallelized(emb_df)
-        .filter(F.col(id_col) < ks)
-        .select(
+        seed.select(
             F.col(id_col).cast("int").alias("cid"),
             F.col(emb_col).alias("_emb"),
             F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
@@ -644,12 +670,23 @@ def _pq_codebook(
             .agg(F.min(F.struct("dist2", "cid", "sv")).alias("b"))
             .select("j", F.col("b.cid").alias("cid"), F.col("b.sv").alias("sv"))
         )
-        # cell mean per (j, cid): aggregate each dimension; empty cells
+        # cell mean per (j, cid): aggregate each dimension through
+        # DECIMAL(24,8) sums — exact and order-independent, the same
+        # discipline as _recompute_centroids, so trained codebooks are
+        # bit-identical run-to-run no matter how partitions combine
+        # (F.avg over doubles is combine-order-dependent); empty cells
         # keep their previous codeword (left join back onto the old book)
         dim_means = assigned.groupBy("j", "cid").agg(
             F.array(
                 *[
-                    F.avg(F.element_at("sv", d + 1)).alias(f"d{d}")
+                    (
+                        F.sum(
+                            F.element_at("sv", d + 1)
+                            .cast("double")
+                            .cast("decimal(24,8)")
+                        ).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias(f"d{d}")
                     for d in range(d_sub)
                 ]
             ).alias("cw_new"),
@@ -692,13 +729,21 @@ def _pq_codes(
     m: int,
     ks: int,
     refine_iters: int = 0,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(vector, subspace) nearest codeword: ``(id, j, cid, dist2)``.
 
     The argmin is a map-side-combinable min(struct(dist2, cid)) aggregate
     keyed on (id, j) — the corpus shuffles once on its own id and the
-    codebook (m x ks rows) broadcasts."""
-    cb = _pq_codebook(emb_df, id_col, emb_col, m, ks, refine_iters)
+    codebook (m x ks rows) broadcasts. Callers that ALSO need the
+    codebook (ADC LUT builders) must build it once and pass it in:
+    rebuilding trains Lloyd twice and risks pairing codes with a LUT
+    from a different codebook."""
+    cb = (
+        codebook
+        if codebook is not None
+        else _pq_codebook(emb_df, id_col, emb_col, m, ks, refine_iters)
+    )
     sub = _pq_subvectors(emb_df, id_col, emb_col, m, id_col)
     scored = sub.join(F.broadcast(cb), "j").select(
         id_col, "j", "cid", vectors.l2sq(F.col("sv"), F.col("cw")).alias("dist2")
@@ -814,10 +859,10 @@ def topk_pq_adc(
     point of PQ at 100 TB. Ranking is a per-query window over corpus-
     sized-but-narrow rows.
     """
-    codes = _pq_codes(emb_df, id_col, emb_col, m, ks, refine_iters).select(
+    cb = _pq_codebook(emb_df, id_col, emb_col, m, ks, refine_iters)
+    codes = _pq_codes(emb_df, id_col, emb_col, m, ks, codebook=cb).select(
         F.col(id_col).alias("vec_id"), "j", "cid"
     )
-    cb = _pq_codebook(emb_df, id_col, emb_col, m, ks, refine_iters)
     q_sub = _pq_subvectors(
         parallelized(emb_df).filter(F.col(id_col).isin(query_ids)),
         id_col,
@@ -994,10 +1039,10 @@ def topk_ivf_adc(
         .select("query_id", "cell")
     )
 
-    codes = _pq_codes(emb_df, id_col, emb_col, m, ks).select(
+    cb = _pq_codebook(emb_df, id_col, emb_col, m, ks)
+    codes = _pq_codes(emb_df, id_col, emb_col, m, ks, codebook=cb).select(
         F.col(id_col).alias("vec_id"), "j", "cid"
     )
-    cb = _pq_codebook(emb_df, id_col, emb_col, m, ks)
     q_sub = _pq_subvectors(
         parallelized(emb_df).filter(F.col(id_col).isin(query_ids)),
         id_col,
