@@ -55,20 +55,31 @@ def plane_bit_sql(emb_expr: str, plane: list[float]) -> str:
 
 
 def with_lsh_bands(emb_df: DataFrame, emb_col: str = "embedding") -> DataFrame:
-    """Add band/bkey rows: (.., band, bkey) one row per band per vector."""
+    """Add band/bkey rows: (.., band, bkey) one row per band per vector.
+
+    ONE scan of the source per consumer: every band's key is computed in
+    a single projection as an array of (band, bkey) structs and exploded
+    — the same shape dedup.lsh_bands uses. (The first draft unioned one
+    withColumn branch per band, i.e. LSH_BANDS scans PER CONSUMER with
+    the plane dot products recomputed in each; at the fixture's
+    LSH_BANDS=2 the plans tie — measured, 4 scans either way in
+    dedup_embedding_cosine — but production band counts of 8-32 multiply
+    the union form while the explode form stays flat.)"""
     emb = F.col(emb_col)
     emb_df = parallelized(emb_df)
-    pieces = []
+    entries = []
     for band in range(LSH_BANDS):
         key = F.lit(0)
         for j in range(BITS_PER_BAND):
             bit = plane_bit(emb, HYPERPLANES[band * BITS_PER_BAND + j])
             key = key * 2 + bit
-        pieces.append(emb_df.withColumn("band", F.lit(band)).withColumn("bkey", key))
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionAll(p)
-    return out
+        entries.append(F.struct(F.lit(band).alias("band"), key.cast("int").alias("bkey")))
+    return (
+        emb_df.withColumn("_bb", F.explode(F.array(*entries)))
+        .withColumn("band", F.col("_bb.band"))
+        .withColumn("bkey", F.col("_bb.bkey"))
+        .drop("_bb")
+    )
 
 
 def band_key_sql(emb_expr: str, band: int) -> str:
@@ -92,14 +103,21 @@ def cosine_neardup_pairs(
     replicates the same buckets so results are still exact-matched.
     """
     banded = with_lsh_bands(emb_df, emb_col)
-    left = banded.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"), "band", "bkey")
-    right = banded.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"), "band", "bkey")
-    cand = (
+    # candidate dedup on the NARROW id pair (2 longs), embeddings joined
+    # back afterwards — the minhash/setsim discipline: the multi-band
+    # duplicate-pair distinct must not exchange 2 x EMBED_DIM doubles per
+    # row when 2 ids suffice
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    cand_ids = (
         left.join(right, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "emb_a", "emb_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    va = emb_df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
+    vb = emb_df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    cand = cand_ids.join(va, "id_a").join(vb, "id_b")
     return (
         cand.select(
             "id_a",
@@ -158,18 +176,29 @@ def topk_lsh(
     query — the 100 TB path (bucket-pruned candidate set per query)."""
     banded = with_lsh_bands(emb_df, emb_col)
     queries = banded.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"), "band", "bkey"
+        F.col(id_col).alias("query_id"), "band", "bkey"
     )
-    cand = (
+    # same narrow-distinct discipline as cosine_neardup_pairs: dedup the
+    # multi-band candidate pairs on ids, then join the embeddings back
+    # (the query side is a broadcast-sized id->embedding lookup)
+    cand_ids = (
         banded.join(F.broadcast(queries), ["band", "bkey"])
         .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", "q_emb", F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
+        .select("query_id", F.col(id_col).alias("vec_id"))
         .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "vec_id",
-        vectors.cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
+    q_emb = emb_df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    c_emb = emb_df.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
+    scored = (
+        cand_ids.join(F.broadcast(q_emb), "query_id")
+        .join(c_emb, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            vectors.cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -1001,13 +1030,24 @@ def topk_ivf_adc(
     m: int = PQ_M,
     ks: int = PQ_KS,
     index: IvfIndex | None = None,
+    codes: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al.): coarse IVF cell probe + PQ asymmetric-distance
     ranking — the composition production ANN systems actually deploy (a
     FAISS ``IVFx,PQy`` index). The coarse quantizer prunes the corpus to
     ``nprobe`` cells per query; within the probed cells candidates are
-    ranked by the ADC sum over their stored PQ codes, so the original
-    vectors are touched only at index-build time.
+    ranked by the ADC sum over their stored PQ codes.
+
+    The original vectors are touched only at index/code-BUILD time **when
+    the caller passes the persisted artifacts in**: production callers
+    must build ``codes`` (``(vec_id, j, cid)`` via :func:`_pq_codes`, or
+    re-derive from :func:`pq_encode` output) and ``codebook`` once,
+    persist them next to the :class:`IvfIndex`, and pass all three — then
+    a probe reads only cell-pruned PQ_M-byte code rows. The convenience
+    one-shot call (all three None, what the oracle-pinned fixture query
+    uses) encodes the corpus inline, which re-reads the raw vectors on
+    every call and does NOT amortize.
 
     Scale shape — the intersection of both parents' properties: centroids
     (K rows) and the per-query LUT (|queries| x m x ks) broadcast; the
@@ -1039,10 +1079,11 @@ def topk_ivf_adc(
         .select("query_id", "cell")
     )
 
-    cb = _pq_codebook(emb_df, id_col, emb_col, m, ks)
-    codes = _pq_codes(emb_df, id_col, emb_col, m, ks, codebook=cb).select(
-        F.col(id_col).alias("vec_id"), "j", "cid"
-    )
+    cb = codebook if codebook is not None else _pq_codebook(emb_df, id_col, emb_col, m, ks)
+    if codes is None:
+        codes = _pq_codes(emb_df, id_col, emb_col, m, ks, codebook=cb).select(
+            F.col(id_col).alias("vec_id"), "j", "cid"
+        )
     q_sub = _pq_subvectors(
         parallelized(emb_df).filter(F.col(id_col).isin(query_ids)),
         id_col,

@@ -633,6 +633,32 @@ def test_ivf_index_build_probe_split(spark, sf_dir):
     ]
 
 
+def test_ivfadc_prebuilt_codes_match_one_shot(spark, sf_dir):
+    """The amortized IVFADC contract: codes + codebook + index built once
+    and passed in must rank identically to the one-shot inline encode —
+    this is the path where probes never touch the raw vectors."""
+    from mssql2monetdb_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [3, 11, 19]
+    idx = similarity.ivf_build_index(emb).persist()
+    cb = similarity._pq_codebook(
+        emb, "vec_id", "embedding", similarity.PQ_M, similarity.PQ_KS
+    ).localCheckpoint()
+    codes = (
+        similarity._pq_codes(
+            emb, "vec_id", "embedding", similarity.PQ_M, similarity.PQ_KS, codebook=cb
+        )
+        .select("vec_id", "j", "cid")
+        .localCheckpoint()
+    )
+    prebuilt = similarity.topk_ivf_adc(
+        emb, qids, index=idx, codes=codes, codebook=cb
+    ).collect()
+    one_shot = similarity.topk_ivf_adc(emb, qids).collect()
+    assert prebuilt == one_shot
+
+
 def test_ivf_index_parquet_roundtrip(spark, sf_dir, tmp_path):
     """An index written to parquet (assignments partitioned by cell) probes
     identically to the in-memory one — the cluster-scale persistence path."""
