@@ -60,11 +60,15 @@ def with_lsh_bands(emb_df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     ONE scan of the source per consumer: every band's key is computed in
     a single projection as an array of (band, bkey) structs and exploded
     — the same shape dedup.lsh_bands uses. (The first draft unioned one
-    withColumn branch per band, i.e. LSH_BANDS scans PER CONSUMER with
-    the plane dot products recomputed in each; at the fixture's
-    LSH_BANDS=2 the plans tie — measured, 4 scans either way in
-    dedup_embedding_cosine — but production band counts of 8-32 multiply
-    the union form while the explode form stays flat.)"""
+    withColumn branch per band, i.e. LSH_BANDS scans PER CONSUMER.
+    Measured at production band counts — scripts/lsh_band_probe.py,
+    100k vectors, bands 2/8/16, interleaved min-of-3: WALL-TIME ties
+    (union/explode 1.12 / 0.77 / 0.91 — total plane-dot work is
+    identical and the HOF dot is interpreted in both shapes), but the
+    union form's parquet scan count grows 12 -> 36 -> 68 while the
+    explode form stays flat at 8. On local page-cached 51 MB files the
+    rescans are nearly free; against a 100 TB corpus on object storage
+    scan volume IS the cost, so the flat-scan shape wins at scale.)"""
     emb = F.col(emb_col)
     emb_df = parallelized(emb_df)
     entries = []
