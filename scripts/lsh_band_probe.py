@@ -3,9 +3,11 @@
 The round-5 flatten (452d23c) replaced the per-band union (LSH_BANDS
 source scans per consumer) with a single projection that explodes
 (band, bkey) structs.  At the fixture's 2 bands the plans tie — that
-was measured when the change landed — but the docstring claims the
-union form "multiplies at production band counts of 8-32" without a
-measurement.  This probe supplies it: both forms, same synthetic
+was measured when the change landed — but the docstring originally
+claimed the union form "multiplies at production band counts of 8-32"
+without a measurement.  This probe supplied it (results now in the
+docstring + SCALE.md: wall ties, SCAN COUNT multiplies — the refuted
+wall-time claim was rewritten): both forms, same synthetic
 hyperplanes, same downstream consumer shape (cosine_neardup_pairs'
 narrow-pair candidate distinct + embedding join-back), at --bands
 2/8/16, on a cloned sf0.1 embeddings corpus, interleaved min-of-N.
@@ -15,8 +17,12 @@ physical plan, and the candidate-pair count (must be EQUAL between
 forms at the same band count — the two shapes are semantically
 identical by construction).
 
-Usage: python scripts/lsh_band_probe.py [--factor 50] [--bands 2,8,16]
-       [--reps 3] [--bits 4]
+Usage: SPARK_GRAFT_DRIVER_MEM=20g python scripts/lsh_band_probe.py
+       [--factor 50] [--bands 2,8,16] [--reps 3] [--bits 12]
+
+Keep --bits high (default 12 = 4096 buckets/band): low bit counts make
+buckets quadratically heavy and the candidate join swamps the banding
+cost being measured (at --bits 4 the self-join OOMs a 20g heap).
 """
 from __future__ import annotations
 
@@ -123,7 +129,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=50)
     ap.add_argument("--bands", default="2,8,16")
-    ap.add_argument("--bits", type=int, default=4)
+    ap.add_argument("--bits", type=int, default=12)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
