@@ -678,20 +678,26 @@ def bpe_apply_first_merge(docs: DataFrame, *, k: int = 20, text_col: str = "text
         F.concat(F.lit(" "), F.col("ma"), F.col("mb")),
     )
     merged_sym = F.split(F.substring(merged_str, 2, 1 << 30), " ")
+    # A 2-symbol token whose whole body IS the top pair (e.g. 'a' + '</w>')
+    # merges down to ONE symbol and contributes no pairs to the recount.
+    # The guard is load-bearing: Spark's sequence(1, 0) is a DESCENDING
+    # [1, 0] (DuckDB's generate_series(1, 0) is empty), so the unguarded
+    # transform indexes element 2 of a 1-element array — an ANSI crash
+    # (pre-ANSI: a spurious NULL pair row the oracle never produces).
+    # Found by scripts/edge_corpus_probe.py.
+    recount = F.when(
+        F.size("s") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("s") - 1),
+            lambda i: F.concat(
+                F.element_at("s", i), F.lit(" "), F.element_at("s", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     pairs = (
         vocab.crossJoin(F.broadcast(top1))
         .select("tok_n", merged_sym.alias("s"))
-        .select(
-            "tok_n",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("s") - 1),
-                    lambda i: F.concat(
-                        F.element_at("s", i), F.lit(" "), F.element_at("s", i + 1)
-                    ),
-                )
-            ).alias("pair"),
-        )
+        .select("tok_n", F.explode(recount).alias("pair"))
     )
     return (
         pairs.groupBy("pair")

@@ -27,7 +27,7 @@ def rollup_level(df: DataFrame, ts_col: str, value_col: str, grain: str) -> Data
         df.groupBy(F.date_trunc(grain, F.col(ts_col)).alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col(value_col).cast("decimal(24,8)")).alias("sum_value_dec"),
+            F.sum(F.col(value_col).cast("decimal(30,8)")).alias("sum_value_dec"),
         )
     )
 

@@ -554,7 +554,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH hourly AS (
             SELECT date_trunc('hour', ts) AS bucket,
                    COUNT(*) AS n_events,
-                   SUM(CAST(value AS DECIMAL(24,8))) AS s
+                   SUM(CAST(value AS DECIMAL(30,8))) AS s
             FROM events GROUP BY 1
         ), daily AS (
             SELECT date_trunc('day', bucket) AS bucket,

@@ -29,7 +29,7 @@ from .registry import query
                SUBSTRING(c_name, 1, 8) AS name_prefix,
                c_name || '/' || c_mktsegment AS name_seg,
                REPLACE(c_name, 'Customer', 'Cust') AS name_short,
-               CAST(REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+               TRY_CAST(REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
                CONTAINS(c_name, '#00000000') AS is_low_key,
                LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded
         FROM customer ORDER BY c_custkey
@@ -49,7 +49,9 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("c_name", 1, 8).alias("name_prefix"),
         F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
         F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
-        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("bigint").alias("name_num"),
+        # try_cast: a digitless name extracts '' and a plain CAST is an ANSI
+        # crash; NULL in both engines instead (scripts/edge_corpus_probe.py)
+        F.regexp_extract("c_name", r"([0-9]+)", 1).try_cast("bigint").alias("name_num"),
         F.col("c_name").contains("#00000000").alias("is_low_key"),
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
     ).orderBy("c_custkey")
@@ -161,7 +163,7 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id,
                json_extract_string(props, '$.k') AS k_str,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
         FROM events ORDER BY event_id
     """,
 )
@@ -173,7 +175,9 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         k.alias("k_str"),
-        k.cast("bigint").alias("k_int"),
+        # try_cast: '$.k' can hold a non-numeric string; NULL, not an ANSI
+        # cast crash (scripts/edge_corpus_probe.py)
+        k.try_cast("bigint").alias("k_int"),
     ).orderBy("event_id")
 
 

@@ -2,9 +2,12 @@
 
 Floating-point SUM/AVG are order-dependent; at cluster scale Spark's partial
 aggregation order is nondeterministic, so hash-stable results require exact
-arithmetic. Doubles are cast to DECIMAL(24,8) (exact, associative), summed,
+arithmetic. Doubles are cast to DECIMAL(30,8) (exact, associative), summed,
 and the final value cast back to DOUBLE — the same exact decimal converts to
-the same double in every engine.
+the same double in every engine. Precision 30 admits per-row magnitudes up
+to 1e22 (a 24,8 cast overflowed — ANSI error — on a hostile corpus with
+value = 1e18; scripts/edge_corpus_probe.py) while the engine-side SUM still
+widens within the 38-digit cap in both engines.
 """
 
 from __future__ import annotations
@@ -13,7 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
-DEC = DecimalType(24, 8)
+DEC = DecimalType(30, 8)
 
 
 def dsum(col: Column | str, alias: str) -> Column:
@@ -33,8 +36,8 @@ def davg(col: Column | str, alias: str) -> Column:
 
 
 def oracle_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(24,8))) AS DOUBLE) AS {alias}"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE) AS {alias}"
 
 
 def oracle_davg(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(24,8))) AS DOUBLE) / COUNT({expr}) AS {alias}"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE) / COUNT({expr}) AS {alias}"

@@ -788,7 +788,7 @@ def order_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH planned AS (
             SELECT doc_id, source,
-                   0.5 + (CAST(substr(source, 4) AS INTEGER) % 4) * 0.75 AS epochs,
+                   0.5 + (TRY_CAST(substr(source, 4) AS INTEGER) % 4) * 0.75 AS epochs,
                    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS h
             FROM documents
         ), sized AS (
@@ -823,7 +823,11 @@ def mix_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     planned = t.documents.select(
         "doc_id",
         "source",
-        (F.lit(0.5) + (F.expr("CAST(substring(source, 4) AS INT)") % 4) * F.lit(0.75)).alias("epochs"),
+        # try_cast: a source name without a numeric suffix has no epoch plan
+        # — NULL epochs means the doc is dropped by the n_copies >= 1 filter
+        # (and the oracle's generate_series(1, NULL) unnests to zero rows),
+        # identically in both engines, instead of an ANSI cast crash
+        (F.lit(0.5) + (F.expr("TRY_CAST(substring(source, 4) AS INT)") % 4) * F.lit(0.75)).alias("epochs"),
         (hashing.md5_int60(F.col("doc_id").cast("string")) % 1000).alias("h"),
     )
     sized = planned.select(

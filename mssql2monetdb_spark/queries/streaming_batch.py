@@ -70,13 +70,13 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_windows",
     oracle="""
         WITH flagged AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS is_new
             FROM events
         ), sessions AS (
-            SELECT user_id, ts,
-                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, is_new
+            SELECT user_id, ts, event_id,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS UNBOUNDED PRECEDING) AS sess
             FROM flagged
         )
@@ -91,7 +91,14 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a 10-minute gap per user — Spark's
     ``session_window``; the oracle is the classic gaps-and-islands rewrite
-    (session_end = last event + gap, matching Spark's definition)."""
+    (session_end = last event + gap, matching Spark's definition).
+
+    The running-sum window's tie order must MATCH the lag window's
+    (ts, event_id) — an earlier draft ordered it (ts, is_new), which on
+    TIED timestamps ran the boundary flags in a different order than they
+    were computed in and split a tied pair into two sessions
+    (scripts/edge_corpus_probe.py caught the off-by-one row count; the
+    driver fixtures have no tied (user_id, ts) pairs)."""
     t = Tables(spark, sf_dir)
     return (
         t.events.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))

@@ -58,7 +58,7 @@ def windowed_counts_stream(events: DataFrame, *, watermark: str = "1 hour") -> D
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(24,8)")).cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("w_start"), "n_events", "sum_value")
     )
@@ -107,7 +107,7 @@ def enriched_windowed_stream(
         enriched.groupBy(F.window("ts", "1 hour").alias("w"), F.col(segment_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(24,8)")).cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("w_start"),

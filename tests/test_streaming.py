@@ -44,7 +44,7 @@ def test_windowed_counts_matches_batch(spark, stream_src, tmp_path):
             .groupBy(F.window("ts", "1 hour").alias("w"))
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.sum(F.col("value").cast("decimal(24,8)")).cast("double").alias("sum_value"),
+                F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("sum_value"),
             )
             .select(F.col("w.start").alias("w_start"), "n_events", "sum_value")
             .collect()
@@ -208,7 +208,7 @@ def test_enriched_stream_matches_batch(spark, stream_src, tmp_path):
         .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(24,8)")).cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("w_start"),
