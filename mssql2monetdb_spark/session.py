@@ -77,7 +77,9 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
 
     The correctness driver constructs its own SparkSession; query callables
     route through this so results stay deterministic (UTC) and adaptive
-    execution is on even when the outer session didn't set it.
+    execution is on even when the outer session didn't set it.  On a
+    non-local master this also ships the package zip to executors so
+    by-reference-pickled UDF helpers import there (engine/deploy.py).
     """
     for key in _RUNTIME_CONF:
         if key in _BUILD_CONF:
@@ -85,4 +87,7 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
                 spark.conf.set(key, _BUILD_CONF[key])
             except Exception:  # pragma: no cover - conf may be static
                 pass
+    from .engine.deploy import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     return spark

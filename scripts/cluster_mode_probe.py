@@ -1,0 +1,89 @@
+"""True multi-executor conformance sweep via ``local-cluster`` mode.
+
+``local[*]`` runs every task in the driver JVM: broadcasts are never
+serialized, Python workers share one process tree, and closure/codec
+bugs hide.  Spark's ``local-cluster[N,cores,mem]`` master launches N
+REAL executor JVMs with the full RPC/serialization/broadcast/shuffle
+stack — the closest a single machine gets to a 1000-executor cluster's
+execution semantics.
+
+This probe re-runs every registry query on ``local-cluster[2,2,2048]``
+and compares against the same DuckDB oracle the driver gate uses.  A
+query that passes here has survived: TorrentBroadcast serialization,
+cross-process shuffle fetch, per-executor Python worker spawn (pandas
+UDFs / applyInPandas / UDTFs), and task-closure pickling.
+
+Usage: cluster_mode_probe.py [--sf-dir DIR] [--only q1,q2,...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+# Executor-side Python workers must resolve to THIS interpreter, not a
+# bare `python3` from PATH inside the launched executor JVMs.
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+
+from pyspark.sql import SparkSession
+
+from oracle_harness import duckdb_connection, compare_frames
+
+
+def _flag(name, default):
+    if name in sys.argv:
+        i = sys.argv.index(name)
+        if i + 1 >= len(sys.argv):
+            sys.exit(f"error: {name} requires a value")
+        return sys.argv[i + 1]
+    return default
+
+
+SF_DIR = _flag("--sf-dir", "/root/testdata/sf0.001")
+ONLY = _flag("--only", None)
+ONLY = set(ONLY.split(",")) if ONLY else None
+
+spark = (
+    SparkSession.builder.appName("cluster-mode-probe")
+    .master("local-cluster[2,2,2048]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as mod
+
+qs = mod.queries()
+osql = mod.oracle_sql()
+if ONLY is not None:
+    unknown = sorted(ONLY - set(qs))
+    if unknown:
+        sys.exit(f"error: --only names not in queries(): {unknown}")
+    qs = {k: v for k, v in qs.items() if k in ONLY}
+
+duck = duckdb_connection(SF_DIR)
+bad = []
+for name, fn in sorted(qs.items()):
+    try:
+        spdf = fn(spark, SF_DIR).toPandas()
+    except Exception as e:  # noqa: BLE001 — a crash IS the finding here
+        print(f"  {name}: ERROR {type(e).__name__}: {str(e).splitlines()[0][:200]}", flush=True)
+        bad.append(name)
+        continue
+    if name in osql:
+        opdf = duck.sql(osql[name]).df()
+        probs = compare_frames(spdf, opdf)
+        status = "MATCH" if not probs else "MISMATCH: " + "; ".join(probs)
+    else:
+        status = f"rows-only ({len(spdf)} rows)"
+    if "MISMATCH" in status:
+        bad.append(name)
+    print(f"  {name}: {status}", flush=True)
+
+print("RESULT:", "ALL MATCH" if not bad else f"FAILURES: {bad}")
+sys.exit(1 if bad else 0)

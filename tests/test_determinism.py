@@ -67,3 +67,45 @@ def test_dedup_invariant_under_input_partitioning(spark):
     assert pairs(docs.repartition(3)) == pairs(docs.repartition(24))
     assert chunks(docs.repartition(3)) == chunks(docs.repartition(24))
     assert len(pairs(docs.repartition(3))) > 0
+
+
+# The on-disk layout of the input — row order inside files, file count,
+# file listing order — is owned by whoever compacted the data last, never
+# by the query. scripts/invariance_probe.py sweeps ALL queries over a
+# row-shuffled re-filed copy (768 comparisons, recorded in SCALE.md);
+# this pins the cheap regression subset: the queries whose semantics
+# mention "first"/collected order and would be the first to break.
+PERMUTED_QUERIES = [
+    "window_lag_lead",  # first() over a window
+    "window_first_last_nth",  # first/last/nth_value frames
+    "stream_dedup_first",  # keep-first dedup semantics
+    "agg_array_collect",  # collect_list must be order-disciplined
+    "agg_string_agg",  # ordered string aggregation
+    "dedup_chunk_substring",  # chunk reassembly across splits
+]
+
+
+@pytest.fixture(scope="module")
+def permuted_sf(spark, tmp_path_factory):
+    """Row-shuffled, 4-files-per-table copy of the sf0.001 fixture dir."""
+    from pyspark.sql import functions as F
+
+    from mssql2monetdb_spark.catalog import TABLE_NAMES
+
+    dst = tmp_path_factory.mktemp("permuted_sf")
+    for name in TABLE_NAMES:
+        (
+            spark.read.parquet(f"{SF}/{name}.parquet")
+            .orderBy(F.rand(seed=7))
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(str(dst / f"{name}.parquet"))
+        )
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", PERMUTED_QUERIES)
+def test_result_invariant_under_input_permutation(spark, permuted_sf, name):
+    base = [tuple(r) for r in REGISTRY[name].build(spark, SF).collect()]
+    perm = [tuple(r) for r in REGISTRY[name].build(spark, permuted_sf).collect()]
+    assert base == perm and len(base) > 0
