@@ -13,7 +13,20 @@ query that passes here has survived: TorrentBroadcast serialization,
 cross-process shuffle fetch, per-executor Python worker spawn (pandas
 UDFs / applyInPandas / UDTFs), and task-closure pickling.
 
+With ``--master local-cluster[2,2,1024]`` (or any other shape) the same
+sweep doubles as a small-executor probe (1 GB executors must still
+complete and match at sf0.1).  ``--force-spill`` goes further: it drops
+Spark's internal spill thresholds to toy sizes so EVERY sort, window
+buffer, sort-merge-join buffer, and hash aggregate actually takes the
+spill / sort-fallback path regardless of data size — local fixtures fit
+in memory, so without this the spill code never runs.  At 100 TB a
+partition that outgrows execution memory is routine; matching the
+oracle while force-spilling proves the operators' results don't depend
+on staying memory-resident.
+
 Usage: cluster_mode_probe.py [--sf-dir DIR] [--only q1,q2,...]
+                             [--master local-cluster[2,2,2048]]
+                             [--force-spill]
 """
 from __future__ import annotations
 
@@ -43,17 +56,51 @@ def _flag(name, default):
 
 
 SF_DIR = _flag("--sf-dir", "/root/testdata/sf0.001")
+MASTER = _flag("--master", "local-cluster[2,2,2048]")
 ONLY = _flag("--only", None)
 ONLY = set(ONLY.split(",")) if ONLY else None
 
-spark = (
+FORCE_SPILL = "--force-spill" in sys.argv
+# Rows an operator buffers before spilling. 1024 forces spill runs on
+# every non-trivial partition while keeping the merge fan-in sane; toy
+# values (64) additionally expose a RESOURCE limit, not a correctness
+# one — each spill run costs a 1 MB reader buffer at merge time, so a
+# 20k-row window partition shredded into 64-row runs OOMs the executor
+# on merge-reader buffers alone (measured: the three largest-window-
+# partition queries die at 64, all MATCH at 1024 — SCALE.md).
+SPILL_ROWS = _flag("--spill-threshold", "1024")
+
+builder = (
     SparkSession.builder.appName("cluster-mode-probe")
-    .master("local-cluster[2,2,2048]")
+    .master(MASTER)
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.ui.enabled", "false")
     .config("spark.ui.showConsoleProgress", "false")
-    .getOrCreate()
 )
+if FORCE_SPILL:
+    # Internal thresholds (see SQLConf / package.scala in the Spark
+    # source): rows an operator buffers in memory before spilling to
+    # disk.  Forced-low values exercise the spill / fallback path even
+    # though local fixtures would comfortably fit in memory.
+    for key, val in {
+        # UnsafeExternalSorter: spill every N records (sorts, shuffles)
+        "spark.shuffle.spill.numElementsForceSpillThreshold": SPILL_ROWS,
+        # window frames buffer each partition's rows
+        "spark.sql.windowExec.buffer.in.memory.threshold": SPILL_ROWS,
+        "spark.sql.windowExec.buffer.spill.threshold": SPILL_ROWS,
+        # sort-merge-join buffers the matching right-side rows per key
+        "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold": SPILL_ROWS,
+        "spark.sql.sortMergeJoinExec.buffer.spill.threshold": SPILL_ROWS,
+        # cartesian products (broadcast-scalar crossJoins in the corpus)
+        "spark.sql.cartesianProductExec.buffer.in.memory.threshold": SPILL_ROWS,
+        "spark.sql.cartesianProductExec.buffer.spill.threshold": SPILL_ROWS,
+        # ObjectHashAggregate (collect_list/collect_set paths): fall back
+        # to sort-based aggregation after N in-memory rows
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "16",
+    }.items():
+        builder = builder.config(key, val)
+
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as mod
