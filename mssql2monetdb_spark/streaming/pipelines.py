@@ -173,15 +173,29 @@ def upsert_stream_available_now(
     clock), so retried batches overwrite their own version dir —
     foreachBatch's at-least-once becomes effectively exactly-once because
     the merge re-reads the last PUBLISHED version, not the failed write.
+    One replay case needs an explicit guard: after a crash that lands
+    BETWEEN publish and the checkpoint commit, the replayed batch's
+    version IS the currently published one — merging would lazily read
+    the very directory ``write_version`` then overwrites (observed as
+    FAILED_READ_FILE mid-job). Since the version name is deterministic,
+    "my version is already published" proves the batch completed —
+    skip it (the committed-batch check that turns at-least-once into
+    exactly-once, same idea as a transactional sink's epoch ledger).
+    Pinned by ``tests/test_streaming.py::test_upsert_stream_replay_is_
+    idempotent`` (checkpoint wipe = every batch replays).
     """
     from datetime import datetime, timedelta
 
     from pyspark.sql.window import Window
 
+    from ..engine.publish import physical_name
     from ..operators.upsert import upsert_scd1
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        load_date = datetime(2024, 1, 1) + timedelta(seconds=int(batch_id))
+        if catalog.current_version(schema, table) == physical_name(table, load_date):
+            return  # batch already merged AND published: replay is a no-op
         w = Window.partitionBy(key).orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
@@ -195,7 +209,6 @@ def upsert_stream_available_now(
             merged = upsert_scd1(existing, latest, key)
         else:
             merged = latest
-        load_date = datetime(2024, 1, 1) + timedelta(seconds=int(batch_id))
         physical = catalog.write_version(merged, schema, table, load_date)
         catalog.publish(spark, schema, table, physical)
 

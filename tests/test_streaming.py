@@ -273,6 +273,48 @@ def test_upsert_stream_incremental_batches_match_batch_scd1(spark, tmp_path):
     assert got == want
 
 
+def test_upsert_stream_replay_is_idempotent(spark, tmp_path):
+    """Crash-recovery semantics: foreachBatch is at-least-once, so after a
+    checkpoint loss Structured Streaming REPLAYS committed work. The SCD-1
+    sync claims replayed epochs are idempotent (deterministic version
+    names + merge against the PUBLISHED version); prove it by draining
+    once, wiping the checkpoint (the maximal replay: every batch re-runs
+    against the already-published table), draining again, and asserting
+    the published table is bit-identical."""
+    from mssql2monetdb_spark.engine.publish import VersionedCatalog
+    from mssql2monetdb_spark.streaming.pipelines import (
+        events_stream,
+        upsert_stream_available_now,
+    )
+
+    src = tmp_path / "in"
+    load_table(spark, SF, "events").coalesce(2).write.mode("overwrite").parquet(
+        str(src)
+    )
+    catalog = VersionedCatalog(str(tmp_path / "wh"))
+    stream = events_stream(spark, str(src))
+
+    upsert_stream_available_now(
+        stream, catalog, "main", "user_state", str(tmp_path / "ckpt")
+    )
+    before = sorted(
+        tuple(r) for r in catalog.table_at(spark, "main", "user_state").collect()
+    )
+    assert len(before) > 0
+
+    # checkpoint loss -> every source file replays from scratch
+    import shutil
+
+    shutil.rmtree(tmp_path / "ckpt")
+    upsert_stream_available_now(
+        stream, catalog, "main", "user_state", str(tmp_path / "ckpt2")
+    )
+    after = sorted(
+        tuple(r) for r in catalog.table_at(spark, "main", "user_state").collect()
+    )
+    assert after == before
+
+
 def test_stream_stream_interval_join_matches_batch(spark, stream_src, tmp_path):
     """Stream-stream inner interval join (clicks x purchases within 30 min)
     drains to exactly the batch join's matches — the two-unbounded-sides
