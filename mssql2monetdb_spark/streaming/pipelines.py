@@ -40,10 +40,19 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, source_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over parquet event files: each new file is a
-    micro-batch (the streaming analog of the reference's per-poll extract)."""
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    micro-batch (the streaming analog of the reference's per-poll extract).
+
+    ``max_files_per_trigger`` bounds each micro-batch's file count — the
+    production backpressure knob, and what the replay tests use to force
+    a multi-batch drain."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(source_dir)
 
 
 def windowed_counts_stream(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:

@@ -24,6 +24,14 @@ partition that outgrows execution memory is routine; matching the
 oracle while force-spilling proves the operators' results don't depend
 on staying memory-resident.
 
+(A ``--speculation`` mode was tried and removed: even with quantile 0,
+multiplier 0.1, minTaskRuntime 0 and 20 ms checks, zero speculative
+attempts fired on local-cluster shapes — fixture tasks finish before
+the speculation scheduler can launch a copy, so the sweep would have
+been vacuous evidence.  Task re-execution determinism is covered
+non-vacuously by ``executor_loss_probe.py``, whose SIGKILLs force real
+task re-runs.)
+
 Usage: cluster_mode_probe.py [--sf-dir DIR] [--only q1,q2,...]
                              [--master local-cluster[2,2,2048]]
                              [--force-spill]

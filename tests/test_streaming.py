@@ -315,6 +315,47 @@ def test_upsert_stream_replay_is_idempotent(spark, tmp_path):
     assert after == before
 
 
+def test_upsert_stream_multi_batch_replay_is_idempotent(spark, tmp_path):
+    """Same replay property when the drain is MULTI-batch
+    (maxFilesPerTrigger=1): the committed-batch guard only short-circuits
+    the batch whose version is currently published; every EARLIER batch
+    re-runs its merge against the complete published state, and content
+    must still come out bit-identical (last-write-wins re-merge of
+    already-merged rows)."""
+    from mssql2monetdb_spark.engine.publish import VersionedCatalog
+    from mssql2monetdb_spark.streaming.pipelines import (
+        events_stream,
+        upsert_stream_available_now,
+    )
+
+    src = tmp_path / "in"
+    load_table(spark, SF, "events").repartition(3).write.mode("overwrite").parquet(
+        str(src)
+    )
+    catalog = VersionedCatalog(str(tmp_path / "wh"))
+    stream = events_stream(spark, str(src), max_files_per_trigger=1)
+
+    upsert_stream_available_now(
+        stream, catalog, "main", "user_state", str(tmp_path / "ckpt")
+    )
+    versions = catalog.table_versions("main", "user_state")
+    assert len(versions) >= 3, f"expected a multi-batch drain, got {versions}"
+    before = sorted(
+        tuple(r) for r in catalog.table_at(spark, "main", "user_state").collect()
+    )
+
+    import shutil
+
+    shutil.rmtree(tmp_path / "ckpt")
+    upsert_stream_available_now(
+        stream, catalog, "main", "user_state", str(tmp_path / "ckpt2")
+    )
+    after = sorted(
+        tuple(r) for r in catalog.table_at(spark, "main", "user_state").collect()
+    )
+    assert after == before
+
+
 def test_stream_stream_interval_join_matches_batch(spark, stream_src, tmp_path):
     """Stream-stream inner interval join (clicks x purchases within 30 min)
     drains to exactly the batch join's matches — the two-unbounded-sides
