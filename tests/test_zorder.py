@@ -38,6 +38,40 @@ def test_zvalue_bit_budget_guard():
         zvalue([ZCol(c, 0, 1) for c in "abcde"], bits=16)  # 5*16 = 80 > 63
 
 
+def test_zvalue_matches_python_morton_reference(spark):
+    """Randomized cross-check of the Spark expression against a plain
+    Python Morton encoder — the column expression builds the z-value from
+    shiftleft/shiftright bit ops whose correctness the exact-pattern test
+    covers only at 2 bits; this drives 12-bit codes over random points
+    (one Spark job for the whole batch, not one per example)."""
+    import random
+
+    rng = random.Random(42)
+    bits, lo, hi = 12, 0.0, 1000.0
+    pts = [(rng.uniform(lo, hi), rng.uniform(lo, hi)) for _ in range(300)]
+    pts += [(lo, lo), (hi, hi), (lo, hi), (hi, lo)]  # clamp corners
+
+    def norm(v):
+        frac = min(1.0, max(0.0, (v - lo) / (hi - lo)))
+        return min((1 << bits) - 1, int(frac * (1 << bits)))
+
+    def morton(x, y):
+        z = 0
+        for b in range(bits):
+            z |= ((norm(x) >> b) & 1) << (2 * b)
+            z |= ((norm(y) >> b) & 1) << (2 * b + 1)
+        return z
+
+    specs = [ZCol("x", lo, hi), ZCol("y", lo, hi)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = [
+        r["z"]
+        for r in df.select(zvalue(specs, bits=bits).alias("z")).collect()
+    ]
+    want = [morton(x, y) for x, y in pts]
+    assert got == want
+
+
 def _per_file_spans(path: str, col: str) -> list[float]:
     spans = []
     for f in glob.glob(f"{path}/*.parquet"):
