@@ -72,7 +72,7 @@ def test_dedup_invariant_under_input_partitioning(spark):
 # The on-disk layout of the input — row order inside files, file count,
 # file listing order — is owned by whoever compacted the data last, never
 # by the query. scripts/invariance_probe.py sweeps ALL queries over a
-# row-shuffled re-filed copy (768 comparisons, recorded in SCALE.md);
+# row-shuffled re-filed copy (960 comparisons per SF, recorded in SCALE.md);
 # this pins the cheap regression subset: the queries whose semantics
 # mention "first"/collected order and would be the first to break.
 PERMUTED_QUERIES = [
