@@ -41,15 +41,20 @@ from . import tpch_full  # noqa: E402,F401
 #   slot  2     the round-5 growth-budget addition (events_sessionize_
 #               bounded — the hot-key window mitigation SCALE.md
 #               documented; oracle identical to events_sessionize);
-#   slot  3     the one round-5 changed-code re-verify: text_tfidf_topk
+#   slots 3-4   the round-5 changed-code re-verifies: text_tfidf_topk
 #               gained the adaptive df-broadcast guard (output-identical
 #               by construction — the guard only drops a join hint — and
-#               re-driven locally post-change);
-#   slots 4-49  STEADY-STATE CANARY ROTATION, least-recently-verified
-#               first: all 45 queries whose latest verdict is round 1,
-#               then the oldest round-2 query in registration order
-#               (join_anti). Next rounds continue down the age order —
-#               see NEXT_WINDOW_QUEUE.
+#               re-driven locally post-change); sketch_quantile_histogram's
+#               exact side was rewritten from a global-window rank to a
+#               distributed two-pass bucketed selection (bit-identical
+#               output, same oracle; re-driven locally at sf0.01/sf0.1,
+#               edge corpus, all five invariance modes, and the
+#               previously-OOMing forced-spill local-cluster case);
+#   slots 5-49  STEADY-STATE CANARY ROTATION, least-recently-verified
+#               first: all 45 queries whose latest verdict is round 1.
+#               The displaced oldest-round-2 canary (join_anti) moves to
+#               the head of NEXT_WINDOW_QUEUE. Next rounds continue down
+#               the age order.
 #
 # Vacuity audit (round 5, sf0.01): every window oracle returns >0 rows —
 # checked by test_window_oracles_non_vacuous on every commit.
@@ -59,8 +64,10 @@ GATE_PRIORITY = [
     "dedup_setsim_exact",
     # round-5 growth-budget addition
     "events_sessionize_bounded",
-    # round-5 changed-code re-verify (adaptive broadcast guard)
+    # round-5 changed-code re-verifies (adaptive broadcast guard;
+    # two-pass exact-quantile selection)
     "text_tfidf_topk",
+    "sketch_quantile_histogram",
     # canaries: every latest-verdict-round-1 query, registration order
     "scan_lineitem",
     "projection",
@@ -107,8 +114,6 @@ GATE_PRIORITY = [
     "asof_join_events",
     "agg_variance_exact",
     "agg_mode_deterministic",
-    # oldest round-2 canary (registration order) fills the last slot
-    "join_anti",
 ]
 
 GATE_WINDOW = 50
@@ -129,6 +134,9 @@ GATE_WINDOW = 50
 # policy: the remaining 43 round-2-verdict queries (registration order),
 # then the oldest round-3 verdicts.
 NEXT_WINDOW_QUEUE = [
+    # displaced from the round-5 window by the sketch_quantile_histogram
+    # changed-code re-verify: the oldest round-2 canary goes first next
+    "join_anti",
     "agg_tpch_q1",
     "agg_approx_count_distinct",
     "agg_array_collect",

@@ -1598,30 +1598,71 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile estimation from a 256-bucket equi-width histogram sketch
     (operators/sketch.py) beside the exact rank-based quantile: P50/P90/
     P99 of l_extendedprice with error bounded by one bucket width. The
-    sketch is the product (bounded state, mergeable by adding counters);
-    the exact side is verification-only — its global rank is the cost the
-    sketch avoids at 100 TB."""
+    sketch is the product (bounded state, mergeable by adding counters).
+
+    The exact side is a DISTRIBUTED two-pass selection, not a global
+    window: the histogram's own bucket counts locate, for each q, the
+    bucket containing global rank ceil(q*n) and the residual rank inside
+    it; only those <= 3 buckets' rows (~n/256 each) are then ranked, in
+    per-q window partitions. Equi-width bucketing is monotone in the
+    value, so within-bucket rank == global rank minus the preceding
+    buckets' count — bit-identical to the old global-window selection
+    (same oracle), but the largest sort partition shrinks from n to
+    ~n/256. (Round-5 forced-spill probes OOM'd the global-window version
+    at sf0.1 on 2 GB executors; this shape survives it. Degenerate
+    all-one-bucket distributions fall back to the old cost, no worse.)"""
     from pyspark.sql.window import Window
 
     from ..operators import sketch as sk
 
     t = Tables(spark, sf_dir)
     li = t.lineitem.select("l_extendedprice")
-    est = sk.quantile_estimates(
-        sk.quantile_histogram(li, "l_extendedprice"), QH_QS
-    )
-    w_rank = Window.orderBy("l_extendedprice")
-    ranked = li.select(
-        F.col("l_extendedprice").alias("v"),
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    hist = sk.quantile_histogram(li, "l_extendedprice")
+    est = sk.quantile_estimates(hist, QH_QS)
+
+    # pass 1 locates, on the <=256-row histogram, each q's target bucket
+    # and the rank remaining inside it
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        "lo",
+        "w",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
     )
     qdf = spark.createDataFrame([(q,) for q in QH_QS], "q double")
-    exact = (
-        ranked.crossJoin(F.broadcast(qdf))
-        .filter(F.col("rn") == F.ceil(F.col("q") * F.col("n")))
+    targets = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
         .groupBy("q")
-        .agg(F.min("v").alias("exact"))
+        .agg(F.min(F.struct("bucket", "cum", "c", "lo", "w", "n")).alias("t"))
+        .select(
+            "q",
+            F.col("t.bucket").alias("bucket"),
+            (
+                F.ceil(F.col("q") * F.col("t.n")) - (F.col("t.cum") - F.col("t.c"))
+            ).alias("residual"),
+            F.col("t.lo").alias("lo"),
+            F.col("t.w").alias("w"),
+        )
+    )
+
+    # pass 2 re-buckets the rows with the SAME (lo, w) frame and ranks
+    # only the target buckets' rows, partitioned per q
+    b = F.least(
+        F.lit(sk.QH_BUCKETS - 1),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / F.col("w")),
+        ),
+    )
+    bucketed = li.crossJoin(F.broadcast(targets)).filter(b == F.col("bucket"))
+    w_in = Window.partitionBy("q").orderBy("l_extendedprice")
+    exact = (
+        bucketed.withColumn("rn", F.row_number().over(w_in))
+        .filter(F.col("rn") == F.col("residual"))
+        .select("q", F.col("l_extendedprice").alias("exact"))
     )
     return est.join(exact, "q").select("q", "est", "exact").orderBy("q")
 
