@@ -606,6 +606,11 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) by account balance — the unpartitioned ORDER BY is
+    NTILE's declared SQL semantics (one global ordering), which makes it
+    a single-window-partition operator by definition. At 100 TB tile a
+    derived bounded relation (a value histogram, as the exact-quantile
+    rewrite in extensions.py does) or a per-key partition instead."""
     t = Tables(spark, sf_dir)
     w = Window.orderBy("c_acctbal", "c_custkey")
     return t.customer.select("c_custkey", F.ntile(4).over(w).alias("quartile")).orderBy("c_custkey")

@@ -229,7 +229,11 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank / cume_dist / nth_value analytic windows."""
+    """percent_rank / cume_dist / nth_value analytic windows. The
+    unpartitioned PERCENT_RANK/CUME_DIST ordering is those functions'
+    declared SQL semantics (a single global window partition); at 100 TB
+    compute ranks against a bounded value histogram instead (the
+    two-pass shape of the exact-quantile rewrite in extensions.py)."""
     t = Tables(spark, sf_dir)
     w_global = Window.orderBy("c_acctbal", "c_custkey")
     w_nation = (
