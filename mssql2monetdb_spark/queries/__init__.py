@@ -65,9 +65,12 @@ GATE_PRIORITY = [
     # round-5 growth-budget addition
     "events_sessionize_bounded",
     # round-5 changed-code re-verifies (adaptive broadcast guard;
-    # two-pass exact-quantile selection)
+    # two-pass exact-quantile selection; q18 single-decimal-sum rewrite
+    # after the DEC(30,8) widening un-shared its two aggregate casts —
+    # measured +40%, fixed back to parity, see SCALE.md)
     "text_tfidf_topk",
     "sketch_quantile_histogram",
+    "tpch_q18_large_orders",
     # canaries: every latest-verdict-round-1 query, registration order
     "scan_lineitem",
     "projection",
@@ -113,7 +116,6 @@ GATE_PRIORITY = [
     "sample_deterministic_hash",
     "asof_join_events",
     "agg_variance_exact",
-    "agg_mode_deterministic",
 ]
 
 GATE_WINDOW = 50
@@ -134,8 +136,10 @@ GATE_WINDOW = 50
 # policy: the remaining 43 round-2-verdict queries (registration order),
 # then the oldest round-3 verdicts.
 NEXT_WINDOW_QUEUE = [
-    # displaced from the round-5 window by the sketch_quantile_histogram
-    # changed-code re-verify: the oldest round-2 canary goes first next
+    # displaced from the round-5 window by changed-code re-verifies
+    # (sketch_quantile_histogram, tpch_q18_large_orders): the displaced
+    # round-1 canary and the oldest round-2 canary go first next round
+    "agg_mode_deterministic",
     "join_anti",
     "agg_tpch_q1",
     "agg_approx_count_distinct",

@@ -283,7 +283,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary — the flagship hash aggregate.
 
-    Doubles are summed through exact DECIMAL(24,8) so partial-aggregate
+    Doubles are summed through exact DECIMAL (helpers.DEC) so partial-aggregate
     order (nondeterministic at cluster scale) cannot change the result.
     """
     t = Tables(spark, sf_dir)

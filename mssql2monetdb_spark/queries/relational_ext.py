@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 from ..catalog import Tables
 from ..operators.asof import asof_join
 from ..operators.asof import asof_join_cogroup as asof_join_cogroup_op
-from .helpers import dsum, oracle_dsum
+from .helpers import DEC, dsum, oracle_dsum
 from .registry import query
 
 
@@ -177,7 +177,7 @@ def tpch_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY c_custkey, o_orderkey, o_orderdate
-        HAVING SUM(CAST(l_quantity AS DECIMAL(24,8))) > 150
+        HAVING SUM(CAST(l_quantity AS DECIMAL(30,8))) > 150
         ORDER BY total_qty DESC, o_orderkey LIMIT 20
     """,
 )
@@ -192,16 +192,22 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsequent joins broadcast under AQE; the fact is touched by exactly
     one scan + one keyed aggregate. Measured ~25% faster at sf0.1, and at
     100 TB the difference is two avoided fact-sized shuffles.
+
+    The HAVING filter and the output column share ONE decimal sum (the
+    exact value is kept, filtered, then cast to double) — an earlier
+    draft ran dsum alongside a second differently-typed decimal sum for
+    the filter, and when the edge-corpus hardening widened dsum's cast
+    to DECIMAL(30,8) the two casts stopped sharing a subexpression,
+    doubling per-row cast+sum work (measured +40% on this agg-bound
+    query; the single-sum form measures at parity with the pre-widening
+    code).
     """
     t = Tables(spark, sf_dir)
     big = (
         t.lineitem.groupBy("l_orderkey")
-        .agg(
-            dsum("l_quantity", "total_qty"),
-            F.sum(F.col("l_quantity").cast("decimal(24,8)")).alias("_qty_dec"),
-        )
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_qty_dec"))
         .filter(F.col("_qty_dec") > 150)
-        .drop("_qty_dec")
+        .select("l_orderkey", F.col("_qty_dec").cast("double").alias("total_qty"))
     )
     return (
         big.join(t.orders, big.l_orderkey == t.orders.o_orderkey)

@@ -18,7 +18,7 @@ correlated subquery is decorrelated into a keyed aggregate + equi-join
 ``l_orderkey`` — the fact's natural clustering key, so co-partitioning
 makes them local at cluster scale. No driver-side collects anywhere.
 
-Determinism discipline as in registry.py: DECIMAL(24,8) sums, identical
+Determinism discipline as in registry.py: exact-DECIMAL sums, identical
 aliases, total-order ORDER BY.
 """
 
