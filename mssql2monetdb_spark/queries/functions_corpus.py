@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
+from .helpers import sql_with_views
 from .registry import query
 
 
@@ -573,15 +574,20 @@ def fn_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     udfs.register_all(spark)
     t = Tables(spark, sf_dir)
-    parallelized(t.documents).filter(F.col("doc_id") % 25 == 0).select(
+    docs = parallelized(t.documents).filter(F.col("doc_id") % 25 == 0).select(
         "doc_id", "text"
-    ).createOrReplaceTempView("_udtf_docs")
-    return spark.sql(
+    )
+    # the `shingles` UDTF name stays fixed: re-registration is idempotent
+    # (same implementation every time), so unlike a data-bound temp view a
+    # concurrent builder can never bind it to different behavior
+    return sql_with_views(
+        spark,
         """
         SELECT d.doc_id, s.pos, s.shingle
-        FROM _udtf_docs d, LATERAL shingles(d.text) s
+        FROM {docs} d, LATERAL shingles(d.text) s
         ORDER BY d.doc_id, s.pos
-        """
+        """,
+        docs=docs,
     )
 
 

@@ -12,11 +12,44 @@ widens within the 38-digit cap in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import itertools
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
 DEC = DecimalType(30, 8)
+
+#: monotonically unique suffix for ephemeral temp-view names (a counter,
+#: not a random token, so repeated runs produce stable plan text).
+_VIEW_SEQ = itertools.count()
+
+
+def sql_with_views(spark: SparkSession, sql_template: str, **dfs: DataFrame) -> DataFrame:
+    """Run a SQL statement over per-call ephemeral temp views.
+
+    Registers each DataFrame under a generated unique name, formats the
+    template's ``{placeholder}`` tokens with those names, resolves the SQL
+    (``spark.sql`` analyzes eagerly, so the returned DataFrame owns its
+    fully-bound plan), then drops the views again.
+
+    Fixed-name ``createOrReplaceTempView`` inside a query builder is a
+    shared-session hazard twice over: (1) two builders racing on the same
+    name in one long-lived session can bind the OTHER builder's table —
+    e.g. ``orders`` from a different sf_dir — in the window between
+    registration and analysis, silently computing on wrong data; (2) a
+    library caller's own temp view of that name is clobbered. Unique
+    ephemeral names eliminate both, and dropping them leaves the caller's
+    catalog exactly as it was found.
+    """
+    names = {key: f"_q_{key}_{next(_VIEW_SEQ)}" for key in dfs}
+    for key, df in dfs.items():
+        df.createOrReplaceTempView(names[key])
+    try:
+        return spark.sql(sql_template.format(**names))
+    finally:
+        for name in names.values():
+            spark.catalog.dropTempView(name)
 
 
 def dsum(col: Column | str, alias: str) -> Column:

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Tables
-from .helpers import davg, dsum, oracle_davg, oracle_dsum
+from .helpers import davg, dsum, oracle_davg, oracle_dsum, sql_with_views
 from .registry import query
 
 
@@ -470,15 +470,16 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery (avg computed exactly so the comparison
     threshold is engine-independent)."""
     t = Tables(spark, sf_dir)
-    t.orders.createOrReplaceTempView("orders")
-    return spark.sql(
+    return sql_with_views(
+        spark,
         """
-        SELECT o_orderkey, o_totalprice FROM orders
+        SELECT o_orderkey, o_totalprice FROM {orders}
         WHERE o_totalprice > (
             SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*)
-            FROM orders)
+            FROM {orders})
         ORDER BY o_orderkey
-        """
+        """,
+        orders=t.orders,
     )
 
 
@@ -495,16 +496,17 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS — Catalyst decorrelates to a left-semi join."""
     t = Tables(spark, sf_dir)
-    t.customer.createOrReplaceTempView("customer")
-    t.orders.createOrReplaceTempView("orders")
-    return spark.sql(
+    return sql_with_views(
+        spark,
         """
-        SELECT c_custkey, c_acctbal FROM customer c
+        SELECT c_custkey, c_acctbal FROM {customer} c
         WHERE EXISTS (
-            SELECT 1 FROM orders o
+            SELECT 1 FROM {orders} o
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
         ORDER BY c_custkey
-        """
+        """,
+        customer=t.customer,
+        orders=t.orders,
     )
 
 

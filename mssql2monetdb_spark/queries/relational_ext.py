@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 from ..catalog import Tables
 from ..operators.asof import asof_join
 from ..operators.asof import asof_join_cogroup as asof_join_cogroup_op
-from .helpers import DEC, dsum, oracle_dsum
+from .helpers import DEC, dsum, oracle_dsum, sql_with_views
 from .registry import query
 
 
@@ -377,16 +377,17 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (SQL surface; rollup/cube are special cases)."""
     t = Tables(spark, sf_dir)
-    t.orders.createOrReplaceTempView("orders")
-    return spark.sql(
+    return sql_with_views(
+        spark,
         """
         SELECT COALESCE(o_orderpriority, '(all)') AS priority,
                COALESCE(o_orderstatus, '(all)') AS status,
                COUNT(*) AS n
-        FROM orders
+        FROM {orders}
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         ORDER BY priority, status
-        """
+        """,
+        orders=t.orders,
     )
 
 
@@ -565,19 +566,20 @@ def subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     count), while the equivalent null-free arm is non-empty, so the green
     verdict is never vacuous."""
     t = Tables(spark, sf_dir)
-    t.customer.createOrReplaceTempView("customer")
-    t.orders.createOrReplaceTempView("orders")
-    return spark.sql(
+    return sql_with_views(
+        spark,
         """
-        SELECT 'with_nulls' AS arm, c_custkey FROM customer
+        SELECT 'with_nulls' AS arm, c_custkey FROM {customer}
         WHERE c_custkey NOT IN (
-            SELECT NULLIF(o_custkey, 3) FROM orders WHERE o_custkey < 50)
+            SELECT NULLIF(o_custkey, 3) FROM {orders} WHERE o_custkey < 50)
         UNION ALL
-        SELECT 'no_nulls' AS arm, c_custkey FROM customer
+        SELECT 'no_nulls' AS arm, c_custkey FROM {customer}
         WHERE c_custkey NOT IN (
-            SELECT o_custkey FROM orders WHERE o_custkey < 50 AND o_custkey <> 3)
+            SELECT o_custkey FROM {orders} WHERE o_custkey < 50 AND o_custkey <> 3)
         ORDER BY arm, c_custkey
-        """
+        """,
+        customer=t.customer,
+        orders=t.orders,
     )
 
 
@@ -604,17 +606,16 @@ def cte_with_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTE (WITH clause) referenced twice — TPC-H Q15 shape: compute a
     per-group revenue relation once, filter it against its own average."""
     t = Tables(spark, sf_dir)
-    for name in ("orders", "customer", "nation"):
-        getattr(t, name).createOrReplaceTempView(name)
-    return spark.sql(
+    return sql_with_views(
+        spark,
         """
         WITH nation_rev AS (
             SELECT n_name,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(24,8))) AS DOUBLE) AS total_rev,
                    COUNT(*) AS n_orders
-            FROM orders
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation ON c_nationkey = n_nationkey
+            FROM {orders}
+            JOIN {customer} ON o_custkey = c_custkey
+            JOIN {nation} ON c_nationkey = n_nationkey
             GROUP BY n_name
         )
         SELECT n_name, total_rev, n_orders
@@ -622,7 +623,10 @@ def cte_with_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE total_rev > (SELECT CAST(SUM(CAST(total_rev AS DECIMAL(24,8))) AS DOUBLE)
                            / COUNT(*) FROM nation_rev)
         ORDER BY total_rev DESC, n_name
-        """
+        """,
+        orders=t.orders,
+        customer=t.customer,
+        nation=t.nation,
     )
 
 
@@ -641,15 +645,16 @@ def subquery_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst decorrelates to an aggregate + join; doubles pass through
     untouched so the equality is bit-exact in both engines."""
     t = Tables(spark, sf_dir)
-    t.supplier.createOrReplaceTempView("supplier")
-    return spark.sql(
+    return sql_with_views(
+        spark,
         """
         SELECT s_suppkey, s_name, s_acctbal, s_nationkey
-        FROM supplier s1
-        WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM supplier s2
+        FROM {supplier} s1
+        WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM {supplier} s2
                            WHERE s2.s_nationkey = s1.s_nationkey)
         ORDER BY s_nationkey, s_suppkey
-        """
+        """,
+        supplier=t.supplier,
     )
 
 
@@ -695,15 +700,16 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate FILTER (WHERE ...) clause — per-aggregate predicates in one
     pass (one shuffle, three conditioned counters)."""
     t = Tables(spark, sf_dir)
-    t.orders.createOrReplaceTempView("orders")
-    return spark.sql(
+    return sql_with_views(
+        spark,
         """
         SELECT o_orderpriority,
                COUNT(*) AS n_total,
                COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
                COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
-        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-        """
+        FROM {orders} GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        orders=t.orders,
     )
 
 
@@ -1029,12 +1035,12 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine evaluates breadth-first; depth is log2(maxkey) (~11 here), and
     rows stay keyed on start_key so the final aggregate shuffles once."""
     t = Tables(spark, sf_dir)
-    t.customer.createOrReplaceTempView("_rcte_customer")
-    return spark.sql(
+    return sql_with_views(
+        spark,
         """
         WITH RECURSIVE walk AS (
             SELECT c_custkey AS start_key, c_custkey AS node, 0 AS depth
-            FROM _rcte_customer
+            FROM {customer}
             UNION ALL
             SELECT start_key, node DIV 2, depth + 1 FROM walk WHERE node > 1
         )
@@ -1042,7 +1048,8 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MAX(depth) AS INT) AS depth_to_root,
                CAST(SUM(node) AS BIGINT) AS path_sum
         FROM walk GROUP BY start_key ORDER BY start_key
-        """
+        """,
+        customer=t.customer,
     )
 
 
