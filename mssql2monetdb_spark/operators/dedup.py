@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import parallelized
+from ..engine import caches
 from ..functions import hashing, text
 
 MINHASH_BANDS = 4
@@ -165,11 +166,10 @@ def minhash_lsh_pairs(
     relation (measured ~20% faster at sf0.1).
     """
     rows = shingle_rows(docs, text_col, id_col, shingle_n, distinct=False)
-    per_doc = (
+    per_doc = caches.tracked(
         rows.groupBy("id")
         .agg(*_sig_agg_cols(), F.sort_array(F.collect_set("h64")).alias("hs"))
         .withColumn("sz", F.size("hs"))
-        .cache()
     )
     bands = lsh_bands(per_doc.select("id", *[f"mh{i}" for i in range(hashing.MINHASH_K)]))
     left = bands.select(F.col("id").alias("doc_a"), "band", "bkey")
@@ -231,7 +231,7 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 6) -> DataFrame:
     Docs sharing any of the 4 signature bytes become candidates (standard
     SimHash blocking); pairs with popcount(xor) <= max_hamming survive.
     """
-    sh = simhash(docs).cache()
+    sh = caches.tracked(simhash(docs))
     bands = None
     for byte in range(4):
         piece = sh.select(
@@ -274,11 +274,10 @@ def ngram_jaccard_pairs(
     # relation for DF counts re-explodes the cached sets instead of
     # re-scanning the corpus
     rows = shingle_rows(docs, text_col, id_col, ngram_n, distinct=False)
-    sets = (
+    sets = caches.tracked(
         rows.groupBy("id")
         .agg(F.sort_array(F.collect_set("h64")).alias("hs"))
         .withColumn("sz", F.size("hs"))
-        .cache()
     )
     exploded = sets.select("id", F.explode("hs").alias("sh"))
     rare = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count")).filter(F.col("df_count") <= df_max)
@@ -329,17 +328,15 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
     (long chains) grows the lineage — and Catalyst's planning time —
     geometrically even though the data stays small.
     """
-    edges = (
+    edges = caches.tracked(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .cache()
     )
-    labels = (
+    labels = caches.tracked(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .cache()
     )
     changed = 0
     for i in range(max_iter):
@@ -348,13 +345,12 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = caches.tracked(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
             )
-            .cache()
         )
         changed = (
             new_labels.alias("n")
@@ -651,11 +647,10 @@ def setsim_prefix_pairs(
     would surface as a verdict mismatch rather than hide.
     """
     rows = shingle_rows(docs, text_col, id_col, shingle_n, distinct=False)
-    sets = (
+    sets = caches.tracked(
         rows.groupBy("id")
         .agg(F.sort_array(F.collect_set("h64")).alias("hs"))
         .withColumn("sz", F.size("hs"))
-        .cache()
     )
     expl = sets.select("id", "sz", F.explode("hs").alias("sh"))
     df_rel = expl.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import parallelized
+from ..engine import caches
 from ..functions import text
 
 BM25_K1 = 1.2
@@ -803,11 +804,10 @@ def tfidf_top_terms(
     """
     tok = text.tokens(F.col(text_col))
     d = parallelized(docs)
-    per_dt = (
+    per_dt = caches.tracked(
         d.select(F.col(id_col).alias("doc_id"), F.explode(tok).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .cache()
     )
     df_rel = per_dt.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     if broadcast_df_max_terms is not None:

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..engine import caches
+
 #: granularity name -> date_trunc unit (epoch-aligned buckets)
 GRAINS = ("hour", "day")
 
@@ -49,7 +51,7 @@ def time_bucket_rollup(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
     Output: (grain, bucket, n_events, sum_value: double). The day level is
     computed from the hour level (sums of sums — exact because decimal).
     """
-    hourly = rollup_level(df, ts_col, value_col, "hour").cache()
+    hourly = caches.tracked(rollup_level(df, ts_col, value_col, "hour"))
     daily = rollup_coarser(hourly, "day")
     out = hourly.select(F.lit("hour").alias("grain"), "bucket", "n_events", "sum_value_dec").unionAll(
         daily.select(F.lit("day").alias("grain"), "bucket", "n_events", "sum_value_dec")

@@ -1,0 +1,54 @@
+"""Tracked-cache registry: operators' intermediate caches are releasable.
+
+Operator ``.cache()`` calls route through ``engine.caches.tracked`` so a
+long-lived session can free every JVM cache entry this package created
+(``caches.release()``) without touching the caller's own cached
+relations — the leak class where cache metadata and spilled disk blocks
+accumulate until session shutdown.
+"""
+
+from __future__ import annotations
+
+from mssql2monetdb_spark.engine import caches
+from mssql2monetdb_spark.queries.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_operator_caches_are_tracked_and_released(spark):
+    caches.release()  # isolate from earlier tests
+    assert caches.tracked_count() == 0
+
+    REGISTRY["dedup_minhash_lsh"].build(spark, SF).collect()
+    n_tracked = caches.tracked_count()
+    assert n_tracked > 0
+
+    released = caches.release()
+    assert released == n_tracked
+    assert caches.tracked_count() == 0
+
+
+def test_release_does_not_touch_caller_caches(spark):
+    caller_df = spark.range(100).toDF("caller_col")
+    caller_df.cache()
+    caller_df.count()
+    try:
+        REGISTRY["dedup_ngram_jaccard"].build(spark, SF).collect()
+        caches.release()
+        assert caller_df.storageLevel.useMemory, (
+            "release() must not unpersist relations the caller cached"
+        )
+    finally:
+        caller_df.unpersist()
+
+
+def test_release_is_idempotent_and_result_correct(spark):
+    """Releasing mid-lifecycle is safe: an unexecuted plan recomputes."""
+    q = REGISTRY["dedup_minhash_lsh"]
+    expected = [tuple(r) for r in q.build(spark, SF).collect()]
+    caches.release()
+
+    df = q.build(spark, SF)  # build (registers caches) ...
+    caches.release()  # ... release BEFORE execution
+    assert [tuple(r) for r in df.collect()] == expected
+    assert caches.release() == 0
