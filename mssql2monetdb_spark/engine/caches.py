@@ -1,4 +1,4 @@
-"""Tracked intermediate caches: release what operators cached.
+"""Tracked intermediate caches: bounded registry + explicit release.
 
 Several operators ``.cache()`` an intermediate relation that is consumed
 more than once in the SAME returned plan (e.g. the MinHash per-doc
@@ -12,15 +12,27 @@ inputs (incremental batches, many corpora) therefore accumulates cache
 entries without bound — memory is LRU-evicted, but the entry metadata
 and on-disk blocks are not.
 
-This module makes those caches releasable without giving up the
-within-plan reuse: operators route through :func:`tracked`, and a
-long-running caller drops everything this package cached — and nothing
-the CALLER cached — with :func:`release` between jobs. (The blunt
-alternative, ``spark.catalog.clearCache()``, destroys the caller's own
-cached relations too.)
+Operators route through :func:`tracked`; a long-running caller can drop
+everything this package cached — and nothing the CALLER cached — with
+:func:`release` between jobs. (The blunt alternative,
+``spark.catalog.clearCache()``, destroys the caller's own cached
+relations too.)
 
-Unpersisting is always safe: a returned-but-unexecuted plan that
-references a released cache simply recomputes that subtree.
+The registry is BOUNDED (:data:`capacity`, default 64): tracking past
+capacity unpersists the oldest entry first. This keeps callers who never
+call :func:`release` safe twice over: the JVM cache-entry count is
+bounded, and so is the set of pinned Python→JVM Dataset handles. The
+pinning matters: a registry holding strong references for an unbounded
+run keeps every tracked Dataset's JVM plan tree alive (py4j frees a JVM
+object only when its Python handle is collected) — a 960-execution
+probe sweep on a default-heap session OOMed exactly this way before the
+bound existed.
+
+Unpersisting is always safe, eviction included: a plan that references
+a released cache simply recomputes that subtree. Within one operator
+build the tracked count stays far below capacity (the deepest user, the
+label-propagation loop, tracks one relation per iteration), so eviction
+never hits a cache during the build that created it.
 """
 
 from __future__ import annotations
@@ -30,35 +42,43 @@ import threading
 from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
-#: strong refs on purpose — the JVM cache entry exists regardless; holding
-#: the handle is what keeps it releasable after the caller drops theirs.
+#: strong refs — the handle is what keeps the entry releasable after the
+#: caller drops theirs; the capacity bound is what keeps that safe.
 _TRACKED: list[DataFrame] = []
+
+#: max registry entries; oldest are unpersisted on overflow.
+capacity = 64
+
+
+def _unpersist_quietly(df: DataFrame) -> bool:
+    try:
+        df.unpersist()
+        return True
+    except Exception:  # session already stopped — nothing left to free
+        return False
 
 
 def tracked(df: DataFrame) -> DataFrame:
-    """``df.cache()`` + register the handle for a later :func:`release`."""
+    """``df.cache()`` + register the handle for :func:`release`/eviction."""
     df.cache()
+    evicted: list[DataFrame] = []
     with _LOCK:
         _TRACKED.append(df)
+        while len(_TRACKED) > max(1, capacity):
+            evicted.append(_TRACKED.pop(0))
+    for old in evicted:
+        _unpersist_quietly(old)
     return df
 
 
 def release() -> int:
     """Unpersist every cache this package created; returns how many.
 
-    Blocking=False: eviction proceeds asynchronously JVM-side. DataFrames
-    whose session has already stopped are skipped silently.
+    Blocking=False: eviction proceeds asynchronously JVM-side.
     """
     with _LOCK:
         dfs, _TRACKED[:] = _TRACKED[:], []
-    released = 0
-    for df in dfs:
-        try:
-            df.unpersist()
-            released += 1
-        except Exception:  # session already stopped — nothing left to free
-            pass
-    return released
+    return sum(1 for df in dfs if _unpersist_quietly(df))
 
 
 def tracked_count() -> int:

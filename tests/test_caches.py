@@ -42,6 +42,27 @@ def test_release_does_not_touch_caller_caches(spark):
         caller_df.unpersist()
 
 
+def test_eviction_bounds_registry_and_unpersists_oldest(spark):
+    """Past capacity the oldest entry is unpersisted — a long-lived caller
+    who never calls release() still gets bounded cache accumulation AND a
+    bounded set of pinned JVM plan handles (an unbounded strong-ref
+    registry OOMed a 960-execution probe sweep)."""
+    caches.release()
+    old_cap = caches.capacity
+    caches.capacity = 2
+    try:
+        dfs = [spark.range(i, i + 10).toDF(f"c{i}") for i in range(3)]
+        for df in dfs:
+            caches.tracked(df)
+            df.count()
+        assert caches.tracked_count() == 2
+        assert not dfs[0].storageLevel.useMemory, "oldest should be evicted"
+        assert dfs[2].storageLevel.useMemory
+    finally:
+        caches.capacity = old_cap
+        caches.release()
+
+
 def test_release_is_idempotent_and_result_correct(spark):
     """Releasing mid-lifecycle is safe: an unexecuted plan recomputes."""
     q = REGISTRY["dedup_minhash_lsh"]
