@@ -27,51 +27,54 @@ from . import tpch_full  # noqa: E402,F401
 # cumulative driver coverage to 189/191 (every round-4 window entry now
 # holds a verdict on record and rotates behind the window, protected by
 # tests/test_registry_hygiene.py: green-on-record + local conformance).
-# This window is the registry CLOSE-OUT plus the first steady-state
-# canary rotation:
-#
-#   slots 0-1   the only two queries ever registered without a driver
-#               verdict (the last round-4 additions, locally DuckDB-
-#               conformant at sf0.001/sf0.01/sf0.1) — a green gate closes
-#               the registry to 192/192 verified; dedup_setsim_exact
-#               additionally gained the round-5 adaptive shingle-df
-#               broadcast guard (same shape as the tf-idf guard below;
-#               output-identical, re-driven locally post-change), so its
-#               verdict lands on the changed code;
-#   slot  2     the round-5 growth-budget addition (events_sessionize_
-#               bounded — the hot-key window mitigation SCALE.md
-#               documented; oracle identical to events_sessionize);
-#   slots 3-4   the round-5 changed-code re-verifies: text_tfidf_topk
-#               gained the adaptive df-broadcast guard (output-identical
-#               by construction — the guard only drops a join hint — and
-#               re-driven locally post-change); sketch_quantile_histogram's
-#               exact side was rewritten from a global-window rank to a
-#               distributed two-pass bucketed selection (bit-identical
-#               output, same oracle; re-driven locally at sf0.01/sf0.1,
-#               edge corpus, all five invariance modes, and the
-#               previously-OOMing forced-spill local-cluster case);
-#   slots 5-49  STEADY-STATE CANARY ROTATION, least-recently-verified
-#               first: all 45 queries whose latest verdict is round 1.
-#               The displaced oldest-round-2 canary (join_anti) moves to
-#               the head of NEXT_WINDOW_QUEUE. Next rounds continue down
-#               the age order.
+# This window is the registry CLOSE-OUT (slots 0-1: the only two queries
+# ever registered without a driver verdict — a green gate closes the
+# registry to 192/192 verified), the round-5 growth-budget addition
+# (slot 2: events_sessionize_bounded, the hot-key window mitigation,
+# oracle identical to events_sessionize), the changed-code re-verifies
+# (slots 3-21 — see the inline note), and the first steady-state canary
+# rotation (slots 22-49: latest-verdict-round-1 queries, registration
+# order; the 13 displaced round-1 canaries head NEXT_WINDOW_QUEUE).
 #
 # Vacuity audit (round 5, sf0.01): every window oracle returns >0 rows —
 # checked by test_window_oracles_non_vacuous on every commit.
 GATE_PRIORITY = [
-    # never-verified round-4 additions — the registry close-out
+    # --- slots 0-2: close-out (the two never-verified round-4 adds) +
+    # the round-5 growth-budget addition ---
     "prep_chunk_overlap",
     "dedup_setsim_exact",
-    # round-5 growth-budget addition
     "events_sessionize_bounded",
-    # round-5 changed-code re-verifies (adaptive broadcast guard;
-    # two-pass exact-quantile selection; q18 single-decimal-sum rewrite
-    # after the DEC(30,8) widening un-shared its two aggregate casts —
-    # measured +40%, fixed back to parity, see SCALE.md)
+    # --- slots 3-21: changed-code re-verifies. Everything whose BUILDING
+    # code changed in round 5, per the rotation policy (re-verify even
+    # when output-identical by construction): the adaptive broadcast
+    # guards, the two-pass exact-quantile selection, the q18
+    # single-decimal-sum rewrite, the nine SQL builders converted to
+    # ephemeral temp views (shared-session safety), and the operators
+    # whose intermediate caches now route through the tracked-cache
+    # registry. All re-driven locally post-change (MATCH at sf0.01; the
+    # view conversion also at sf0.1 + invariance/cluster/spill probes) --
+    # the window slot turns that into a driver verdict on record. ---
     "text_tfidf_topk",
     "sketch_quantile_histogram",
     "tpch_q18_large_orders",
-    # canaries: every latest-verdict-round-1 query, registration order
+    "subquery_scalar",
+    "subquery_correlated",
+    "subquery_not_in_nulls",
+    "subquery_correlated_min",
+    "agg_grouping_sets",
+    "agg_filter_clause",
+    "cte_with_clause",
+    "cte_recursive",
+    "fn_udtf_shingles",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "dedup_keep_best_in_cluster",
+    "rollup_time_buckets",
+    "rank_bm25",
+    # --- slots 22-49: canaries, least-recently-verified first (all
+    # remaining latest-verdict-round-1 queries, registration order) ---
     "scan_lineitem",
     "projection",
     "filter_predicates",
@@ -88,8 +91,6 @@ GATE_PRIORITY = [
     "agg_cube",
     "agg_having",
     "agg_minmax",
-    "subquery_scalar",
-    "subquery_correlated",
     "window_row_number",
     "window_lag_lead",
     "window_running_sum",
@@ -102,20 +103,6 @@ GATE_PRIORITY = [
     "set_except",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_order_priority",
-    "tpch_q10_returned_items",
-    "tpch_q12_conditional_agg",
-    "tpch_q14_promo_ratio",
-    "window_percent_cume",
-    "window_moving_avg",
-    "agg_string_agg",
-    "agg_pivot",
-    "agg_percentiles",
-    "agg_grouping_sets",
-    "sample_deterministic_hash",
-    "asof_join_events",
-    "agg_variance_exact",
 ]
 
 GATE_WINDOW = 50
@@ -133,19 +120,31 @@ GATE_WINDOW = 50
 # age stays <= ~4 rounds; the per-family representation guarantee is
 # enforced structurally by test_every_capability_family_verified_or_
 # inside_window. NEXT_WINDOW_QUEUE below pre-stages round 6 under this
-# policy: the remaining 43 round-2-verdict queries (registration order),
-# then the oldest round-3 verdicts.
+# policy: the round-1-verdict canaries displaced by this round's
+# changed-code re-verifies, then the round-2-verdict tail
+# (registration order), then the oldest round-3 verdicts.
 NEXT_WINDOW_QUEUE = [
-    # displaced from the round-5 window by changed-code re-verifies
-    # (sketch_quantile_histogram, tpch_q18_large_orders): the displaced
-    # round-1 canary and the oldest round-2 canary go first next round
+    # displaced round-1 canaries first (oldest verdicts), then the
+    # round-2 tail the policy was already queuing; entries that moved
+    # into the round-5 window as changed-code re-verifies are removed
     "agg_mode_deterministic",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q10_returned_items",
+    "tpch_q12_conditional_agg",
+    "tpch_q14_promo_ratio",
+    "window_percent_cume",
+    "window_moving_avg",
+    "agg_string_agg",
+    "agg_pivot",
+    "agg_percentiles",
+    "sample_deterministic_hash",
+    "asof_join_events",
+    "agg_variance_exact",
     "join_anti",
     "agg_tpch_q1",
     "agg_approx_count_distinct",
     "agg_array_collect",
-    "subquery_not_in_nulls",
-    "cte_with_clause",
     "window_range_frame",
     "fn_string",
     "fn_datetime",
@@ -157,8 +156,6 @@ NEXT_WINDOW_QUEUE = [
     "fn_array_setops",
     "fn_try_cast",
     "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
@@ -168,7 +165,6 @@ NEXT_WINDOW_QUEUE = [
     "text_fingerprint",
     "multimodal_binary_meta",
     "multimodal_image_decode",
-    "rollup_time_buckets",
     "pipeline_clean_corpus",
     "multimodal_audio_decode",
     "multimodal_video_frames",
