@@ -87,6 +87,17 @@ class VersionedCatalog:
         with open(path) as fh:
             return json.load(fh)["physical"]
 
+    def manifest_info(self, schema: str, table: str) -> dict:
+        """Full manifest record (``{}`` when unpublished) — includes any
+        publisher-supplied ``meta`` keys (e.g. the streaming sync's lineage
+        id), which is what lets replay guards compare provenance instead of
+        just the version name."""
+        path = self._manifest(schema, table)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as fh:
+            return json.load(fh)
+
     # -- write / publish / retention ------------------------------------
     def write_version(
         self,
@@ -118,17 +129,30 @@ class VersionedCatalog:
         writer.parquet(self.version_dir(schema, physical))
         return physical
 
-    def publish(self, spark: SparkSession, schema: str, table: str, physical: str) -> None:
+    def publish(
+        self,
+        spark: SparkSession,
+        schema: str,
+        table: str,
+        physical: str,
+        *,
+        meta: dict | None = None,
+    ) -> None:
         """PHASE 3 analog: atomically repoint the public name (op #19).
 
         Manifest swap (durable) + session-catalog view replace (live) — each
         a single atomic operation, mirroring the reference's one-transaction
-        drop-view/create-view (``MonetDBUtil.java:442-529``).
+        drop-view/create-view (``MonetDBUtil.java:442-529``). ``meta`` keys
+        ride along in the manifest (reserved names ``physical``/``schema``/
+        ``table`` win) so publishers can record provenance — see
+        ``manifest_info``.
         """
         manifest = self._manifest(schema, table)
         tmp = manifest + ".tmp"
+        record = dict(meta or {})
+        record.update({"physical": physical, "schema": schema, "table": table})
         with open(tmp, "w") as fh:
-            json.dump({"physical": physical, "schema": schema, "table": table}, fh)
+            json.dump(record, fh)
         os.replace(tmp, manifest)
         self.register_view(spark, schema, table)
 

@@ -51,7 +51,10 @@ def upsert_scd1(
     kept = existing.join(
         F.broadcast(incoming.select(key).distinct()), key, "left_anti"
     )
-    return kept.unionByName(incoming)
+    # A USING-style join hoists the key column to the front; reselect the
+    # original order so every published version of a table carries the
+    # SAME schema regardless of whether it went through the merge path.
+    return kept.select(*existing.columns).unionByName(incoming)
 
 
 def upsert_scd2(

@@ -179,20 +179,36 @@ def upsert_stream_available_now(
     checkpoint, the swap stays the same manifest ``os.replace``.
 
     Version names derive from the deterministic batch id (not wall
-    clock), so retried batches overwrite their own version dir —
-    foreachBatch's at-least-once becomes effectively exactly-once because
-    the merge re-reads the last PUBLISHED version, not the failed write.
-    One replay case needs an explicit guard: after a crash that lands
-    BETWEEN publish and the checkpoint commit, the replayed batch's
-    version IS the currently published one — merging would lazily read
-    the very directory ``write_version`` then overwrites (observed as
-    FAILED_READ_FILE mid-job). Since the version name is deterministic,
-    "my version is already published" proves the batch completed —
-    skip it (the committed-batch check that turns at-least-once into
-    exactly-once, same idea as a transactional sink's epoch ledger).
+    clock) salted with the stream's LINEAGE id, so retried batches
+    overwrite their own version dir — foreachBatch's at-least-once
+    becomes effectively exactly-once because the merge re-reads the last
+    PUBLISHED version, not the failed write. One replay case needs an
+    explicit guard: after a crash that lands BETWEEN publish and the
+    checkpoint commit, the replayed batch's version IS the currently
+    published one — merging would lazily read the very directory
+    ``write_version`` then overwrites (observed as FAILED_READ_FILE
+    mid-job). "My (name, lineage) is already published" proves the batch
+    completed — skip it (the committed-batch check that turns
+    at-least-once into exactly-once, same idea as a transactional sink's
+    epoch ledger).
+
+    The name alone is NOT proof: batch ids restart at 0 whenever the
+    checkpoint is wiped, so an un-salted deterministic name would make a
+    FRESH stream's batch 0 (which may contain files the committed batch 0
+    never saw) look "already merged" and silently drop its data. The
+    lineage id — Structured Streaming's query id, persisted in
+    ``<checkpoint>/metadata``, stable across restarts of the same
+    checkpoint and regenerated when the checkpoint is wiped — is exactly
+    the needed epoch: same lineage = genuine replay (skip); new lineage =
+    new history (salted date → fresh version dirs, merge proceeds).
     Pinned by ``tests/test_streaming.py::test_upsert_stream_replay_is_
-    idempotent`` (checkpoint wipe = every batch replays).
+    idempotent`` (checkpoint wipe = every batch replays) and
+    ``test_upsert_stream_fresh_checkpoint_new_files_not_skipped`` (the
+    data-loss case the name-only guard missed).
     """
+    import hashlib
+    import json as _json
+    import os as _os
     from datetime import datetime, timedelta
 
     from pyspark.sql.window import Window
@@ -200,11 +216,33 @@ def upsert_stream_available_now(
     from ..engine.publish import physical_name
     from ..operators.upsert import upsert_scd1
 
+    def _lineage_id() -> str | None:
+        # Local-fs checkpoints only (tests, single-node serving); on a
+        # remote checkpoint store this returns None and the guard falls
+        # back to name-only — the pre-fix behavior.
+        try:
+            with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+                return _json.load(fh)["id"]
+        except (OSError, KeyError, ValueError):
+            return None
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        load_date = datetime(2024, 1, 1) + timedelta(seconds=int(batch_id))
-        if catalog.current_version(schema, table) == physical_name(table, load_date):
-            return  # batch already merged AND published: replay is a no-op
+        lineage = _lineage_id()
+        days = (
+            int(hashlib.sha256(lineage.encode()).hexdigest()[:8], 16) % 18000
+            if lineage
+            else 0
+        )
+        load_date = datetime(2024, 1, 1) + timedelta(days=days, seconds=int(batch_id))
+        info = catalog.manifest_info(schema, table)
+        if info.get("physical") == physical_name(table, load_date):
+            if info.get("lineage") == lineage:
+                return  # batch already merged AND published: replay is a no-op
+            # Name collision across DIFFERENT lineages (day-salt hash
+            # collision): never overwrite the directory the lazy merge is
+            # about to read — shift deterministically to a free date.
+            load_date += timedelta(days=1)
         w = Window.partitionBy(key).orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
@@ -219,7 +257,13 @@ def upsert_stream_available_now(
         else:
             merged = latest
         physical = catalog.write_version(merged, schema, table, load_date)
-        catalog.publish(spark, schema, table, physical)
+        catalog.publish(
+            spark,
+            schema,
+            table,
+            physical,
+            meta={"lineage": lineage, "batch_id": int(batch_id)},
+        )
 
     q = (
         events.writeStream.foreachBatch(apply_batch)

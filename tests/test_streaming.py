@@ -356,6 +356,59 @@ def test_upsert_stream_multi_batch_replay_is_idempotent(spark, tmp_path):
     assert after == before
 
 
+def test_upsert_stream_fresh_checkpoint_new_files_not_skipped(spark, tmp_path):
+    """The committed-batch guard must be LINEAGE-aware, not name-only:
+    batch ids restart at 0 on a fresh checkpoint, so after a single-batch
+    drain publishes "batch 0", a NEW stream (wiped checkpoint) whose
+    batch 0 now includes files the committed batch never saw must still
+    merge them — a name-only guard would skip it and silently drop the
+    new data (the round-5 ADVICE finding)."""
+    from mssql2monetdb_spark.engine.publish import VersionedCatalog
+    from mssql2monetdb_spark.streaming.pipelines import (
+        events_stream,
+        upsert_stream_available_now,
+    )
+
+    src = tmp_path / "in"
+    ev = load_table(spark, SF, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src))
+    catalog = VersionedCatalog(str(tmp_path / "wh"))
+
+    upsert_stream_available_now(
+        events_stream(spark, str(src)), catalog, "main", "user_state",
+        str(tmp_path / "ckpt"),
+    )
+    users_before = {
+        r["user_id"]
+        for r in catalog.table_at(spark, "main", "user_state").select("user_id").collect()
+    }
+    new_user = max(users_before) + 1_000_000
+
+    # checkpoint wiped; the source dir gains a file with an unseen user
+    import shutil
+
+    shutil.rmtree(tmp_path / "ckpt")
+    ev.limit(1).select(
+        F.col("event_id"),
+        F.col("ts"),
+        F.lit(new_user).alias("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    upsert_stream_available_now(
+        events_stream(spark, str(src)), catalog, "main", "user_state",
+        str(tmp_path / "ckpt2"),
+    )
+    users_after = {
+        r["user_id"]
+        for r in catalog.table_at(spark, "main", "user_state").select("user_id").collect()
+    }
+    assert new_user in users_after, "fresh-lineage batch 0 was skipped: new data lost"
+    assert users_before <= users_after
+
+
 def test_stream_stream_interval_join_matches_batch(spark, stream_src, tmp_path):
     """Stream-stream inner interval join (clicks x purchases within 30 min)
     drains to exactly the batch join's matches — the two-unbounded-sides
