@@ -178,71 +178,97 @@ def upsert_stream_available_now(
     re-expressed as foreachBatch: the trigger state lives in the stream
     checkpoint, the swap stays the same manifest ``os.replace``.
 
-    Version names derive from the deterministic batch id (not wall
-    clock) salted with the stream's LINEAGE id, so retried batches
-    overwrite their own version dir — foreachBatch's at-least-once
-    becomes effectively exactly-once because the merge re-reads the last
-    PUBLISHED version, not the failed write. One replay case needs an
-    explicit guard: after a crash that lands BETWEEN publish and the
-    checkpoint commit, the replayed batch's version IS the currently
-    published one — merging would lazily read the very directory
-    ``write_version`` then overwrites (observed as FAILED_READ_FILE
-    mid-job). "My (name, lineage) is already published" proves the batch
-    completed — skip it (the committed-batch check that turns
-    at-least-once into exactly-once, same idea as a transactional sink's
-    epoch ledger).
+    foreachBatch is at-least-once; two mechanisms make it effectively
+    exactly-once here:
 
-    The name alone is NOT proof: batch ids restart at 0 whenever the
-    checkpoint is wiped, so an un-salted deterministic name would make a
-    FRESH stream's batch 0 (which may contain files the committed batch 0
-    never saw) look "already merged" and silently drop its data. The
-    lineage id — Structured Streaming's query id, persisted in
-    ``<checkpoint>/metadata``, stable across restarts of the same
-    checkpoint and regenerated when the checkpoint is wiped — is exactly
-    the needed epoch: same lineage = genuine replay (skip); new lineage =
-    new history (salted date → fresh version dirs, merge proceeds).
+    1. **Committed-batch guard on provenance, not names.** Every publish
+       records ``{"lineage", "batch_id"}`` in the manifest meta. A batch
+       whose (lineage, batch_id) already matches the manifest crashed
+       BETWEEN publish and the checkpoint commit — it completed; the
+       replay is skipped (the transactional sink's epoch-ledger idea).
+       Comparing provenance instead of a recomputed version NAME means the
+       guard cannot be defeated by name drift: batch ids restart at 0 on a
+       wiped checkpoint, so a name-only check would make a FRESH stream's
+       batch 0 (which may include files the committed batch 0 never saw)
+       look "already merged" and silently drop its data. The lineage id is
+       Structured Streaming's query id — stable across restarts of the
+       same checkpoint, regenerated when the checkpoint is wiped.
+    2. **Monotonic version names from a manifest ``seq`` counter.** The
+       version date is ``2024-01-01 + seq seconds`` where ``seq`` is the
+       last published seq + 1 (read from the manifest, so a replay whose
+       publish never landed recomputes the SAME name and overwrites its
+       own half-written directory — never a directory another lineage
+       still retains). Names therefore sort in publish order across
+       lineages, which is what ``newest_version``/``cleanup`` retention
+       assumes; the lineage epoch lives only in the manifest meta the
+       guard reads. A publish that predates this scheme (no ``seq`` key,
+       e.g. a ``compact()`` rewrite) is handled by continuing one second
+       past its encoded date.
+
     Pinned by ``tests/test_streaming.py::test_upsert_stream_replay_is_
-    idempotent`` (checkpoint wipe = every batch replays) and
+    idempotent`` (checkpoint wipe = every batch replays),
     ``test_upsert_stream_fresh_checkpoint_new_files_not_skipped`` (the
-    data-loss case the name-only guard missed).
+    data-loss case a name-only guard misses), and
+    ``test_upsert_stream_versions_monotonic_across_lineages`` (retention
+    ordering across a checkpoint wipe).
     """
-    import hashlib
     import json as _json
+    import logging
     import os as _os
     from datetime import datetime, timedelta
 
     from pyspark.sql.window import Window
 
-    from ..engine.publish import physical_name
+    from ..engine.publish import LOAD_DATE_FORMAT, version_of
     from ..operators.upsert import upsert_scd1
 
-    def _lineage_id() -> str | None:
-        # Local-fs checkpoints only (tests, single-node serving); on a
-        # remote checkpoint store this returns None and the guard falls
-        # back to name-only — the pre-fix behavior.
+    seq_base = datetime(2024, 1, 1)
+
+    def _lineage_id(holder: dict) -> str | None:
+        # Primary: the query id persisted at stream start in
+        # <checkpoint>/metadata (any Hadoop-visible store; local fs here).
         try:
             with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
                 return _json.load(fh)["id"]
         except (OSError, KeyError, ValueError):
-            return None
+            pass
+        # Fallback for stores this process can't open() directly: the
+        # StreamingQuery object captured right after start() exposes the
+        # same id.
+        if holder.get("query") is not None:
+            return str(holder["query"].id)
+        # Degraded: guard falls back to batch_id-only, which re-admits the
+        # fresh-checkpoint data-loss case — never silent.
+        logging.getLogger(__name__).warning(
+            "upsert_stream %s.%s: could not determine stream lineage id "
+            "(checkpoint metadata unreadable, query handle not yet set); "
+            "replay guard degraded to batch-id-only for this batch",
+            schema,
+            table,
+        )
+        return None
+
+    holder: dict = {}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        lineage = _lineage_id()
-        days = (
-            int(hashlib.sha256(lineage.encode()).hexdigest()[:8], 16) % 18000
-            if lineage
-            else 0
-        )
-        load_date = datetime(2024, 1, 1) + timedelta(days=days, seconds=int(batch_id))
+        lineage = _lineage_id(holder)
         info = catalog.manifest_info(schema, table)
-        if info.get("physical") == physical_name(table, load_date):
-            if info.get("lineage") == lineage:
-                return  # batch already merged AND published: replay is a no-op
-            # Name collision across DIFFERENT lineages (day-salt hash
-            # collision): never overwrite the directory the lazy merge is
-            # about to read — shift deterministically to a free date.
-            load_date += timedelta(days=1)
+        if info.get("lineage") == lineage and info.get("batch_id") == int(batch_id):
+            return  # batch already merged AND published: replay is a no-op
+        # Monotonic name: continue the manifest's publish counter. A
+        # replay whose publish never landed sees the unchanged manifest,
+        # recomputes the same seq, and overwrites its own directory.
+        prev_seq = info.get("seq")
+        if prev_seq is None:
+            v = version_of(info.get("physical") or "")
+            prev_seq = (
+                int((datetime.strptime(v, LOAD_DATE_FORMAT) - seq_base).total_seconds())
+                if v
+                else -1
+            )
+        seq = int(prev_seq) + 1
+        load_date = seq_base + timedelta(seconds=seq)
         w = Window.partitionBy(key).orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
@@ -262,7 +288,7 @@ def upsert_stream_available_now(
             schema,
             table,
             physical,
-            meta={"lineage": lineage, "batch_id": int(batch_id)},
+            meta={"lineage": lineage, "batch_id": int(batch_id), "seq": seq},
         )
 
     q = (
@@ -271,6 +297,7 @@ def upsert_stream_available_now(
         .trigger(availableNow=True)
         .start()
     )
+    holder["query"] = q
     q.awaitTermination()
 
 

@@ -409,6 +409,57 @@ def test_upsert_stream_fresh_checkpoint_new_files_not_skipped(spark, tmp_path):
     assert users_before <= users_after
 
 
+def test_upsert_stream_versions_monotonic_across_lineages(spark, tmp_path):
+    """Version names must sort in PUBLISH order even across a checkpoint
+    wipe (new lineage): retention (`cleanup`) and `newest_version` order
+    lexicographically, so a new lineage whose names sorted OLDER than
+    retained ones would make cleanup keep stale directories as 'newest'
+    and reap the new lineage's own backup (the round-6 ADVICE day-salt
+    finding). The manifest `seq` counter keeps names monotonic; the
+    lineage epoch lives only in the manifest meta."""
+    from mssql2monetdb_spark.engine.publish import VersionedCatalog
+    from mssql2monetdb_spark.streaming.pipelines import (
+        events_stream,
+        upsert_stream_available_now,
+    )
+
+    src = tmp_path / "in"
+    ev = load_table(spark, SF, "events")
+    ev.repartition(2).write.mode("overwrite").parquet(str(src))
+    catalog = VersionedCatalog(str(tmp_path / "wh"))
+
+    upsert_stream_available_now(
+        events_stream(spark, str(src), max_files_per_trigger=1),
+        catalog, "main", "user_state", str(tmp_path / "ckpt"),
+    )
+    first_versions = catalog.table_versions("main", "user_state")
+    assert len(first_versions) >= 2
+
+    # new lineage: wiped checkpoint + one more file
+    import shutil
+
+    shutil.rmtree(tmp_path / "ckpt")
+    ev.limit(5).coalesce(1).write.mode("append").parquet(str(src))
+    upsert_stream_available_now(
+        events_stream(spark, str(src), max_files_per_trigger=1),
+        catalog, "main", "user_state", str(tmp_path / "ckpt2"),
+    )
+
+    # the manifest's published version IS the lexicographically newest —
+    # retention and newest_version stay coherent across the lineage change
+    assert catalog.newest_version("main", "user_state") == catalog.current_version(
+        "main", "user_state"
+    )
+    # and cleanup never reaps the just-published current
+    catalog.cleanup("main", "user_state")
+    kept = catalog.table_versions("main", "user_state")
+    assert catalog.current_version("main", "user_state") in kept
+    assert len(kept) <= 2
+    # seq strictly increases across the wipe: every second-lineage publish
+    # sorts after every first-lineage one it followed
+    assert kept[0] > first_versions[0]
+
+
 def test_stream_stream_interval_join_matches_batch(spark, stream_src, tmp_path):
     """Stream-stream inner interval join (clicks x purchases within 30 min)
     drains to exactly the batch join's matches — the two-unbounded-sides
