@@ -22,134 +22,63 @@ from . import extensions  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 from . import llm_prep  # noqa: E402,F401
 from . import tpch_full  # noqa: E402,F401
+from . import lifecycle  # noqa: E402,F401
 
-# ROTATION — round 5: CORRECTNESS_r04 landed 50/50 green, taking
-# cumulative driver coverage to 189/191 (every round-4 window entry now
-# holds a verdict on record and rotates behind the window, protected by
-# tests/test_registry_hygiene.py: green-on-record + local conformance).
-# This window is the registry CLOSE-OUT (slots 0-1: the only two queries
-# ever registered without a driver verdict — a green gate closes the
-# registry to 192/192 verified), the round-5 growth-budget addition
-# (slot 2: events_sessionize_bounded, the hot-key window mitigation,
-# oracle identical to events_sessionize), the changed-code re-verifies
-# (slots 3-21 — see the inline note), and the first steady-state canary
-# rotation (slots 22-49: latest-verdict-round-1 queries, registration
-# order; the 13 displaced round-1 canaries head NEXT_WINDOW_QUEUE).
+# ROTATION — round 7 (the round-5/6 verdicts' #1 directive, two rounds
+# overdue): slots 0-1 are this round's never-verified additions (the two
+# lifecycle queries that put the engine's own JDBC and streaming-publish
+# machinery under the driver gate); slots 2-18 are the STALE-VERDICT
+# re-verifies — every query whose physical plan changed in round 5 (the
+# DEC(30,8) widening's dsum/davg consumers, the edge-corpus/ANSI
+# hardening set, the replaced approx-quantile invariant, and the
+# session-window oracle change) but whose green verdict on record
+# predates the change; slots 19-49 are canaries, least-recently-verified
+# first (verdict age computed from CORRECTNESS_r01-r06, ties by
+# registration order — ages 1-3 in this window).
 #
 # Vacuity audit (round 5, sf0.01): every window oracle returns >0 rows —
 # checked by test_window_oracles_non_vacuous on every commit.
 GATE_PRIORITY = [
-    # --- slots 0-2: close-out (the two never-verified round-4 adds) +
-    # the round-5 growth-budget addition ---
-    "prep_chunk_overlap",
-    "dedup_setsim_exact",
-    "events_sessionize_bounded",
-    # --- slots 3-21: changed-code re-verifies. Everything whose BUILDING
-    # code changed in round 5, per the rotation policy (re-verify even
-    # when output-identical by construction): the adaptive broadcast
-    # guards, the two-pass exact-quantile selection, the q18
-    # single-decimal-sum rewrite, the nine SQL builders converted to
-    # ephemeral temp views (shared-session safety), and the operators
-    # whose intermediate caches now route through the tracked-cache
-    # registry. All re-driven locally post-change (MATCH at sf0.01; the
-    # view conversion also at sf0.1 + invariance/cluster/spill probes) --
-    # the window slot turns that into a driver verdict on record. ---
-    "text_tfidf_topk",
-    "sketch_quantile_histogram",
-    "tpch_q18_large_orders",
-    "subquery_scalar",
-    "subquery_correlated",
-    "subquery_not_in_nulls",
-    "subquery_correlated_min",
-    "agg_grouping_sets",
-    "agg_filter_clause",
-    "cte_with_clause",
-    "cte_recursive",
-    "fn_udtf_shingles",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "dedup_keep_best_in_cluster",
-    "rollup_time_buckets",
-    "rank_bm25",
-    # --- slots 22-49: canaries, least-recently-verified first (all
-    # remaining latest-verdict-round-1 queries, registration order) ---
-    "scan_lineitem",
-    "projection",
-    "filter_predicates",
-    "filter_like_null",
-    "join_inner",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_broadcast_dims",
-    "join_theta_range",
-    "join_cross",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_having",
-    "agg_minmax",
-    "window_row_number",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_ntile",
-    "sort_multi_key",
-    "topk_limit",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-]
-
-GATE_WINDOW = 50
-
-# STEADY-STATE ROTATION POLICY (round-5 VERDICT item 7) — with the
-# registry closed out, each round's window is composed in this order:
-#   1. any never-verified additions (new queries land HERE, inside the
-#      window, the same round they are registered — growth stays gated
-#      on the per-round budget);
-#   2. a re-verify slot for every query whose building code changed this
-#      round (even when the output is identical by construction);
-#   3. canaries, least-recently-verified first (ties broken by
-#      registration order), filling the window to 50.
-# With 192 queries and ~46 canary slots per round, every query's verdict
-# age stays <= ~4 rounds; the per-family representation guarantee is
-# enforced structurally by test_every_capability_family_verified_or_
-# inside_window. NEXT_WINDOW_QUEUE below pre-stages round 6 under this
-# policy: the round-1-verdict canaries displaced by this round's
-# changed-code re-verifies, then the round-2-verdict tail
-# (registration order), then the oldest round-3 verdicts.
-NEXT_WINDOW_QUEUE = [
-    # displaced round-1 canaries first (oldest verdicts), then the
-    # round-2 tail the policy was already queuing; entries that moved
-    # into the round-5 window as changed-code re-verifies are removed
-    "agg_mode_deterministic",
+    # --- slots 0-1: round-7 additions (never verified) ---
+    "jdbc_roundtrip_lineitem",
+    "stream_lifecycle_publish",
+    # --- slots 2-18: stale-verdict re-verifies (round-5 plan changes
+    # whose driver verdicts predate them; all locally DuckDB-conformant
+    # at HEAD — the slot turns that into driver evidence) ---
+    "agg_tpch_q1",
     "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_ratio",
+    "agg_percentiles",
+    "agg_variance_exact",
+    "agg_corr_regression",
+    "stream_tumbling_hourly",
+    "stream_sliding_windows",
+    "stream_watermark_recent",
+    "stream_static_enrich",
+    "stream_session_windows",
+    "fn_string",
+    "fn_json",
+    "mix_epoch_repeat",
+    "vocab_bpe_merge_apply",
+    "join_range_bucketed",
+    "agg_approx_quantile",
+    # --- slots 19-49: canaries, least-recently-verified first ---
     "tpch_q4_order_priority",
     "tpch_q10_returned_items",
     "tpch_q12_conditional_agg",
-    "tpch_q14_promo_ratio",
     "window_percent_cume",
     "window_moving_avg",
     "agg_string_agg",
     "agg_pivot",
-    "agg_percentiles",
     "sample_deterministic_hash",
     "asof_join_events",
-    "agg_variance_exact",
+    "agg_mode_deterministic",
     "join_anti",
-    "agg_tpch_q1",
     "agg_approx_count_distinct",
     "agg_array_collect",
     "window_range_frame",
-    "fn_string",
     "fn_datetime",
     "fn_math",
-    "fn_json",
     "fn_array",
     "fn_explode_posexplode",
     "fn_null_semantics",
@@ -165,21 +94,82 @@ NEXT_WINDOW_QUEUE = [
     "text_fingerprint",
     "multimodal_binary_meta",
     "multimodal_image_decode",
+]
+
+GATE_WINDOW = 50
+
+# STEADY-STATE ROTATION POLICY (round-5 VERDICT item 7) — with the
+# registry closed out, each round's window is composed in this order:
+#   1. any never-verified additions (new queries land HERE, inside the
+#      window, the same round they are registered — growth stays gated
+#      on the per-round budget);
+#   2. a re-verify slot for every query whose building code changed this
+#      round (even when the output is identical by construction);
+#   3. canaries, least-recently-verified first (ties broken by
+#      registration order), filling the window to 50.
+# With 194 queries and ~46 canary slots per round, every query's verdict
+# age stays <= ~4 rounds; the per-family representation guarantee is
+# enforced structurally by test_every_capability_family_verified_or_
+# inside_window. NEXT_WINDOW_QUEUE below pre-stages round 8 under this
+# policy: the remaining least-recently-verified queries in verdict-age
+# order (computed from CORRECTNESS_r01-r06: the round-2-verdict tail,
+# then round-3), ties by registration order.
+NEXT_WINDOW_QUEUE = [
     "pipeline_clean_corpus",
     "multimodal_audio_decode",
     "multimodal_video_frames",
     "dedup_incremental_ingest",
     "rollup_approx_users_daily",
-    "stream_tumbling_hourly",
-    "stream_sliding_windows",
-    "stream_session_windows",
     "stream_dedup_first",
-    "stream_watermark_recent",
-    "stream_static_enrich",
     "text_pii_scrub",
     "pack_sequences",
     "split_train_val_test",
     "text_repetition",
+    "agg_histogram_bins",
+    "window_first_last_nth",
+    "agg_boolean",
+    "agg_unpivot",
+    "fn_conditional",
+    "fn_string2",
+    "fn_bitwise",
+    "fn_datetime2",
+    "join_nullsafe",
+    "fn_greatest_least",
+    "fn_levenshtein",
+    "fn_format",
+    "ann_ivf_topk",
+    "funnel_stages",
+    "retention_cohorts",
+    "embed_random_projection",
+    "merge_scd1_upsert",
+    "ngram_topk",
+    "embed_quantize_int8",
+    "mix_domain_weights",
+    "sample_stratified",
+    "decontaminate_test_split",
+    "vocab_oov_rate",
+    "filter_length_outliers",
+    "decontaminate_ngram_overlap",
+    "pack_sequences_text",
+    "boilerplate_span_removal",
+    "sample_quality_weighted",
+    "corpus_pretraining_pipeline",
+    "report_corpus_health",
+    "doc_chunk_overlap",
+    "sample_domain_cap",
+    "decontaminate_semantic",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_orders",
 ]
 
 
