@@ -79,9 +79,25 @@ def normalize(plan_text: str) -> str:
     return "\n".join(kept)
 
 
+def _import_engine(repo_root: str):
+    """Import the engine package from ``repo_root`` specifically.
+
+    When fingerprinting another checkout (a git worktree — the diff use
+    case), the CURRENT repo's package may already be imported or simply
+    shadow it on sys.path; purge any loaded ``mssql2monetdb_spark`` modules
+    and put ``repo_root`` first so the import genuinely resolves there.
+    """
+    root = str(Path(repo_root).resolve())
+    if root != str(REPO):
+        for mod in [m for m in sys.modules if m.split(".")[0] == "mssql2monetdb_spark"]:
+            del sys.modules[mod]
+    if root in sys.path:
+        sys.path.remove(root)
+    sys.path.insert(0, root)
+
+
 def fingerprint_all(repo_root: str, sf_dir: str) -> dict[str, str]:
-    sys.path.insert(0, repo_root)
-    # tests may also be imported by the package path; keep scripts minimal
+    _import_engine(repo_root)
     from mssql2monetdb_spark.session import get_spark  # noqa: E402
     import mssql2monetdb_spark.queries as Q  # noqa: E402
 
@@ -112,10 +128,23 @@ def load_committed() -> dict[str, str]:
 
 
 def current_window(repo_root: str) -> list[str]:
-    sys.path.insert(0, repo_root)
+    _import_engine(repo_root)
     from mssql2monetdb_spark.queries import GATE_PRIORITY, GATE_WINDOW  # noqa: E402
 
     return list(GATE_PRIORITY[:GATE_WINDOW])
+
+
+def find_offenders(
+    fps: dict[str, str], committed: dict[str, str], window: set[str]
+) -> tuple[list[str], list[str], list[str]]:
+    """Pure check logic: (changed, new, offenders) given two fingerprint
+    maps and the gate window. Split out so the pytest gate
+    (``tests/test_plan_fingerprints.py``) can exercise it on stored maps
+    without a Spark sweep."""
+    changed = sorted(n for n, fp in fps.items() if committed.get(n) not in (None, fp))
+    new = sorted(n for n in fps if n not in committed)
+    offenders = [n for n in changed if n not in window]
+    return changed, new, offenders
 
 
 def main() -> int:
@@ -137,11 +166,7 @@ def main() -> int:
 
     committed = load_committed()
     window = set(current_window(args.repo_root))
-    changed = sorted(
-        n for n, fp in fps.items() if committed.get(n) not in (None, fp)
-    )
-    new = sorted(n for n in fps if n not in committed)
-    offenders = [n for n in changed if n not in window]
+    changed, new, offenders = find_offenders(fps, committed, window)
 
     if args.update:
         if offenders and not args.force:
