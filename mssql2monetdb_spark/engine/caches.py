@@ -47,6 +47,15 @@ _LOCK = threading.Lock()
 _TRACKED: list[DataFrame] = []
 
 #: max registry entries; oldest are unpersisted on overflow.
+#:
+#: The budget is GLOBAL across threads and sessions (a module global,
+#: matching the single-engine-per-process deployment this package
+#: assumes): two concurrent long operator builds in one process — e.g.
+#: parallel connected-components runs each tracking per-iteration caches
+#: — share these 64 slots and can evict each other's still-hot entries,
+#: silently degrading to recompute (correct, just slower). Concurrent
+#: multi-build processes should raise ``capacity`` proportionally or
+#: serialize cache-heavy builds.
 capacity = 64
 
 

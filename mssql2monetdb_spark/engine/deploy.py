@@ -45,16 +45,25 @@ _LOCAL_MASTER = re.compile(r"^local(\[[^\]]*\])?$")
 
 
 def package_zip() -> str:
-    """Build (once) a zip of the package importable from its root."""
+    """Build (once) a zip of the package importable from its root.
+
+    Ships ``.py`` sources only — the package carries no data resources
+    today; if one is ever added, extend the walk's filter or the
+    executors won't see it. The zip is removed at interpreter exit
+    (``atexit``), after Spark no longer needs it.
+    """
     global _ZIP_PATH
     if _ZIP_PATH is not None and os.path.exists(_ZIP_PATH):
         return _ZIP_PATH
+    import atexit
+
     import mssql2monetdb_spark as pkg
 
     pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
     pkg_name = os.path.basename(pkg_dir)
     fd, path = tempfile.mkstemp(prefix="mssql2monetdb_spark_", suffix=".zip")
     os.close(fd)
+    atexit.register(lambda: os.path.exists(path) and os.remove(path))
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, dirs, files in os.walk(pkg_dir):
             dirs[:] = [d for d in dirs if d != "__pycache__"]

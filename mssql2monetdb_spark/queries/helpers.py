@@ -41,12 +41,20 @@ def sql_with_views(spark: SparkSession, sql_template: str, **dfs: DataFrame) -> 
     library caller's own temp view of that name is clobbered. Unique
     ephemeral names eliminate both, and dropping them leaves the caller's
     catalog exactly as it was found.
+
+    Substitution replaces only the ``{key}`` tokens of the DataFrames
+    actually passed (not ``str.format``), so literal braces elsewhere in
+    the SQL — JSON-path arguments, regex quantifiers, string literals —
+    pass through untouched.
     """
     names = {key: f"_q_{key}_{next(_VIEW_SEQ)}" for key in dfs}
+    sql = sql_template
+    for key, view in names.items():
+        sql = sql.replace("{" + key + "}", view)
     for key, df in dfs.items():
         df.createOrReplaceTempView(names[key])
     try:
-        return spark.sql(sql_template.format(**names))
+        return spark.sql(sql)
     finally:
         for name in names.values():
             spark.catalog.dropTempView(name)

@@ -69,14 +69,39 @@ ONLY = _flag("--only", None)
 ONLY = set(ONLY.split(",")) if ONLY else None
 
 FORCE_SPILL = "--force-spill" in sys.argv
-# Rows an operator buffers before spilling. 1024 forces spill runs on
-# every non-trivial partition while keeping the merge fan-in sane; toy
-# values (64) additionally expose a RESOURCE limit, not a correctness
-# one — each spill run costs a 1 MB reader buffer at merge time, so a
-# 20k-row window partition shredded into 64-row runs OOMs the executor
-# on merge-reader buffers alone (measured: the three largest-window-
-# partition queries die at 64, all MATCH at 1024 — SCALE.md).
-SPILL_ROWS = _flag("--spill-threshold", "1024")
+
+
+def _auto_spill_rows(sf_dir: str) -> str:
+    """Derive the forced-spill threshold from the fixture size.
+
+    Rows an operator buffers before spilling. The threshold must scale
+    with the data: too high and small fixtures never spill (vacuous
+    probe); too low and the probe hits a RESOURCE limit instead of a
+    correctness one — each spill run costs a ~1 MB reader buffer at merge
+    time, so a whole-table window partition shredded into 64-row runs
+    OOMs the executor on merge-reader buffers alone (measured: the three
+    largest-window-partition queries die at 64 — SCALE.md). The worst
+    case is an unpartitioned window frame: ALL rows of the largest table
+    in ONE partition. Capping spill runs at 64 per partition keeps the
+    merge fan-in ~64 MB while still forcing dozens of real spills
+    everywhere. Reproduces the hand-tuned values: 1024 at sf0.001 (floor)
+    and ~9.4k at sf0.1 (vs 8192 tuned by hand in round 5).
+    """
+    import pyarrow.parquet as pq
+
+    max_rows = 0
+    for fname in os.listdir(sf_dir):
+        if fname.endswith(".parquet"):
+            path = os.path.join(sf_dir, fname)
+            max_rows = max(max_rows, pq.ParquetFile(path).metadata.num_rows)
+    return str(max(1024, -(-max_rows // 64)))
+
+
+SPILL_ROWS = _flag("--spill-threshold", None) or (
+    _auto_spill_rows(SF_DIR) if FORCE_SPILL else "1024"
+)
+if FORCE_SPILL:
+    print(f"force-spill threshold: {SPILL_ROWS} rows", flush=True)
 
 builder = (
     SparkSession.builder.appName("cluster-mode-probe")

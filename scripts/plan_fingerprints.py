@@ -101,6 +101,8 @@ def fingerprint_all(repo_root: str, sf_dir: str) -> dict[str, str]:
     from mssql2monetdb_spark.session import get_spark  # noqa: E402
     import mssql2monetdb_spark.queries as Q  # noqa: E402
 
+    from mssql2monetdb_spark.engine import caches
+
     spark = get_spark("plan-fingerprints")
     fps: dict[str, str] = {}
     names = list(Q.queries())
@@ -108,6 +110,17 @@ def fingerprint_all(repo_root: str, sf_dir: str) -> dict[str, str]:
         build = Q.queries()[name]
         try:
             df = build(spark, sf_dir)
+            # Fingerprint the query's INTRINSIC (cache-free) plan: clear
+            # all cache state between build and explain. Cached relations
+            # are substituted into plans as InMemoryTableScan at planning
+            # time, and whether one is still registered when a later (or
+            # iterative — connected components unpersists superseded
+            # label frames with blocking=False) query plans is a TIMING
+            # race, making fingerprints of cache-adjacent queries flap
+            # run-to-run. Clearing before explain also frees the sweep's
+            # accumulated cache memory.
+            caches.release()
+            spark.catalog.clearCache()
             text = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
                 df._jdf.queryExecution(), "formatted"
             )

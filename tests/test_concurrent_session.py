@@ -105,3 +105,20 @@ def test_ephemeral_views_are_dropped(spark):
         v.name for v in spark.catalog.listTables() if v.name.startswith("_q_")
     ]
     assert leftovers == []
+
+
+def test_sql_with_views_passes_literal_braces_through(spark):
+    """Templates may contain literal braces (JSON-path args, regex
+    quantifiers, string literals) — only the passed {key} tokens are
+    substituted (the round-5 ADVICE str.format finding)."""
+    from mssql2monetdb_spark.queries.helpers import sql_with_views
+
+    df = spark.range(1).selectExpr("'{\"a\": {\"b\": 7}}' AS j")
+    out = sql_with_views(
+        spark,
+        "SELECT get_json_object(j, '$.a.b') AS v, '{literal}' AS s "
+        "FROM {src} WHERE j RLIKE '\\\\{{1}.*'",
+        src=df,
+    ).collect()
+    assert out[0]["v"] == "7"
+    assert out[0]["s"] == "{literal}"
