@@ -214,6 +214,7 @@ class CopyEngine:
             # from the source — the filter pushes down to the source scan —
             # and the new version is snapshot+delta (the reference re-copies
             # the full table every run; this is the Spark-first upgrade)
+            reads_current = False
             if job.incremental:
                 state = self.store.load(self.checksum, job.job_id)
                 cur = self.catalog.current_version(job.schema_name, job.to_table)
@@ -223,6 +224,7 @@ class CopyEngine:
                         self.catalog.version_dir(job.schema_name, cur)
                     )
                     df = snapshot.unionByName(delta, allowMissingColumns=True)
+                    reads_current = True
 
             # schema verify + evolve (op #14): widen the new version to the
             # union of the published schema and the incoming one so the view
@@ -236,8 +238,25 @@ class CopyEngine:
             if job.zorder_by:
                 df = self._zorder_cluster(df, job.zorder_by)
             target = job.to_table if job.use_fast_view_switching else f"tmp_{job.to_table}"
+            # Same-load_date reruns OVERWRITE their version (crash-retry
+            # idempotence, pinned by test_same_load_date_is_idempotent) —
+            # EXCEPT when this run's plan lazily reads the current
+            # version's directory (incremental snapshot+delta): the date
+            # has 1-second granularity, so a tick in the same second as
+            # the previous publish would overwrite the directory it is
+            # reading mid-write. Bump past the name being read.
+            from datetime import timedelta
+
+            from .publish import physical_name
+
+            eff_date = load_date
+            if reads_current:
+                while physical_name(target, eff_date) == self.catalog.current_version(
+                    job.schema_name, job.to_table
+                ):
+                    eff_date += timedelta(seconds=1)
             physical = self.catalog.write_version(
-                df, job.schema_name, target, load_date,
+                df, job.schema_name, target, eff_date,
                 sort_by=list(job.sort_by) if job.sort_by else None,
                 partition_by=list(job.partition_by) if job.partition_by else None,
             )

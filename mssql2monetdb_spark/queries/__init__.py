@@ -39,9 +39,10 @@ from . import lifecycle  # noqa: E402,F401
 # Vacuity audit (round 5, sf0.01): every window oracle returns >0 rows —
 # checked by test_window_oracles_non_vacuous on every commit.
 GATE_PRIORITY = [
-    # --- slots 0-1: round-7 additions (never verified) ---
+    # --- slots 0-2: round-7 additions (never verified) ---
     "jdbc_roundtrip_lineitem",
     "stream_lifecycle_publish",
+    "copy_incremental_watermark",
     # --- slots 2-18: stale-verdict re-verifies (round-5 plan changes
     # whose driver verdicts predate them; all locally DuckDB-conformant
     # at HEAD — the slot turns that into driver evidence) ---
@@ -93,7 +94,6 @@ GATE_PRIORITY = [
     "text_lang_id",
     "text_fingerprint",
     "multimodal_binary_meta",
-    "multimodal_image_decode",
 ]
 
 GATE_WINDOW = 50
@@ -115,6 +115,7 @@ GATE_WINDOW = 50
 # order (computed from CORRECTNESS_r01-r06: the round-2-verdict tail,
 # then round-3), ties by registration order.
 NEXT_WINDOW_QUEUE = [
+    "multimodal_image_decode",
     "pipeline_clean_corpus",
     "multimodal_audio_decode",
     "multimodal_video_frames",

@@ -1,15 +1,17 @@
 """End-to-end lifecycle queries: the engine's OWN copy machinery under the
 driver's oracle gate.
 
-Every other registry query exercises the delegated-SQL surface; these two
+Every other registry query exercises the delegated-SQL surface; these
 drive the reference's actual pipelines — the JDBC writer/reader pair
 (``MonetDBUtil.java:205-295`` type lattice, ``CopyTool.java:829-866`` load
-path) and the scheduled incremental sync with versioned publish + retention
-(``CopyTool.java:121-160,202-299,554-602``) — and hash the OUTPUT of the
-pipeline against a plain-SQL oracle over the original parquet. A green row
-means the machinery is value-preserving end-to-end, not just unit-tested.
+path), the streaming SCD-1 sync with versioned publish + retention
+(``CopyTool.java:121-160,202-299,554-602``), and the watermark-triggered
+incremental CopyEngine loop (``CopyTool.java:332-477``) — and hash the
+OUTPUT of the pipeline against a plain-SQL oracle over the original
+parquet. A green row means the machinery is value-preserving end-to-end,
+not just unit-tested.
 
-Both builders stage state under ``tempfile.mkdtemp`` (fresh per invocation,
+The builders stage state under ``tempfile.mkdtemp`` (fresh per invocation,
 so repeated driver runs never collide); the returned DataFrame lazily reads
 the staged output, so the directories are left for the OS tmp reaper rather
 than deleted here.
@@ -24,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
-from ..config.spec import CopyJob, SourceSpec
+from ..config.spec import CopyJob, JobSpec, SourceSpec
 from ..engine.publish import VersionedCatalog
 from ..sources.jdbc import jdbc_reader, jdbc_writer, partition_bounds_options
 from ..streaming.pipelines import events_stream, upsert_stream_available_now
@@ -158,3 +160,84 @@ def stream_lifecycle_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return published.select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     ).orderBy("user_id")
+
+
+@query(
+    "copy_incremental_watermark",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders ORDER BY o_orderkey
+    """,
+)
+def copy_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core scheduled loop under the oracle gate: a
+    watermark-triggered incremental copy (``CopyTool.java:121-160`` tick,
+    ``332-477`` trigger decision, ``305-309`` state-after-success) driven
+    end-to-end through ``CopyEngine``. The orders fixture is staged as a
+    file source in two halves split on the trigger column; tick 1 full-
+    loads the old half and persists the watermark, tick 2 extracts only
+    the strictly-newer delta (filter pushed to the source scan) and
+    publishes snapshot+delta as a new version, tick 3 must see no new
+    data and exit 2 WITHOUT publishing (``CopyTool.java:95-98``) — a
+    RuntimeError (gate ERROR) otherwise. The published view's content is
+    hashed against the plain full-table oracle: any row the trigger
+    logic dropped, duplicated, or re-copied breaks the hash.
+    """
+    from ..engine.copy import CopyEngine
+
+    t = Tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="copy_incr_")
+    src_dir = os.path.join(base, "src")
+    orders_dir = os.path.join(src_dir, "orders.parquet")
+    os.makedirs(src_dir, exist_ok=True)
+    mid = t.orders.agg(F.max("o_orderkey")).first()[0] // 2
+
+    spec = JobSpec(
+        sources={"src": SourceSpec(name="src", format="parquet", path=src_dir)},
+        jobs={
+            "orders_sync": CopyJob(
+                job_id="orders_sync",
+                source="src",
+                from_table="orders",
+                to_table="orders_sync",
+                trigger_column="o_orderkey",
+                incremental=True,
+                auto_trim=False,
+            )
+        },
+        warehouse_dir=os.path.join(base, "wh"),
+        state_dir=os.path.join(base, "state"),
+    )
+    engine = CopyEngine(spark, spec)
+
+    # Explicit distinct load dates: the default wall-clock date has
+    # 1-second granularity, so two sub-second ticks can collide on the
+    # SAME version name — tick 2 would then overwrite the directory its
+    # own snapshot is lazily reading (an intermittent FAILED_READ_FILE).
+    from datetime import datetime
+
+    t.orders.filter(F.col("o_orderkey") <= mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(orders_dir)
+    engine.do_copy(load_date=datetime(2024, 1, 1))
+
+    t.orders.filter(F.col("o_orderkey") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(orders_dir)
+    engine.do_copy(load_date=datetime(2024, 1, 2))
+
+    code = engine.run()
+    if code != 2:
+        raise RuntimeError(
+            f"third tick with unchanged source must exit 2 (no new data), got {code}"
+        )
+    published = engine.catalog.table_at(spark, "default", "orders_sync")
+    return published.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ).orderBy("o_orderkey")

@@ -60,6 +60,10 @@ _NORMALIZERS = [
     (re.compile(r"Statistics\([^)]*\)"), "Statistics(X)"),
     (re.compile(r"sizeInBytes=[^,)]*"), "sizeInBytes=X"),
     (re.compile(r"rowCount=\d+"), "rowCount=X"),
+    # RDD ids in Scan ExistingRDD arguments (localCheckpoint frames,
+    # createDataFrame probe relations): a session-GLOBAL counter, so the
+    # value depends on everything run before in the sweep
+    (re.compile(r"RDD\[\d+\]"), "RDD[N]"),
     # object hashes occasionally embedded in udf/lambda names
     (re.compile(r"0x[0-9a-f]{6,}"), "0xH"),
     (re.compile(r"at 0xH"), "at 0xH"),
@@ -96,7 +100,7 @@ def _import_engine(repo_root: str):
     sys.path.insert(0, root)
 
 
-def fingerprint_all(repo_root: str, sf_dir: str) -> dict[str, str]:
+def fingerprint_all(repo_root: str, sf_dir: str, dump_dir: str | None = None) -> dict[str, str]:
     _import_engine(repo_root)
     from mssql2monetdb_spark.session import get_spark  # noqa: E402
     import mssql2monetdb_spark.queries as Q  # noqa: E402
@@ -128,7 +132,14 @@ def fingerprint_all(repo_root: str, sf_dir: str) -> dict[str, str]:
             fps[name] = f"ERROR:{type(exc).__name__}"
             print(f"[{i + 1}/{len(names)}] {name}: ERROR {exc}", file=sys.stderr)
             continue
-        fps[name] = hashlib.sha256(normalize(text).encode()).hexdigest()[:16]
+        norm = normalize(text)
+        fps[name] = hashlib.sha256(norm.encode()).hexdigest()[:16]
+        if dump_dir:
+            # normalized text per query, so a hash mismatch is diffable
+            # instead of opaque (any residual run-dependent token shows
+            # up as a one-line diff)
+            Path(dump_dir).mkdir(parents=True, exist_ok=True)
+            (Path(dump_dir) / f"{name}.txt").write_text(norm)
         if (i + 1) % 25 == 0:
             print(f"[{i + 1}/{len(names)}] fingerprinted", file=sys.stderr)
     return fps
@@ -168,9 +179,10 @@ def main() -> int:
     ap.add_argument("--update", action="store_true")
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--out", default=None, help="write fingerprints to this file instead of PLAN_FINGERPRINTS.json")
+    ap.add_argument("--dump-dir", default=None, help="also write each query's normalized plan text here (diffable mismatches)")
     args = ap.parse_args()
 
-    fps = fingerprint_all(args.repo_root, args.sf_dir)
+    fps = fingerprint_all(args.repo_root, args.sf_dir, dump_dir=args.dump_dir)
 
     if args.out:
         Path(args.out).write_text(json.dumps(fps, indent=1, sort_keys=True) + "\n")

@@ -537,3 +537,49 @@ def test_compact_shrinks_files_and_republishes(spark, tmp_path):
     assert got.agg({"k": "sum"}).first()[0] == sum(range(10_000))
     # the fragmented version survives for time travel until cleanup
     assert v1 in catalog.table_versions("main", "t")
+
+
+def test_incremental_same_second_tick_does_not_overwrite_snapshot(spark, tmp_path):
+    """An INCREMENTAL tick whose load_date collides with the published
+    version's name (1-second date granularity, rapid successive runs)
+    must not overwrite the directory its own snapshot+delta plan is
+    lazily reading — do_copy bumps the date past the name being read.
+    Full-reload reruns keep the overwrite/idempotent contract
+    (test_same_load_date_is_idempotent)."""
+    from datetime import datetime
+
+    from mssql2monetdb_spark.config.spec import CopyJob, JobSpec, SourceSpec
+    from mssql2monetdb_spark.engine.copy import CopyEngine
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.range(10).selectExpr("id AS k", "id * 2 AS v").coalesce(1).write.parquet(
+        str(src_dir / "t.parquet")
+    )
+    spec = JobSpec(
+        sources={"s": SourceSpec(name="s", format="parquet", path=str(src_dir))},
+        jobs={
+            "j": CopyJob(
+                job_id="j",
+                source="s",
+                from_table="t",
+                to_table="t_sync",
+                trigger_column="k",
+                incremental=True,
+            )
+        },
+        warehouse_dir=str(tmp_path / "wh"),
+        state_dir=str(tmp_path / "state"),
+    )
+    engine = CopyEngine(spark, spec)
+    d = datetime(2024, 6, 1)
+    engine.do_copy(load_date=d)  # full load, watermark persisted
+
+    spark.range(10, 15).selectExpr("id AS k", "id * 2 AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src_dir / "t.parquet"))
+    engine.do_copy(load_date=d)  # same second: snapshot reads the published dir
+
+    versions = engine.catalog.table_versions("default", "t_sync")
+    assert len(versions) == 2, f"incremental tick reused the snapshot's name: {versions}"
+    assert engine.catalog.table_at(spark, "default", "t_sync").count() == 15
