@@ -67,6 +67,10 @@ def jdbc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a bench query) — the SAME writer/reader options run partitioned on
     a real cluster (``tests/test_jdbc_integration.py`` covers the bounds
     math; the reference's single forward cursor becomes N range scans).
+    The embedded-Derby FIXTURE is driver-JVM-only (Derby forbids a second
+    JVM booting the same db directory), so multi-executor probe sweeps
+    skip this query (``scripts/cluster_mode_probe.py``); a real deployment
+    points the same options at a server URL reachable from every executor.
     """
     t = Tables(spark, sf_dir)
     subset = (
