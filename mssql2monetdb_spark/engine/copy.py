@@ -244,16 +244,25 @@ class CopyEngine:
             # version's directory (incremental snapshot+delta): the date
             # has 1-second granularity, so a tick in the same second as
             # the previous publish would overwrite the directory it is
-            # reading mid-write. Bump past the name being read.
+            # reading mid-write, and a THIRD same-second tick would land
+            # back on the first name — destroying the retained backup and
+            # publishing a name that sorts below a retained newer one
+            # (newest_version/switch_only would then serve stale data).
+            # So in incremental mode, bump past EVERY retained version.
+            # The collision is computed on the PUBLIC name: in temp-table
+            # mode the written dir is tmp_-prefixed but the PHASE 3
+            # os.replace promotion lands on the public name, which is
+            # where the collision actually bites.
             from datetime import timedelta
 
             from .publish import physical_name
 
             eff_date = load_date
             if reads_current:
-                while physical_name(target, eff_date) == self.catalog.current_version(
-                    job.schema_name, job.to_table
-                ):
+                retained = set(
+                    self.catalog.table_versions(job.schema_name, job.to_table)
+                )
+                while physical_name(job.to_table, eff_date) in retained:
                     eff_date += timedelta(seconds=1)
             physical = self.catalog.write_version(
                 df, job.schema_name, target, eff_date,
@@ -270,12 +279,19 @@ class CopyEngine:
             job = self.spec.jobs[job_id]
             if not job.use_fast_view_switching:
                 # CTAS promotion analog (op #17, CopyTool.java:1107-1124):
-                # re-publish the temp physical dir under the public name
+                # re-publish the temp physical dir under the public name.
+                # A same-load_date retry overwrites its previous promotion
+                # (os.replace cannot rename onto a non-empty directory) —
+                # the same idempotent-retry contract as fast-mode
+                # write_version's mode("overwrite").
                 import os
+                import shutil
 
                 src_dir = self.catalog.version_dir(job.schema_name, physical)
                 promoted = physical.replace("tmp_", "", 1)
                 dst_dir = self.catalog.version_dir(job.schema_name, promoted)
+                if os.path.exists(dst_dir):
+                    shutil.rmtree(dst_dir)
                 os.replace(src_dir, dst_dir)
                 physical = promoted
             self.catalog.publish(self.spark, job.schema_name, job.to_table, physical)

@@ -25,16 +25,16 @@ from . import tpch_full  # noqa: E402,F401
 from . import lifecycle  # noqa: E402,F401
 
 # ROTATION — round 7 (the round-5/6 verdicts' #1 directive, two rounds
-# overdue): slots 0-1 are this round's never-verified additions (the two
-# lifecycle queries that put the engine's own JDBC and streaming-publish
-# machinery under the driver gate); slots 2-18 are the STALE-VERDICT
-# re-verifies — every query whose physical plan changed in round 5 (the
-# DEC(30,8) widening's dsum/davg consumers, the edge-corpus/ANSI
-# hardening set, the replaced approx-quantile invariant, and the
-# session-window oracle change) but whose green verdict on record
-# predates the change; slots 19-49 are canaries, least-recently-verified
-# first (verdict age computed from CORRECTNESS_r01-r06, ties by
-# registration order — ages 1-3 in this window).
+# overdue): slots 0-2 are this round's never-verified additions (the
+# three lifecycle queries that put the engine's own JDBC, streaming-
+# publish, and incremental-copy machinery under the driver gate);
+# slots 3-19 are the STALE-VERDICT re-verifies — every query whose
+# physical plan changed in round 5 (the DEC(30,8) widening's dsum/davg
+# consumers, the edge-corpus/ANSI hardening set, the replaced
+# approx-quantile invariant, and the session-window oracle change) but
+# whose green verdict on record predates the change; slots 20-49 are
+# canaries, least-recently-verified first (verdict age computed from
+# CORRECTNESS_r01-r06, ties by registration order — ages 1-3).
 #
 # Vacuity audit (round 5, sf0.01): every window oracle returns >0 rows —
 # checked by test_window_oracles_non_vacuous on every commit.
@@ -43,7 +43,7 @@ GATE_PRIORITY = [
     "jdbc_roundtrip_lineitem",
     "stream_lifecycle_publish",
     "copy_incremental_watermark",
-    # --- slots 2-18: stale-verdict re-verifies (round-5 plan changes
+    # --- slots 3-19: stale-verdict re-verifies (round-5 plan changes
     # whose driver verdicts predate them; all locally DuckDB-conformant
     # at HEAD — the slot turns that into driver evidence) ---
     "agg_tpch_q1",
@@ -63,7 +63,7 @@ GATE_PRIORITY = [
     "vocab_bpe_merge_apply",
     "join_range_bucketed",
     "agg_approx_quantile",
-    # --- slots 19-49: canaries, least-recently-verified first ---
+    # --- slots 20-49: canaries, least-recently-verified first ---
     "tpch_q4_order_priority",
     "tpch_q10_returned_items",
     "tpch_q12_conditional_agg",
@@ -107,7 +107,7 @@ GATE_WINDOW = 50
 #      round (even when the output is identical by construction);
 #   3. canaries, least-recently-verified first (ties broken by
 #      registration order), filling the window to 50.
-# With 194 queries and ~46 canary slots per round, every query's verdict
+# With 195 queries and ~46 canary slots per round, every query's verdict
 # age stays <= ~4 rounds; the per-family representation guarantee is
 # enforced structurally by test_every_capability_family_verified_or_
 # inside_window. NEXT_WINDOW_QUEUE below pre-stages round 8 under this

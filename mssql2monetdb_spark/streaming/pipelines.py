@@ -215,6 +215,7 @@ def upsert_stream_available_now(
     import json as _json
     import logging
     import os as _os
+    import threading
     from datetime import datetime, timedelta
 
     from pyspark.sql.window import Window
@@ -234,21 +235,30 @@ def upsert_stream_available_now(
             pass
         # Fallback for stores this process can't open() directly: the
         # StreamingQuery object captured right after start() exposes the
-        # same id.
+        # same id. start() launches batches concurrently, so batch 0 can
+        # reach here BEFORE the main thread assigns the handle — wait for
+        # the started event instead of degrading a racy first batch.
+        holder["started"].wait(timeout=60)
         if holder.get("query") is not None:
             return str(holder["query"].id)
         # Degraded: guard falls back to batch_id-only, which re-admits the
         # fresh-checkpoint data-loss case — never silent.
         logging.getLogger(__name__).warning(
             "upsert_stream %s.%s: could not determine stream lineage id "
-            "(checkpoint metadata unreadable, query handle not yet set); "
+            "(checkpoint metadata unreadable, query handle not set); "
             "replay guard degraded to batch-id-only for this batch",
             schema,
             table,
         )
         return None
 
-    holder: dict = {}
+    holder: dict = {"started": threading.Event()}
+
+    def _seq_of(physical: str | None) -> int | None:
+        v = version_of(physical or "")
+        if not v:
+            return None
+        return int((datetime.strptime(v, LOAD_DATE_FORMAT) - seq_base).total_seconds())
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -261,12 +271,19 @@ def upsert_stream_available_now(
         # recomputes the same seq, and overwrites its own directory.
         prev_seq = info.get("seq")
         if prev_seq is None:
-            v = version_of(info.get("physical") or "")
-            prev_seq = (
-                int((datetime.strptime(v, LOAD_DATE_FORMAT) - seq_base).total_seconds())
-                if v
-                else -1
-            )
+            # Migration path (manifest predates the seq scheme — legacy
+            # day-salt or external publish): seed from the MAX encoded
+            # date across the manifest AND every retained version dir, so
+            # new names outsort even a legacy dir that sorts above the
+            # manifest's current (else newest_version/cleanup would stay
+            # pinned to the stale dir forever). One-shot: the first seq
+            # publish records `seq` and later batches are manifest-driven
+            # (deterministic replay names) again.
+            candidates = [_seq_of(info.get("physical"))] + [
+                _seq_of(p) for p in catalog.table_versions(schema, table)
+            ]
+            candidates = [c for c in candidates if c is not None]
+            prev_seq = max(candidates) if candidates else -1
         seq = int(prev_seq) + 1
         load_date = seq_base + timedelta(seconds=seq)
         w = Window.partitionBy(key).orderBy(
@@ -298,6 +315,7 @@ def upsert_stream_available_now(
         .start()
     )
     holder["query"] = q
+    holder["started"].set()
     q.awaitTermination()
 
 

@@ -25,6 +25,15 @@ fingerprint is stable across processes and hosts; everything structural —
 operator tree, join strategies, PushedFilters, ReadSchema, partitioning —
 is kept, because those ARE the properties a re-verify exists to re-check.
 
+KNOWN LIMITATION — control-plane queries: the three lifecycle queries
+(``queries/lifecycle.py``) execute their pipeline (JDBC round-trip,
+streaming drain, CopyEngine ticks) eagerly at build time and return a scan
+of the staged OUTPUT, so their fingerprint pins only that final scan — a
+change inside the copy/streaming machinery will NOT flip it. Their
+re-verification coupling is the rotation policy's "changed building code ⇒
+window slot" rule (queries/__init__.py), which the driver gate enforces
+through their end-to-end content hash instead.
+
 ``tests/test_plan_fingerprints.py`` runs the --check logic in pytest.
 """
 

@@ -583,3 +583,17 @@ def test_incremental_same_second_tick_does_not_overwrite_snapshot(spark, tmp_pat
     versions = engine.catalog.table_versions("default", "t_sync")
     assert len(versions) == 2, f"incremental tick reused the snapshot's name: {versions}"
     assert engine.catalog.table_at(spark, "default", "t_sync").count() == 15
+
+    # third same-second tick: must bump past EVERY retained name (not
+    # just the current one) — landing back on tick 1's name would
+    # destroy the backup and publish a name that sorts below tick 2's,
+    # leaving newest_version pointing at stale data
+    spark.range(15, 20).selectExpr("id AS k", "id * 2 AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src_dir / "t.parquet"))
+    engine.do_copy(load_date=d)
+    cat = engine.catalog
+    assert cat.newest_version("default", "t_sync") == cat.current_version(
+        "default", "t_sync"
+    ), "a same-second tick published a name sorting below a retained one"
+    assert cat.table_at(spark, "default", "t_sync").count() == 20

@@ -495,3 +495,45 @@ def test_stream_stream_interval_join_matches_batch(spark, stream_src, tmp_path):
         .collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_upsert_stream_migrates_past_legacy_outsorting_version(spark, tmp_path):
+    """Migration from the pre-seq (day-salt) naming: a retained legacy dir
+    can sort ABOVE the manifest's current version. The first seq-based
+    publish must outsort ALL retained dirs — seeding the counter from the
+    manifest alone would leave newest_version()/cleanup pinned to the
+    stale legacy dir forever."""
+    import json
+    import os
+    from datetime import datetime
+
+    from mssql2monetdb_spark.engine.publish import VersionedCatalog
+    from mssql2monetdb_spark.streaming.pipelines import (
+        events_stream,
+        upsert_stream_available_now,
+    )
+
+    ev = load_table(spark, SF, "events")
+    catalog = VersionedCatalog(str(tmp_path / "wh"))
+
+    # legacy state: an old-lineage dir salted far in the future (2069)
+    # still retained, while the manifest's current is a 2030-salted dir
+    # published by a later lineage — no `seq` key in the manifest
+    legacy_hi = catalog.write_version(ev.limit(3), "main", "user_state", datetime(2069, 5, 1))
+    cur = catalog.write_version(ev.limit(5), "main", "user_state", datetime(2030, 2, 1))
+    catalog.publish(spark, "main", "user_state", cur, meta={"lineage": "old", "batch_id": 0})
+    manifest = json.load(open(os.path.join(str(tmp_path / "wh"), "main", ".user_state.current")))
+    assert "seq" not in manifest
+    assert catalog.newest_version("main", "user_state") == legacy_hi  # the incoherence
+
+    src = tmp_path / "in"
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src))
+    upsert_stream_available_now(
+        events_stream(spark, str(src)), catalog, "main", "user_state",
+        str(tmp_path / "ckpt"),
+    )
+    # the new publish outsorts every retained dir: coherence restored
+    assert catalog.newest_version("main", "user_state") == catalog.current_version(
+        "main", "user_state"
+    )
+    assert catalog.current_version("main", "user_state") > legacy_hi
