@@ -73,6 +73,16 @@ _NORMALIZERS = [
     # createDataFrame probe relations): a session-GLOBAL counter, so the
     # value depends on everything run before in the sweep
     (re.compile(r"RDD\[\d+\]"), "RDD[N]"),
+    # lambda variable names in higher-order functions (transform/filter/
+    # aggregate): Spark numbers them from a session-global counter, so
+    # the suffix depends on every HOF expression built earlier — i.e. on
+    # REGISTRY ORDER. Without this, a mere gate-window rotation flips
+    # every HOF query's fingerprint (caught by the r6-vs-r7 worktree
+    # diff: 46 spurious 'changes', all lambda-counter drift).
+    (re.compile(r"(lambda [A-Za-z]+)_\d+"), r"\1_N"),
+    # common-subexpression-elimination aliases: same session-global-
+    # counter problem as lambda variables
+    (re.compile(r"_common_expr_\d+"), "_common_expr_N"),
     # object hashes occasionally embedded in udf/lambda names
     (re.compile(r"0x[0-9a-f]{6,}"), "0xH"),
     (re.compile(r"at 0xH"), "at 0xH"),

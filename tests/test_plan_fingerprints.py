@@ -81,3 +81,21 @@ def test_normalizer_strips_run_dependent_tokens():
         "[plan_id=2] [codegen id : 1] _q_orders_340 sizeInBytes=9,"
     )
     assert a == b
+
+
+def test_normalizer_strips_session_global_counters():
+    """RDD ids, lambda variable suffixes, and common-subexpression alias
+    ids all come from session-global counters — they depend on what ran
+    BEFORE in the sweep (registry order), so a bare window rotation would
+    otherwise flip fingerprints of untouched queries (caught by the
+    r6-vs-r7 worktree diff: 46 spurious changes, all counter drift)."""
+    mod = _load_script()
+    a = mod.normalize(
+        "MapPartitionsRDD[1150] transform(x, lambdafunction(length(lambda x_127#5), "
+        "lambda x_127#5)) (l_tax#3 = 0.0) AS _common_expr_9#77"
+    )
+    b = mod.normalize(
+        "MapPartitionsRDD[7] transform(x, lambdafunction(length(lambda x_9#88), "
+        "lambda x_9#88)) (l_tax#12 = 0.0) AS _common_expr_15#2"
+    )
+    assert a == b
