@@ -195,7 +195,11 @@ def copy_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(base, "src")
     orders_dir = os.path.join(src_dir, "orders.parquet")
     os.makedirs(src_dir, exist_ok=True)
-    mid = t.orders.agg(F.max("o_orderkey")).first()[0] // 2
+    # split at the key-range midpoint: both halves are non-empty for ANY
+    # corpus with >= 2 distinct keys (max//2 left the first half empty on
+    # key ranges clustered above half of max — caught by the edge corpus)
+    lo, hi = t.orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    mid = (lo + hi) // 2
 
     spec = JobSpec(
         sources={"src": SourceSpec(name="src", format="parquet", path=src_dir)},
