@@ -15,6 +15,8 @@ against the events fixture copied into a file-stream directory.
 
 from __future__ import annotations
 
+from datetime import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -160,6 +162,57 @@ def run_available_now(
     q.awaitTermination()
 
 
+#: epoch for the streaming sync's monotonic version counter: version date
+#: = SEQ_BASE + seq seconds (names sort in publish order).
+SEQ_BASE = datetime(2024, 1, 1)
+
+
+def batch_is_committed(info: dict, lineage: str | None, batch_id: int) -> bool:
+    """Committed-batch replay guard: the manifest records the provenance
+    (lineage, batch_id) of the publish that produced it; a batch whose
+    provenance already matches crashed between publish and checkpoint
+    commit — it completed, the replay is a no-op."""
+    return info.get("lineage") == lineage and info.get("batch_id") == int(batch_id)
+
+
+def seq_of_physical(physical: str | None) -> int | None:
+    """Seconds-since-SEQ_BASE encoded in a physical version name (None for
+    unversioned/absent names). Negative for pre-2024 legacy names —
+    callers take a max, so ordering still holds."""
+    from ..engine.publish import LOAD_DATE_FORMAT, version_of
+
+    v = version_of(physical or "")
+    if not v:
+        return None
+    return int((datetime.strptime(v, LOAD_DATE_FORMAT) - SEQ_BASE).total_seconds())
+
+
+def next_version_seq(info: dict, retained: list[str]) -> int:
+    """The seq for the NEXT publish given the manifest record and the
+    retained version names.
+
+    Manifest has ``seq`` (normal steady state): seq+1, IGNORING the
+    directory listing — a replay whose publish never landed must recompute
+    the SAME name from the unchanged manifest and overwrite its own
+    half-written directory, so the listing (which contains that half dir)
+    must not perturb the result.
+
+    Manifest lacks ``seq`` (legacy day-salt or external publish, e.g.
+    compact): one-shot migration — seed from the MAX encoded date across
+    the manifest AND every retained dir, so the new name outsorts even a
+    legacy dir that sorts above the manifest's current (else
+    newest_version/cleanup would stay pinned to the stale dir forever).
+    """
+    prev_seq = info.get("seq")
+    if prev_seq is None:
+        candidates = [seq_of_physical(info.get("physical"))] + [
+            seq_of_physical(p) for p in retained
+        ]
+        candidates = [c for c in candidates if c is not None]
+        prev_seq = max(candidates) if candidates else -1
+    return int(prev_seq) + 1
+
+
 def upsert_stream_available_now(
     events: DataFrame,
     catalog,
@@ -216,14 +269,11 @@ def upsert_stream_available_now(
     import logging
     import os as _os
     import threading
-    from datetime import datetime, timedelta
+    from datetime import timedelta
 
     from pyspark.sql.window import Window
 
-    from ..engine.publish import LOAD_DATE_FORMAT, version_of
     from ..operators.upsert import upsert_scd1
-
-    seq_base = datetime(2024, 1, 1)
 
     def _lineage_id(holder: dict) -> str | None:
         # Primary: the query id persisted at stream start in
@@ -254,38 +304,14 @@ def upsert_stream_available_now(
 
     holder: dict = {"started": threading.Event()}
 
-    def _seq_of(physical: str | None) -> int | None:
-        v = version_of(physical or "")
-        if not v:
-            return None
-        return int((datetime.strptime(v, LOAD_DATE_FORMAT) - seq_base).total_seconds())
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         lineage = _lineage_id(holder)
         info = catalog.manifest_info(schema, table)
-        if info.get("lineage") == lineage and info.get("batch_id") == int(batch_id):
+        if batch_is_committed(info, lineage, batch_id):
             return  # batch already merged AND published: replay is a no-op
-        # Monotonic name: continue the manifest's publish counter. A
-        # replay whose publish never landed sees the unchanged manifest,
-        # recomputes the same seq, and overwrites its own directory.
-        prev_seq = info.get("seq")
-        if prev_seq is None:
-            # Migration path (manifest predates the seq scheme — legacy
-            # day-salt or external publish): seed from the MAX encoded
-            # date across the manifest AND every retained version dir, so
-            # new names outsort even a legacy dir that sorts above the
-            # manifest's current (else newest_version/cleanup would stay
-            # pinned to the stale dir forever). One-shot: the first seq
-            # publish records `seq` and later batches are manifest-driven
-            # (deterministic replay names) again.
-            candidates = [_seq_of(info.get("physical"))] + [
-                _seq_of(p) for p in catalog.table_versions(schema, table)
-            ]
-            candidates = [c for c in candidates if c is not None]
-            prev_seq = max(candidates) if candidates else -1
-        seq = int(prev_seq) + 1
-        load_date = seq_base + timedelta(seconds=seq)
+        seq = next_version_seq(info, catalog.table_versions(schema, table))
+        load_date = SEQ_BASE + timedelta(seconds=seq)
         w = Window.partitionBy(key).orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
