@@ -218,6 +218,16 @@ def test_temp_table_promotion(spark, tmp_path):
     # no tmp_ leftovers
     assert engine.catalog.table_versions("default", "tmp_region") == []
 
+    # same-load_date retry keeps the overwrite/idempotent contract in temp
+    # mode too: os.replace cannot rename onto a non-empty directory, so
+    # the promotion overwrites the existing same-name version explicitly
+    published2 = engine.do_copy(load_date=datetime(2024, 1, 1))
+    assert published2 == published
+    assert engine.catalog.table_versions("default", "region") == [
+        "region_2024_01_01_00_00_00"
+    ]
+    assert engine.sql("SELECT COUNT(*) AS n FROM region").collect()[0]["n"] == 5
+
 
 def test_exit_codes(spark, tmp_path):
     engine = CopyEngine(spark, make_spec(tmp_path))
