@@ -248,7 +248,16 @@ class CopyEngine:
             # back on the first name — destroying the retained backup and
             # publishing a name that sorts below a retained newer one
             # (newest_version/switch_only would then serve stale data).
-            # So in incremental mode, bump past EVERY retained version.
+            # So in incremental mode, bump past the PUBLISHED lineage
+            # (manifest ``physical`` + ``previous`` — the versions the
+            # incremental read and the keep-2 rollback window actually
+            # protect). A retained dir that collides but was NEVER
+            # published is a half-written leftover from a crashed attempt:
+            # bumping past it would let retention count the corpse as the
+            # "backup" and reap the last good version, so instead the name
+            # is RECLAIMED — write_version's mode("overwrite") replaces the
+            # corpse (the manifest-driven same-name replay the streaming
+            # sync uses).
             # The collision is computed on the PUBLIC name: in temp-table
             # mode the written dir is tmp_-prefixed but the PHASE 3
             # os.replace promotion lands on the public name, which is
@@ -262,7 +271,12 @@ class CopyEngine:
                 retained = set(
                     self.catalog.table_versions(job.schema_name, job.to_table)
                 )
-                while physical_name(job.to_table, eff_date) in retained:
+                info = self.catalog.manifest_info(job.schema_name, job.to_table)
+                protected = {info.get("physical"), info.get("previous")} - {None}
+                while True:
+                    name = physical_name(job.to_table, eff_date)
+                    if name not in retained or name not in protected:
+                        break  # free, or an unpublished corpse to reclaim
                     eff_date += timedelta(seconds=1)
             physical = self.catalog.write_version(
                 df, job.schema_name, target, eff_date,

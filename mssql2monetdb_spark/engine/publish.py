@@ -150,6 +150,20 @@ class VersionedCatalog:
         manifest = self._manifest(schema, table)
         tmp = manifest + ".tmp"
         record = dict(meta or {})
+        # Record the outgoing version as ``previous``: the manifest then
+        # names the full published lineage the keep-2 retention protects
+        # (current + backup), letting crash-retry logic distinguish a
+        # retained-but-never-published half-written directory (safe to
+        # reclaim) from the live backup (must not touch) — see
+        # CopyEngine.do_copy's same-second collision handling.
+        old = self.manifest_info(schema, table)
+        prior = old.get("physical")
+        if prior is not None and prior != physical:
+            record.setdefault("previous", prior)
+        elif prior == physical and old.get("previous"):
+            # same-physical republish (switch-only / retry): keep protecting
+            # the existing backup rather than dropping the lineage record
+            record.setdefault("previous", old["previous"])
         record.update({"physical": physical, "schema": schema, "table": table})
         with open(tmp, "w") as fh:
             json.dump(record, fh)

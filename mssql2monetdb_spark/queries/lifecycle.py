@@ -94,12 +94,36 @@ def jdbc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jdbc_writer(subset.coalesce(1), source, "lineitem_rt", mode="overwrite", locked_mode=False)
 
+    # Bounds from a source-side MIN/MAX pushdown probe (the same probe shape
+    # as the watermark trigger) rather than hard-coded constants: a fixed
+    # upperBound skews every overflow row into the last range partition at
+    # large sf and leaves partitions empty at tiny sf.
+    lo, hi = (
+        jdbc_reader(
+            spark,
+            source,
+            CopyJob(
+                job_id="lineitem_rt_bounds",
+                source="derby_rt",
+                # Spark's JDBC writer creates dialect-QUOTED (case-exact)
+                # column identifiers; hand-written pushdown SQL must quote
+                # them too or Derby case-normalizes to L_ORDERKEY
+                from_query=(
+                    'SELECT MIN("l_orderkey") AS lo, MAX("l_orderkey") AS hi'
+                    " FROM lineitem_rt"
+                ),
+            ),
+        ).first()[:2]
+    )
     part_source = SourceSpec(
         name="derby_rt_part",
         format="jdbc",
         options={
             **source.options,
-            **partition_bounds_options("l_orderkey", 0, 10_000_000, num_partitions=4),
+            # Spark requires lower < upper for a multi-partition range scan
+            **partition_bounds_options(
+                "l_orderkey", int(lo), max(int(hi), int(lo) + 1), num_partitions=4
+            ),
         },
     )
     job = CopyJob(job_id="lineitem_rt", source="derby_rt_part", from_table="lineitem_rt")

@@ -171,7 +171,15 @@ def batch_is_committed(info: dict, lineage: str | None, batch_id: int) -> bool:
     """Committed-batch replay guard: the manifest records the provenance
     (lineage, batch_id) of the publish that produced it; a batch whose
     provenance already matches crashed between publish and checkpoint
-    commit — it completed, the replay is a no-op."""
+    commit — it completed, the replay is a no-op.
+
+    An unresolvable lineage (None) NEVER matches — not even a manifest that
+    itself recorded lineage=None. Matching on batch_id alone would skip a
+    fresh checkpoint's batch 0 (ids restart at 0 on a wipe), the exact
+    data-loss case this guard exists for; failing open re-merges instead,
+    which the SCD-1 last-write-wins merge makes content-idempotent."""
+    if lineage is None:
+        return False
     return info.get("lineage") == lineage and info.get("batch_id") == int(batch_id)
 
 
@@ -291,12 +299,14 @@ def upsert_stream_available_now(
         holder["started"].wait(timeout=60)
         if holder.get("query") is not None:
             return str(holder["query"].id)
-        # Degraded: guard falls back to batch_id-only, which re-admits the
-        # fresh-checkpoint data-loss case — never silent.
+        # Degraded: with lineage=None the guard FAILS OPEN (batch_is_committed
+        # never matches), so this batch is unconditionally re-merged — safe
+        # (SCD-1 merge is content-idempotent) but worth a warning because the
+        # replay-skip fast path is lost for the batch.
         logging.getLogger(__name__).warning(
             "upsert_stream %s.%s: could not determine stream lineage id "
             "(checkpoint metadata unreadable, query handle not set); "
-            "replay guard degraded to batch-id-only for this batch",
+            "replay guard fails open — this batch re-merges unconditionally",
             schema,
             table,
         )

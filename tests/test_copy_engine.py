@@ -607,3 +607,93 @@ def test_incremental_same_second_tick_does_not_overwrite_snapshot(spark, tmp_pat
         "default", "t_sync"
     ), "a same-second tick published a name sorting below a retained one"
     assert cat.table_at(spark, "default", "t_sync").count() == 20
+
+
+def test_incremental_crash_retry_reclaims_unpublished_corpse(spark, tmp_path):
+    """A tick that crashes BETWEEN write_version and publish leaves a
+    half-written version dir in the listing. The same-load_date retry must
+    RECLAIM that name (it was never published — manifest physical/previous
+    don't include it), not bump past it: bumping would let keep-2 retention
+    count the corpse as the backup and reap the last good version, so
+    time-travel/rollback lands on garbage."""
+    import glob
+    import os
+    from datetime import datetime
+
+    from mssql2monetdb_spark.config.spec import CopyJob, JobSpec, SourceSpec
+    from mssql2monetdb_spark.engine.copy import CopyEngine
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.range(10).selectExpr("id AS k", "id * 2 AS v").coalesce(1).write.parquet(
+        str(src_dir / "t.parquet")
+    )
+    spec = JobSpec(
+        sources={"s": SourceSpec(name="s", format="parquet", path=str(src_dir))},
+        jobs={
+            "j": CopyJob(
+                job_id="j",
+                source="s",
+                from_table="t",
+                to_table="t_sync",
+                trigger_column="k",
+                incremental=True,
+            )
+        },
+        warehouse_dir=str(tmp_path / "wh"),
+        state_dir=str(tmp_path / "state"),
+    )
+    engine = CopyEngine(spark, spec)
+    d = datetime(2024, 6, 1)
+    engine.do_copy(load_date=d)  # full load -> V0 published
+    v0 = engine.catalog.current_version("default", "t_sync")
+
+    # incremental same-second tick that crashes after write, before publish
+    spark.range(10, 15).selectExpr("id AS k", "id * 2 AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src_dir / "t.parquet"))
+    real_publish = engine.catalog.publish
+
+    def crash_publish(*a, **kw):
+        raise RuntimeError("simulated crash between write and publish")
+
+    engine.catalog.publish = crash_publish
+    try:
+        engine.do_copy(load_date=d)
+    except RuntimeError:
+        pass
+    engine.catalog.publish = real_publish
+
+    versions = engine.catalog.table_versions("default", "t_sync")
+    assert len(versions) == 2 and engine.catalog.current_version(
+        "default", "t_sync"
+    ) == v0, "precondition: corpse retained, manifest still on V0"
+    corpse = next(v for v in versions if v != v0)
+    # make the corpse visibly half-written: drop its data files
+    for f in glob.glob(f"{engine.catalog.version_dir('default', corpse)}/part-*"):
+        os.remove(f)
+
+    # retry of the SAME tick (watermark state was never persisted, so the
+    # delta re-extracts): must land on the corpse's name, overwriting it
+    engine.do_copy(load_date=d)
+    cat = engine.catalog
+    assert cat.current_version("default", "t_sync") == corpse, (
+        "retry bumped past the unpublished corpse instead of reclaiming it"
+    )
+    assert sorted(cat.table_versions("default", "t_sync")) == sorted([v0, corpse])
+    assert cat.manifest_info("default", "t_sync").get("previous") == v0
+    assert cat.table_at(spark, "default", "t_sync").count() == 15
+    # the keep-2 rollback window holds the last GOOD version, readable
+    from mssql2monetdb_spark.engine.publish import version_of
+
+    assert cat.table_at(spark, "default", "t_sync", version_of(v0)).count() == 10
+
+    # a further same-second tick bumps past BOTH published-lineage names
+    spark.range(15, 20).selectExpr("id AS k", "id * 2 AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src_dir / "t.parquet"))
+    engine.do_copy(load_date=d)
+    assert cat.newest_version("default", "t_sync") == cat.current_version(
+        "default", "t_sync"
+    )
+    assert cat.table_at(spark, "default", "t_sync").count() == 20

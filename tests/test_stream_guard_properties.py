@@ -36,11 +36,17 @@ def _name(dt: datetime) -> str:
 )
 def test_guard_skips_iff_provenance_matches(lineage, other, batch_id, other_batch):
     info = {"lineage": lineage, "batch_id": batch_id}
-    assert batch_is_committed(info, lineage, batch_id)
-    if (other, other_batch) != (lineage, batch_id):
+    if lineage is None:
+        # degraded lineage NEVER matches — even a None-recording manifest;
+        # the guard fails open to a content-idempotent re-merge rather than
+        # skipping a fresh checkpoint's batch 0 on batch_id alone
+        assert not batch_is_committed(info, lineage, batch_id)
+    else:
+        assert batch_is_committed(info, lineage, batch_id)
+    if (other, other_batch) != (lineage, batch_id) or other is None:
         assert not batch_is_committed(info, other, other_batch)
     # unpublished table: nothing is ever committed
-    assert not batch_is_committed({}, lineage, batch_id) or lineage is None and False
+    assert not batch_is_committed({}, lineage, batch_id)
 
 
 @given(seq=st.integers(min_value=0, max_value=10**9), dates=st.lists(_dates, max_size=8))
