@@ -24,97 +24,26 @@ from . import llm_prep  # noqa: E402,F401
 from . import tpch_full  # noqa: E402,F401
 from . import lifecycle  # noqa: E402,F401
 
-# ROTATION — round 7 (the round-5/6 verdicts' #1 directive, two rounds
-# overdue): slots 0-2 are this round's never-verified additions (the
-# three lifecycle queries that put the engine's own JDBC, streaming-
-# publish, and incremental-copy machinery under the driver gate);
-# slots 3-19 are the STALE-VERDICT re-verifies — every query whose
-# physical plan changed in round 5 (the DEC(30,8) widening's dsum/davg
-# consumers, the edge-corpus/ANSI hardening set, the replaced
-# approx-quantile invariant, and the session-window oracle change) but
-# whose green verdict on record predates the change; slots 20-49 are
-# canaries, least-recently-verified first (verdict age computed from
-# CORRECTNESS_r01-r06, ties by registration order — ages 1-3).
+# ROTATION — round 8 (the round-7 verdict's #1 directive: drain the
+# stale-verdict backlog): slots 0-1 are this round's never-verified
+# additions (the full MonetDBUtil type-lattice JDBC round-trip and the
+# applyInPandasWithState stateful-streaming gate — verdict items 3 and
+# 6); slot 2 is the changed-code re-verify (jdbc_roundtrip_lineitem's
+# read-back now goes through the multi-JVM-safe derby jar: snapshot —
+# verdict item 2); slots 3-49 are canaries, least-recently-verified
+# first (verdict age computed from CORRECTNESS_r01-r07, ties by
+# registration order — this window drains every r2-aged verdict and
+# most of r3; the 10 remaining r3 TPC-H shapes head NEXT_WINDOW_QUEUE).
 #
 # Vacuity audit (round 5, sf0.01): every window oracle returns >0 rows —
 # checked by test_window_oracles_non_vacuous on every commit.
 GATE_PRIORITY = [
-    # --- slots 0-2: round-7 additions (never verified) ---
+    # --- slots 0-1: round-8 additions (never verified) ---
+    "jdbc_roundtrip_typelattice",
+    "stream_stateful_user_activity",
+    # --- slot 2: changed building code this round (jar: read-back) ---
     "jdbc_roundtrip_lineitem",
-    "stream_lifecycle_publish",
-    "copy_incremental_watermark",
-    # --- slots 3-19: stale-verdict re-verifies (round-5 plan changes
-    # whose driver verdicts predate them; all locally DuckDB-conformant
-    # at HEAD — the slot turns that into driver evidence) ---
-    "agg_tpch_q1",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_ratio",
-    "agg_percentiles",
-    "agg_variance_exact",
-    "agg_corr_regression",
-    "stream_tumbling_hourly",
-    "stream_sliding_windows",
-    "stream_watermark_recent",
-    "stream_static_enrich",
-    "stream_session_windows",
-    "fn_string",
-    "fn_json",
-    "mix_epoch_repeat",
-    "vocab_bpe_merge_apply",
-    "join_range_bucketed",
-    "agg_approx_quantile",
-    # --- slots 20-49: canaries, least-recently-verified first ---
-    "tpch_q4_order_priority",
-    "tpch_q10_returned_items",
-    "tpch_q12_conditional_agg",
-    "window_percent_cume",
-    "window_moving_avg",
-    "agg_string_agg",
-    "agg_pivot",
-    "sample_deterministic_hash",
-    "asof_join_events",
-    "agg_mode_deterministic",
-    "join_anti",
-    "agg_approx_count_distinct",
-    "agg_array_collect",
-    "window_range_frame",
-    "fn_datetime",
-    "fn_math",
-    "fn_array",
-    "fn_explode_posexplode",
-    "fn_null_semantics",
-    "fn_array_setops",
-    "fn_try_cast",
-    "dedup_exact",
-    "dedup_embedding_cosine",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "text_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "multimodal_binary_meta",
-]
-
-GATE_WINDOW = 50
-
-# STEADY-STATE ROTATION POLICY (round-5 VERDICT item 7) — with the
-# registry closed out, each round's window is composed in this order:
-#   1. any never-verified additions (new queries land HERE, inside the
-#      window, the same round they are registered — growth stays gated
-#      on the per-round budget);
-#   2. a re-verify slot for every query whose building code changed this
-#      round (even when the output is identical by construction);
-#   3. canaries, least-recently-verified first (ties broken by
-#      registration order), filling the window to 50.
-# With 195 queries and ~46 canary slots per round, every query's verdict
-# age stays <= ~4 rounds; the per-family representation guarantee is
-# enforced structurally by test_every_capability_family_verified_or_
-# inside_window. NEXT_WINDOW_QUEUE below pre-stages round 8 under this
-# policy: the remaining least-recently-verified queries in verdict-age
-# order (computed from CORRECTNESS_r01-r06: the round-2-verdict tail,
-# then round-3), ties by registration order.
-NEXT_WINDOW_QUEUE = [
+    # --- slots 3-49: canaries, least-recently-verified first ---
     "multimodal_image_decode",
     "pipeline_clean_corpus",
     "multimodal_audio_decode",
@@ -162,6 +91,28 @@ NEXT_WINDOW_QUEUE = [
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
+]
+
+GATE_WINDOW = 50
+
+# STEADY-STATE ROTATION POLICY (round-5 VERDICT item 7) — with the
+# registry closed out, each round's window is composed in this order:
+#   1. any never-verified additions (new queries land HERE, inside the
+#      window, the same round they are registered — growth stays gated
+#      on the per-round budget);
+#   2. a re-verify slot for every query whose building code changed this
+#      round (even when the output is identical by construction);
+#   3. canaries, least-recently-verified first (ties broken by
+#      registration order), filling the window to 50.
+# With 197 queries and ~46 canary slots per round, every query's verdict
+# age stays <= ~4 rounds; the per-family representation guarantee is
+# enforced structurally by test_every_capability_family_verified_or_
+# inside_window. NEXT_WINDOW_QUEUE below pre-stages round 9 under this
+# policy: the remaining least-recently-verified queries in verdict-age
+# order (computed from CORRECTNESS_r01-r07: the round-3-verdict tail —
+# the 10 TPC-H shapes that didn't fit in the r8 window — then round-4),
+# ties by registration order.
+NEXT_WINDOW_QUEUE = [
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
     "tpch_q13_customer_distribution",
@@ -171,6 +122,45 @@ NEXT_WINDOW_QUEUE = [
     "tpch_q19_discounted_revenue",
     "tpch_q20_potential_promotion",
     "tpch_q21_waiting_orders",
+    "tpch_q22_sales_opportunity",
+    "join_salted_skew",
+    "asof_join_forward",
+    "window_count_distinct",
+    "agg_grouping_flags",
+    "fn_try_arithmetic",
+    "asof_join_cogroup",
+    "fn_pandas_udf",
+    "fn_url_parse",
+    "fn_map",
+    "fn_lambda_hof",
+    "multimodal_image_resize",
+    "embed_pq_encode",
+    "ann_pq_adc_topk",
+    "ann_ivfadc_topk",
+    "events_sessionize",
+    "events_transition_matrix",
+    "merge_scd2_history",
+    "dedup_chunk_substring",
+    "dedup_semantic_cells",
+    "report_key_skew",
+    "sketch_count_min",
+    "sketch_bloom_membership",
+    "sketch_hll_distinct",
+    "sketch_cms_join_size",
+    "events_anomaly_mad",
+    "text_ngram_novelty",
+    "sample_semantic_coverage",
+    "mix_sqrt_temperature",
+    "vocab_token_freq_stats",
+    "quality_unigram_rarity",
+    "quality_lm_bigram",
+    "index_inverted_postings",
+    "filter_gopher_rules",
+    "dedup_url_normalized",
+    "vocab_bpe_pair_counts",
+    "report_packing_efficiency",
+    "report_dedup_by_source",
+    "order_curriculum_stages",
 ]
 
 

@@ -639,6 +639,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivfadc_topk",
     oracle=similarity.topk_ivf_adc_sql("embeddings", ANN_QUERY_IDS)
     + " ORDER BY query_id, rnk",
+    bench=True,
 )
 def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC — the FAISS-style composition production ANN deploys
@@ -872,7 +873,7 @@ def dedup_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.keep_best_in_cluster(t.documents, comps).orderBy("component_id")
 
 
-@query("dedup_connected_components", oracle=_components_oracle())
+@query("dedup_connected_components", oracle=_components_oracle(), bench=True)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs resolved into duplicate GROUPS: iterative min-label
     propagation (DataFrame union-find) over the MinHash-LSH pair graph; the
@@ -1798,6 +1799,7 @@ def _setsim_exact_naive_oracle(shingle_n: int, t_num: int, t_den: int) -> str:
 @query(
     "dedup_setsim_exact",
     oracle=_setsim_exact_naive_oracle(3, dedup.SETSIM_T_NUM, dedup.SETSIM_T_DEN),
+    bench=True,
 )
 def dedup_setsim_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join (word-trigram-set Jaccard >= 4/5)

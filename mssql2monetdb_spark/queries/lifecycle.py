@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 from ..catalog import Tables
 from ..config.spec import CopyJob, JobSpec, SourceSpec
 from ..engine.publish import VersionedCatalog
-from ..sources.jdbc import jdbc_reader, jdbc_writer, partition_bounds_options
+from ..schema.mapper import jdbc_to_spark_type
+from ..sources.jdbc import (
+    derby_snapshot_jar,
+    jdbc_reader,
+    jdbc_writer,
+    partition_bounds_options,
+)
 from ..streaming.pipelines import events_stream, upsert_stream_available_now
 from .registry import query
 
@@ -51,6 +57,7 @@ RT_FILTER_MOD = 50
         WHERE l_orderkey % {RT_FILTER_MOD} = 0
         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
     """,
+    bench=True,
 )
 def jdbc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JDBC round-trip under the oracle gate: a lineitem subset is written
@@ -67,10 +74,12 @@ def jdbc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a bench query) — the SAME writer/reader options run partitioned on
     a real cluster (``tests/test_jdbc_integration.py`` covers the bounds
     math; the reference's single forward cursor becomes N range scans).
-    The embedded-Derby FIXTURE is driver-JVM-only (Derby forbids a second
-    JVM booting the same db directory), so multi-executor probe sweeps
-    skip this query (``scripts/cluster_mode_probe.py``); a real deployment
-    points the same options at a server URL reachable from every executor.
+    The write lands in a driver-JVM embedded Derby (this sandbox has no
+    network database), but the READ-BACK goes through a read-only
+    ``jar:``-subprotocol snapshot (:func:`derby_snapshot_jar`) — a URL
+    every executor JVM can boot concurrently, so the partitioned JDBC
+    scan executes on real executor JVMs under
+    ``scripts/cluster_mode_probe.py`` instead of being skipped.
     """
     t = Tables(spark, sf_dir)
     subset = (
@@ -94,6 +103,15 @@ def jdbc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jdbc_writer(subset.coalesce(1), source, "lineitem_rt", mode="overwrite", locked_mode=False)
 
+    # Freeze the written db into a read-only jar snapshot: the read side of
+    # the round-trip then runs against a URL that ANY executor JVM can open
+    # (embedded Derby is single-JVM; the jar subprotocol is not).
+    ro_source = SourceSpec(
+        name="derby_rt_ro",
+        format="jdbc",
+        options={"url": derby_snapshot_jar(spark, db_path), "driver": DERBY_DRIVER},
+    )
+
     # Bounds from a source-side MIN/MAX pushdown probe (the same probe shape
     # as the watermark trigger) rather than hard-coded constants: a fixed
     # upperBound skews every overflow row into the last range partition at
@@ -101,7 +119,7 @@ def jdbc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = (
         jdbc_reader(
             spark,
-            source,
+            ro_source,
             CopyJob(
                 job_id="lineitem_rt_bounds",
                 source="derby_rt",
@@ -119,7 +137,7 @@ def jdbc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="derby_rt_part",
         format="jdbc",
         options={
-            **source.options,
+            **ro_source.options,
             # Spark requires lower < upper for a multi-partition range scan
             **partition_bounds_options(
                 "l_orderkey", int(lo), max(int(hi), int(lo) + 1), num_partitions=4
@@ -150,6 +168,7 @@ def jdbc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ) WHERE rn = 1 ORDER BY user_id
     """,
+    bench=True,
 )
 def stream_lifecycle_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full streaming lifecycle under the oracle gate: the events fixture
@@ -191,12 +210,249 @@ def stream_lifecycle_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jdbc_roundtrip_typelattice",
+    oracle="""
+        SELECT o_orderkey AS k_bigint,
+               o_totalprice > 150000.0 AS c_boolean,
+               CAST(o_custkey % 10000 AS INTEGER) AS c_smallint,
+               CAST(o_custkey AS INTEGER) AS c_integer,
+               CAST(o_custkey % 1000 AS DOUBLE) AS c_real,
+               o_totalprice AS c_double,
+               CAST(o_custkey AS BIGINT) AS c_dec0,
+               CAST(o_custkey % 100 AS INTEGER) AS c_dec2,
+               CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) AS c_dec186,
+               o_orderpriority AS c_char,
+               o_orderstatus AS c_varchar,
+               repeat(o_orderpriority, 40) AS c_clob,
+               to_base64(encode(o_orderpriority)) AS c_blob,
+               printf('%02d:%02d:%02d', o_custkey % 24, o_custkey % 60,
+                      o_orderkey % 60) AS c_time,
+               o_orderdate AS c_timestamp,
+               CAST(o_orderdate AS DATE) AS c_date
+        FROM orders WHERE o_orderkey % 100 = 0
+        ORDER BY k_bigint
+    """,
+)
+def jdbc_roundtrip_typelattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL reference type lattice (``MonetDBUtil.java:205-295``) hashed
+    through a real JDBC round-trip: an orders-derived frame is inserted into
+    a hand-DDL'd Derby table covering BOOLEAN, SMALLINT, INTEGER, BIGINT,
+    REAL, DOUBLE, DECIMAL(2,0)/DECIMAL(12,0)/DECIMAL(18,6), CHAR, VARCHAR,
+    CLOB, BLOB, TIME, TIMESTAMP and DATE, then read back through the
+    partitioned JDBC reader (via the multi-JVM-safe ``jar:`` snapshot) and
+    compared against the parquet-direct oracle.
+
+    Lattice decisions exercised on the read side (``schema/mapper.py``):
+
+    - decimal narrowing (``MonetDBUtil.java:244-263``): DECIMAL(12,0) ->
+      BIGINT, DECIMAL(2,0) -> TINYINT via :func:`jdbc_to_spark_type`; the
+      byte/long casts run inside the hashed plan.
+    - Derby has no TINYINT (the narrowing TARGET type): small integral
+      values travel as SMALLINT on the wire, the narrowed Spark type is
+      produced at ingest — same as the reference writing MonetDB TINYINT
+      from a JDBC SMALLINT read.
+    - TIME has no Spark type: written from the engine's documented STRING
+      rendering ('HH:mm:ss', accepted by JDBC setString), read back as the
+      JDBC driver's epoch-day timestamp and re-rendered with
+      ``date_format`` — lossless both ways.
+    - CHAR(n) pads on the wire: read side trims (the reference's autoTrim,
+      ``CopyTable.java:72``).
+    """
+    t = Tables(spark, sf_dir)
+    src = t.orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("k_bigint"),
+        (F.col("o_totalprice") > 150000.0).alias("c_boolean"),
+        (F.col("o_custkey") % 10000).cast("short").alias("c_smallint"),
+        F.col("o_custkey").cast("int").alias("c_integer"),
+        (F.col("o_custkey") % 1000).cast("float").alias("c_real"),
+        F.col("o_totalprice").alias("c_double"),
+        F.col("o_custkey").cast("decimal(12,0)").alias("c_dec0"),
+        (F.col("o_custkey") % 100).cast("decimal(2,0)").alias("c_dec2"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("c_dec186"),
+        F.col("o_orderpriority").alias("c_char"),
+        F.col("o_orderstatus").alias("c_varchar"),
+        F.repeat(F.col("o_orderpriority"), 40).alias("c_clob"),
+        F.encode(F.col("o_orderpriority"), "utf-8").alias("c_blob"),
+        F.format_string(
+            "%02d:%02d:%02d",
+            F.col("o_custkey") % 24,
+            F.col("o_custkey") % 60,
+            F.col("o_orderkey") % 60,
+        ).alias("c_time"),
+        F.col("o_orderdate").cast("timestamp").alias("c_timestamp"),
+        F.col("o_orderdate").cast("date").alias("c_date"),
+    )
+    db_path = os.path.join(tempfile.mkdtemp(prefix="jdbc_lat_"), "db")
+    url = f"jdbc:derby:{db_path};create=true"
+    # DDL through the driver JVM: Spark's own createTableColumnTypes can't
+    # declare TIME (Spark 4 parses it as its native TimeType, which the
+    # Derby dialect can't map), so the table is created the way the
+    # reference does it — explicit CREATE TABLE with the target lattice
+    # (MonetDBUtil.createTableSql, MonetDBUtil.java:162-190). Quoted
+    # lowercase identifiers match Spark's dialect-quoted INSERT list.
+    cols = (
+        '"k_bigint" BIGINT, "c_boolean" BOOLEAN, "c_smallint" SMALLINT, '
+        '"c_integer" INTEGER, "c_real" REAL, "c_double" DOUBLE, '
+        '"c_dec0" DECIMAL(12,0), "c_dec2" DECIMAL(2,0), '
+        '"c_dec186" DECIMAL(18,6), "c_char" CHAR(15), "c_varchar" VARCHAR(4), '
+        '"c_clob" CLOB, "c_blob" BLOB, "c_time" TIME, '
+        '"c_timestamp" TIMESTAMP, "c_date" DATE'
+    )
+    jvm = spark._jvm  # noqa: SLF001
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.execute(f"CREATE TABLE lattice ({cols})")
+        st.close()
+    finally:
+        conn.close()
+
+    source = SourceSpec(
+        name="derby_lat",
+        format="jdbc",
+        options={"url": f"jdbc:derby:{db_path}", "driver": DERBY_DRIVER},
+    )
+    jdbc_writer(src.coalesce(1), source, "lattice", mode="append", locked_mode=False)
+
+    ro_source = SourceSpec(
+        name="derby_lat_ro",
+        format="jdbc",
+        options={"url": derby_snapshot_jar(spark, db_path), "driver": DERBY_DRIVER},
+    )
+    lo, hi = (
+        jdbc_reader(
+            spark,
+            ro_source,
+            CopyJob(
+                job_id="lattice_bounds",
+                source="derby_lat_ro",
+                from_query='SELECT MIN("k_bigint") AS lo, MAX("k_bigint") AS hi FROM lattice',
+            ),
+        ).first()[:2]
+    )
+    part_source = SourceSpec(
+        name="derby_lat_part",
+        format="jdbc",
+        options={
+            **ro_source.options,
+            **partition_bounds_options(
+                "k_bigint", int(lo), max(int(hi), int(lo) + 1), num_partitions=4
+            ),
+        },
+    )
+    back = jdbc_reader(
+        spark,
+        part_source,
+        CopyJob(job_id="lattice_rt", source="derby_lat_part", from_table="lattice"),
+    )
+    return back.select(
+        "k_bigint",
+        "c_boolean",
+        F.col("c_smallint").cast("int").alias("c_smallint"),
+        F.col("c_integer").cast("int").alias("c_integer"),
+        F.col("c_real").cast("double").alias("c_real"),
+        "c_double",
+        # the reference's decimal-narrowing rule, applied at ingest
+        F.col("c_dec0").cast(jdbc_to_spark_type("DECIMAL", 12, 0)).alias("c_dec0"),
+        F.col("c_dec2")
+        .cast(jdbc_to_spark_type("DECIMAL", 2, 0))
+        .cast("int")
+        .alias("c_dec2"),
+        F.col("c_dec186").cast("double").alias("c_dec186"),
+        F.rtrim(F.col("c_char")).alias("c_char"),  # CHAR pad -> autoTrim
+        "c_varchar",
+        "c_clob",
+        # binary cells aren't hashable by the driver's canonicalizer
+        # (registry rule: stringify) — base64 keeps the BLOB round-trip
+        # in the hashed plan while rendering it comparable
+        F.base64(F.col("c_blob")).alias("c_blob"),
+        F.date_format(F.col("c_time"), "HH:mm:ss").alias("c_time"),
+        "c_timestamp",
+        "c_date",
+    ).orderBy("k_bigint")
+
+
+@query(
+    "stream_stateful_user_activity",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(CAST(FLOOR(value * 1000) AS DOUBLE)) AS sum_value,
+               MAX(ts) AS last_ts
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_stateful_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-stateful-operator rung (``streaming/stateful.py``,
+    ``applyInPandasWithState``) under the driver's oracle gate: the events
+    fixture is staged as three files sharded on ``event_id % 3`` (users SPAN
+    micro-batches, so the per-user state genuinely accumulates across
+    batches), drained through ``user_activity_tracker`` with
+    ``maxFilesPerTrigger=1``, every update-mode emission is appended with
+    its batch id, and the LAST emission per user — the cumulative total — is
+    hashed against the batch groupBy oracle.
+
+    Values are quantized to integer-valued doubles (``floor(value*1000)``)
+    before streaming: float addition over integers is exact and
+    order-insensitive, so the cross-batch Python-side accumulation hashes
+    identically to the oracle's single SUM regardless of batch order —
+    the same exactness discipline as the DEC(30,8) helper, expressed in
+    the tracker's native double state.
+
+    Reference analog: the polling scheduler's per-tick state carry
+    (``CopyTool.java:121-160``) — here the state is per-KEY and
+    checkpointed, the 100 TB-stream shape.
+    """
+    from ..streaming.stateful import user_activity_tracker
+
+    t = Tables(spark, sf_dir)
+    quantized = t.events.withColumn(
+        "value", F.floor(F.col("value") * 1000).cast("double")
+    )
+    base = tempfile.mkdtemp(prefix="stream_stateful_")
+    src = os.path.join(base, "in")
+    for shard in range(3):
+        quantized.filter(F.col("event_id") % 3 == shard).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out_dir = os.path.join(base, "out")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        user_activity_tracker(events_stream(spark, src, max_files_per_trigger=1))
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        spark.read.parquet(out_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "sum_value", "last_ts")
+        .orderBy("user_id")
+    )
+
+
+@query(
     "copy_incremental_watermark",
     oracle="""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                o_orderdate, o_orderpriority
         FROM orders ORDER BY o_orderkey
     """,
+    bench=True,
 )
 def copy_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's core scheduled loop under the oracle gate: a

@@ -18,6 +18,9 @@ unit tests on the option dicts and are integration-ready.
 
 from __future__ import annotations
 
+import os
+import zipfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config.spec import CopyJob, SourceSpec
@@ -79,6 +82,46 @@ def jdbc_writer(df: DataFrame, source: SourceSpec, table: str, *, mode: str = "a
         .mode(mode)
         .save()
     )
+
+
+def derby_shutdown(spark: SparkSession, db_path: str) -> None:
+    """Cleanly shut down ONE embedded-Derby database (flushes the log so a
+    filesystem snapshot of the directory is consistent). Derby signals a
+    successful single-db shutdown with SQLState 08006 — i.e. the JDBC call
+    always raises; swallow it."""
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(  # noqa: SLF001
+            f"jdbc:derby:{db_path};shutdown=true"
+        )
+    except Exception:  # noqa: BLE001 — 08006 on success by Derby contract
+        pass
+
+
+def derby_snapshot_jar(spark: SparkSession, db_path: str) -> str:
+    """Freeze an embedded-Derby database into a read-only ``jar:`` snapshot
+    every JVM can open concurrently.
+
+    Embedded Derby allows exactly ONE booting JVM per database directory
+    (db.lck), so a ``local-cluster`` / real-cluster partitioned read of a
+    driver-written fixture db would crash in executor boots. Derby's
+    documented escape is the read-only jar subprotocol
+    (``jdbc:derby:jar:(file.jar)dbname``): each JVM boots its own
+    lock-free read-only instance. This turns the sandbox's embedded
+    fixture into a URL reachable from every executor — the same shape as
+    a real deployment's server URL (multi-executor probe: SCALE.md r8).
+
+    Returns the jar-subprotocol JDBC url for the snapshot.
+    """
+    derby_shutdown(spark, db_path)
+    parent = os.path.dirname(db_path)
+    name = os.path.basename(db_path)
+    jar_path = os.path.join(parent, f"{name}.jar")
+    with zipfile.ZipFile(jar_path, "w", zipfile.ZIP_STORED) as zf:
+        for root, _dirs, files in os.walk(db_path):
+            for fname in files:
+                full = os.path.join(root, fname)
+                zf.write(full, os.path.relpath(full, parent))
+    return f"jdbc:derby:jar:({jar_path}){name}"
 
 
 def partition_bounds_options(

@@ -146,22 +146,16 @@ if ONLY is not None:
         sys.exit(f"error: --only names not in queries(): {unknown}")
     qs = {k: v for k, v in qs.items() if k in ONLY}
 
-#: Queries whose FIXTURE (not engine code) is driver-JVM-only: embedded
-#: Derby refuses a second JVM booting the same database directory, so a
-#: multi-executor run of the JDBC round-trip crashes in executor Derby
-#: boots (and the repeated boot failures churn the standalone master's
-#: executor-failure budget). On a real cluster the JDBC endpoint is a
-#: SERVER (host:port URL) shared by all executors and the same
-#: partitioned reader/writer options apply unchanged — the embedded
-#: fixture exists only because this sandbox has no network database.
-DRIVER_LOCAL_FIXTURES = {"jdbc_roundtrip_lineitem"}
+# Round 8 removed the former jdbc_roundtrip_lineitem skip: the WRITE still
+# lands in a driver-JVM embedded Derby, but the partitioned READ-BACK now
+# goes through a read-only ``jar:``-subprotocol snapshot
+# (sources/jdbc.py:derby_snapshot_jar) that every executor JVM boots
+# concurrently — the partitioned JDBC scan finally executes on real
+# executor JVMs in this sweep.
 
 duck = duckdb_connection(SF_DIR)
 bad = []
 for name, fn in sorted(qs.items()):
-    if name in DRIVER_LOCAL_FIXTURES and ONLY is None:
-        print(f"  {name}: SKIP (embedded-Derby fixture is driver-JVM-only)", flush=True)
-        continue
     try:
         spdf = fn(spark, SF_DIR).toPandas()
     except Exception as e:  # noqa: BLE001 — a crash IS the finding here

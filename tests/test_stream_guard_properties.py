@@ -86,6 +86,45 @@ def test_migration_then_steady_state_stays_monotonic(dates):
     assert _name(SEQ_BASE + timedelta(seconds=seq2)) > info1["physical"]
 
 
+@settings(max_examples=200)
+@given(
+    legacy=_dates,
+    extra=st.lists(_dates, max_size=4),
+    n_publishes=st.integers(min_value=2, max_value=6),
+)
+def test_retention_cycle_never_reaps_new_lineage_backup(legacy, extra, n_publishes):
+    """A legacy day-salted name (the pre-seq scheme encoded wall-clock+salt
+    dates, possibly decades ahead — e.g. year 2073) coexists with seq-named
+    versions across a FULL retention cycle: the one-shot migration must seed
+    the counter past the legacy name, because keep-2 retention sorts BY NAME
+    — if any post-migration publish failed to outsort the legacy dir, the
+    legacy dir would occupy a retention slot and cleanup would reap the new
+    lineage's backup (the previous publish), destroying the rollback copy.
+
+    Mirrors VersionedCatalog.cleanup semantics exactly: keep the
+    ``retain`` newest names by reverse sort, never drop the current."""
+
+    def cleanup_sim(names: list[str], current: str, retain: int = 2) -> list[str]:
+        keep = set(sorted(names, reverse=True)[:retain]) | {current}
+        return [n for n in names if n in keep]
+
+    retained = [_name(legacy)] + [_name(d) for d in extra]
+    info: dict = {"physical": _name(legacy)}
+    published: list[str] = []
+    for _ in range(n_publishes):
+        seq = next_version_seq(info, retained)
+        name = _name(SEQ_BASE + timedelta(seconds=seq))
+        published.append(name)
+        retained = cleanup_sim(retained + [name], current=name)
+        info = {"seq": seq, "physical": name}
+        if len(published) >= 2:
+            backup = published[-2]
+            assert backup in retained, (
+                f"retention reaped the new lineage's backup {backup}; "
+                f"retained={retained} legacy={_name(legacy)}"
+            )
+
+
 @given(d=_dates)
 def test_seq_of_physical_roundtrip(d):
     d = d.replace(microsecond=0)
