@@ -31,8 +31,8 @@ from ..engine.publish import VersionedCatalog
 from ..schema.mapper import jdbc_to_spark_type
 from ..sources.jdbc import (
     derby_snapshot_jar,
+    jdbc_bulk_loader,
     jdbc_reader,
-    jdbc_writer,
     partition_bounds_options,
 )
 from ..streaming.pipelines import events_stream, upsert_stream_available_now
@@ -60,26 +60,30 @@ RT_FILTER_MOD = 50
     bench=True,
 )
 def jdbc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JDBC round-trip under the oracle gate: a lineitem subset is written
-    to an embedded-Derby table through the engine's JDBC writer (batched
-    inserts, ``sources/jdbc.py:jdbc_write_options``) and read back through
-    the partitioned JDBC reader (4 concurrent range queries on
-    ``l_orderkey`` — the cluster-scale ingest shape), then hashed against
-    the parquet-direct oracle. Pins the JDBC type lattice the reference
-    maps in ``MonetDBUtil.java:205-295``: BIGINT, INTEGER, DOUBLE,
+    """JDBC round-trip under the oracle gate: a lineitem subset is loaded
+    into an embedded-Derby table through the engine's staged-CSV bulk
+    loader — the reference's COPY INTO path (``CopyTool.java:1042-1071``;
+    executors stage CSV, the driver issues per-file server-side imports,
+    table DDL derived from the schema mapper) — and read back through the
+    partitioned JDBC reader (4 concurrent range queries on ``l_orderkey``
+    — the cluster-scale ingest shape), then hashed against the
+    parquet-direct oracle. Pins the JDBC type lattice the reference maps
+    in ``MonetDBUtil.java:205-295``: BIGINT, INTEGER, DOUBLE,
     DECIMAL(18,6) (returned as DOUBLE — exact 6-decimal rationals
     round-trip bit-identically), VARCHAR/CLOB, TIMESTAMP, and DATE.
 
     Scale note: the roundtrip subset is intentionally small (a gate query,
-    not a bench query) — the SAME writer/reader options run partitioned on
-    a real cluster (``tests/test_jdbc_integration.py`` covers the bounds
+    not a bench query) — the SAME reader options run partitioned on a
+    real cluster (``tests/test_jdbc_integration.py`` covers the bounds
     math; the reference's single forward cursor becomes N range scans).
-    The write lands in a driver-JVM embedded Derby (this sandbox has no
-    network database), but the READ-BACK goes through a read-only
-    ``jar:``-subprotocol snapshot (:func:`derby_snapshot_jar`) — a URL
-    every executor JVM can boot concurrently, so the partitioned JDBC
-    scan executes on real executor JVMs under
-    ``scripts/cluster_mode_probe.py`` instead of being skipped.
+    BOTH halves are multi-executor-real: the bulk load never opens a
+    database connection on an executor (embedded Derby is single-JVM —
+    the distributed batched-INSERT writer, :func:`jdbc_writer`, remains
+    the production path for server URLs and is pytest-verified), and the
+    READ-BACK goes through a read-only ``jar:``-subprotocol snapshot
+    (:func:`derby_snapshot_jar`) — a URL every executor JVM boots
+    concurrently, so the partitioned JDBC scan executes on real executor
+    JVMs under ``scripts/cluster_mode_probe.py`` instead of being skipped.
     """
     t = Tables(spark, sf_dir)
     subset = (
@@ -101,7 +105,8 @@ def jdbc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         format="jdbc",
         options={"url": f"jdbc:derby:{db_path};create=true", "driver": DERBY_DRIVER},
     )
-    jdbc_writer(subset.coalesce(1), source, "lineitem_rt", mode="overwrite", locked_mode=False)
+    # boot/create the db driver-side, then bulk-load via staged CSV
+    jdbc_bulk_loader(spark, subset.coalesce(1), source, "lineitem_rt")
 
     # Freeze the written db into a read-only jar snapshot: the read side of
     # the round-trip then runs against a URL that ANY executor JVM can open
@@ -235,12 +240,14 @@ def stream_lifecycle_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def jdbc_roundtrip_typelattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL reference type lattice (``MonetDBUtil.java:205-295``) hashed
-    through a real JDBC round-trip: an orders-derived frame is inserted into
-    a hand-DDL'd Derby table covering BOOLEAN, SMALLINT, INTEGER, BIGINT,
-    REAL, DOUBLE, DECIMAL(2,0)/DECIMAL(12,0)/DECIMAL(18,6), CHAR, VARCHAR,
-    CLOB, BLOB, TIME, TIMESTAMP and DATE, then read back through the
-    partitioned JDBC reader (via the multi-JVM-safe ``jar:`` snapshot) and
-    compared against the parquet-direct oracle.
+    through a real JDBC round-trip: an orders-derived frame is bulk-loaded
+    (staged CSV + server-side import — the COPY INTO path,
+    ``CopyTool.java:1042-1071``) into a hand-DDL'd Derby table covering
+    BOOLEAN, SMALLINT, INTEGER, BIGINT, REAL, DOUBLE,
+    DECIMAL(2,0)/DECIMAL(12,0)/DECIMAL(18,6), CHAR, VARCHAR, CLOB, BLOB,
+    TIME, TIMESTAMP and DATE, then read back through the partitioned JDBC
+    reader (via the multi-JVM-safe ``jar:`` snapshot) and compared against
+    the parquet-direct oracle.
 
     Lattice decisions exercised on the read side (``schema/mapper.py``):
 
@@ -251,9 +258,9 @@ def jdbc_roundtrip_typelattice(spark: SparkSession, sf_dir: str) -> DataFrame:
       values travel as SMALLINT on the wire, the narrowed Spark type is
       produced at ingest — same as the reference writing MonetDB TINYINT
       from a JDBC SMALLINT read.
-    - TIME has no Spark type: written from the engine's documented STRING
-      rendering ('HH:mm:ss', accepted by JDBC setString), read back as the
-      JDBC driver's epoch-day timestamp and re-rendered with
+    - TIME has no Spark type: staged from the engine's documented STRING
+      rendering ('HH:mm:ss', parsed by the server-side import), read back
+      as the JDBC driver's epoch-day timestamp and re-rendered with
       ``date_format`` — lossless both ways.
     - CHAR(n) pads on the wire: read side trims (the reference's autoTrim,
       ``CopyTable.java:72``).
@@ -283,13 +290,12 @@ def jdbc_roundtrip_typelattice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("c_date"),
     )
     db_path = os.path.join(tempfile.mkdtemp(prefix="jdbc_lat_"), "db")
-    url = f"jdbc:derby:{db_path};create=true"
-    # DDL through the driver JVM: Spark's own createTableColumnTypes can't
+    # Explicit target-lattice DDL (the reference's createTableSql,
+    # MonetDBUtil.java:162-190): Spark's own createTableColumnTypes can't
     # declare TIME (Spark 4 parses it as its native TimeType, which the
-    # Derby dialect can't map), so the table is created the way the
-    # reference does it — explicit CREATE TABLE with the target lattice
-    # (MonetDBUtil.createTableSql, MonetDBUtil.java:162-190). Quoted
-    # lowercase identifiers match Spark's dialect-quoted INSERT list.
+    # Derby dialect can't map), and the schema-derived default would pick
+    # VARCHAR over CHAR/CLOB. Quoted lowercase identifiers match Spark's
+    # dialect-quoted read-back schema.
     cols = (
         '"k_bigint" BIGINT, "c_boolean" BOOLEAN, "c_smallint" SMALLINT, '
         '"c_integer" INTEGER, "c_real" REAL, "c_double" DOUBLE, '
@@ -298,21 +304,12 @@ def jdbc_roundtrip_typelattice(spark: SparkSession, sf_dir: str) -> DataFrame:
         '"c_clob" CLOB, "c_blob" BLOB, "c_time" TIME, '
         '"c_timestamp" TIMESTAMP, "c_date" DATE'
     )
-    jvm = spark._jvm  # noqa: SLF001
-    conn = jvm.java.sql.DriverManager.getConnection(url)
-    try:
-        st = conn.createStatement()
-        st.execute(f"CREATE TABLE lattice ({cols})")
-        st.close()
-    finally:
-        conn.close()
-
     source = SourceSpec(
         name="derby_lat",
         format="jdbc",
-        options={"url": f"jdbc:derby:{db_path}", "driver": DERBY_DRIVER},
+        options={"url": f"jdbc:derby:{db_path};create=true", "driver": DERBY_DRIVER},
     )
-    jdbc_writer(src.coalesce(1), source, "lattice", mode="append", locked_mode=False)
+    jdbc_bulk_loader(spark, src.coalesce(1), source, "lattice", table_ddl=cols)
 
     ro_source = SourceSpec(
         name="derby_lat_ro",

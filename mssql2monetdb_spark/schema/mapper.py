@@ -49,8 +49,12 @@ _JDBC_TO_SPARK: dict[str, object] = {
     "LONGNVARCHAR": T.StringType(),
     "REAL": T.FloatType(),
     "SMALLINT": T.ShortType(),
-    # Spark has no TIME type: documented choice is STRING (lossless render),
-    # see SURVEY.md §1.2
+    # TIME -> STRING (lossless 'HH:mm:ss' render), see SURVEY.md §1.2.
+    # Spark 4.1 grew a native TimeType, but it is not plumbed through the
+    # JDBC dialects (writers raise "Can't get JDBC type for time(6)") and
+    # JDBC readers still surface TIME as an epoch-day TIMESTAMP, so STRING
+    # remains the interoperable engine-side representation; the round-trip
+    # is driver-verified end-to-end by jdbc_roundtrip_typelattice.
     "TIME": T.StringType(),
     "TIMESTAMP": T.TimestampType(),
     "TINYINT": T.ByteType(),
@@ -175,6 +179,47 @@ _SPARK_TO_DDL = {
     T.DateType(): "DATE",
     T.TimestampType(): "TIMESTAMP",
 }
+
+
+#: Spark -> Derby column DDL (the bulk-load sink's dialect). Derby has no
+#: TINYINT (SMALLINT carries byte values on the wire — the narrowing rule
+#: re-narrows at ingest) and its strings are length-bounded (VARCHAR cap
+#: 32672; unbounded text is CLOB).
+_SPARK_TO_DERBY = {
+    T.ByteType(): "SMALLINT",
+    T.ShortType(): "SMALLINT",
+    T.IntegerType(): "INTEGER",
+    T.LongType(): "BIGINT",
+    T.FloatType(): "REAL",
+    T.DoubleType(): "DOUBLE",
+    T.BooleanType(): "BOOLEAN",
+    T.StringType(): "VARCHAR(4000)",
+    T.BinaryType(): "BLOB",
+    T.DateType(): "DATE",
+    T.TimestampType(): "TIMESTAMP",
+}
+
+
+def spark_schema_to_derby_ddl(schema: T.StructType) -> str:
+    """Render a StructType as a Derby CREATE-TABLE column list (quoted
+    lowercase identifiers — Spark's JDBC reader/writer quote identifiers,
+    so unquoted DDL would case-normalize to uppercase and break the
+    round-trip). The Derby-sink analog of ``MonetDBUtil.createTableSql``
+    (``MonetDBUtil.java:162-190``)."""
+    parts = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.DecimalType):
+            ddl = f"DECIMAL({f.dataType.precision},{f.dataType.scale})"
+        else:
+            try:
+                ddl = _SPARK_TO_DERBY[f.dataType]
+            except KeyError:
+                raise UnknownSqlTypeError(
+                    f"no Derby DDL mapping for {f.dataType.simpleString()}"
+                ) from None
+        null = "" if f.nullable else " NOT NULL"
+        parts.append(f'"{normalize_identifier(f.name)}" {ddl}{null}')
+    return ", ".join(parts)
 
 
 def schema_to_ddl(schema: T.StructType) -> str:

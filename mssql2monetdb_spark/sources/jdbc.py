@@ -84,6 +84,96 @@ def jdbc_writer(df: DataFrame, source: SourceSpec, table: str, *, mode: str = "a
     )
 
 
+#: CSV staging conventions for the bulk-load path — Derby's import proc
+#: reads comma-separated, double-quote-delimited fields with doubled
+#: embedded quotes; empty-UNQUOTED means NULL, quoted "" means empty string
+#: (Spark's write defaults emit exactly that split). Timestamp/date render
+#: in Derby's JDBC-escape shapes.
+BULK_CSV_OPTIONS = {
+    "header": "false",
+    "quote": '"',
+    "escape": '"',
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSS",
+    "dateFormat": "yyyy-MM-dd",
+}
+
+
+def jdbc_bulk_loader(
+    spark: SparkSession,
+    df: DataFrame,
+    source: SourceSpec,
+    table: str,
+    *,
+    table_ddl: str | None = None,
+) -> None:
+    """Staged-CSV bulk load — the reference's COPY INTO path
+    (``CopyTool.java:1042-1071``; the batched-INSERT :func:`jdbc_writer` is
+    its fallback, ``CopyTool.java:829-866``), re-expressed for Spark:
+
+    1. executors stage the frame as CSV part files (distributed write, no
+       database connection on any executor);
+    2. the driver creates the table (DDL from the engine's schema mapper
+       unless ``table_ddl`` pins explicit types) and issues ONE server-side
+       bulk-import call per part file (Derby:
+       ``SYSCS_UTIL.SYSCS_IMPORT_TABLE``; a MonetDB sink would issue
+       ``COPY INTO ... FROM``).
+
+    Two properties make this the right shape for the embedded fixture AND
+    for scale: no executor ever boots the (single-JVM) embedded engine, so
+    the load works under multi-executor masters where the distributed JDBC
+    writer cannot reach an embedded endpoint; and the per-file import is
+    the same staged-bulk pattern production Spark->warehouse pipelines use
+    when server-side COPY beats row inserts.
+
+    BinaryType columns are hex-encoded at staging (Derby's documented
+    import representation for BLOB data without LOB side-files).
+    """
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..schema.mapper import spark_schema_to_derby_ddl
+
+    url = source.options["url"]
+    staged = df.select(
+        *[
+            F.hex(F.col(f.name)).alias(f.name)
+            if isinstance(f.dataType, T.BinaryType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+    csv_dir = os.path.join(tempfile.mkdtemp(prefix="jdbc_bulk_"), "stage")
+    writer = staged.write
+    for k, v in BULK_CSV_OPTIONS.items():
+        writer = writer.option(k, v)
+    writer.csv(csv_dir)
+
+    jvm = spark._jvm  # noqa: SLF001
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        ddl = table_ddl if table_ddl is not None else spark_schema_to_derby_ddl(df.schema)
+        st.execute(f"CREATE TABLE {table} ({ddl})")
+        st.close()
+        # unquoted CREATE stores the table name uppercase; the import proc
+        # matches its tablename argument case-SENSITIVELY against the store
+        cs = conn.prepareCall(
+            "CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(NULL, ?, ?, NULL, NULL, 'UTF-8', 0)"
+        )
+        try:
+            for part in sorted(glob.glob(os.path.join(csv_dir, "part-*"))):
+                cs.setString(1, table.upper())
+                cs.setString(2, part)
+                cs.execute()
+        finally:
+            cs.close()
+    finally:
+        conn.close()
+
+
 def derby_shutdown(spark: SparkSession, db_path: str) -> None:
     """Cleanly shut down ONE embedded-Derby database (flushes the log so a
     filesystem snapshot of the directory is consistent). Derby signals a

@@ -135,3 +135,32 @@ def test_schema_to_ddl():
         ]
     )
     assert schema_to_ddl(schema) == "`id` BIGINT NOT NULL, `v` DECIMAL(18,2)"
+
+
+def test_spark_schema_to_derby_ddl():
+    from mssql2monetdb_spark.schema.mapper import spark_schema_to_derby_ddl
+
+    schema = T.StructType(
+        [
+            T.StructField("ID", T.LongType(), False),
+            T.StructField("tiny", T.ByteType()),  # Derby has no TINYINT
+            T.StructField("v", T.DecimalType(18, 6)),
+            T.StructField("s", T.StringType()),
+            T.StructField("b", T.BinaryType()),
+        ]
+    )
+    assert spark_schema_to_derby_ddl(schema) == (
+        '"id" BIGINT NOT NULL, "tiny" SMALLINT, "v" DECIMAL(18,6), '
+        '"s" VARCHAR(4000), "b" BLOB'
+    )
+
+
+def test_spark_schema_to_derby_ddl_unmapped_type_is_loud():
+    from mssql2monetdb_spark.schema.mapper import (
+        UnknownSqlTypeError,
+        spark_schema_to_derby_ddl,
+    )
+
+    schema = T.StructType([T.StructField("a", T.ArrayType(T.LongType()))])
+    with pytest.raises(UnknownSqlTypeError, match="no Derby DDL mapping"):
+        spark_schema_to_derby_ddl(schema)
