@@ -138,17 +138,22 @@ def jdbc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).first()[:2]
     )
-    part_source = SourceSpec(
-        name="derby_rt_part",
-        format="jdbc",
-        options={
-            **ro_source.options,
-            # Spark requires lower < upper for a multi-partition range scan
-            **partition_bounds_options(
-                "l_orderkey", int(lo), max(int(hi), int(lo) + 1), num_partitions=4
-            ),
-        },
-    )
+    if lo is None or hi is None:
+        # empty subset (hostile corpora): MIN/MAX are NULL, partition
+        # bounds are undefined — a single-partition scan IS the plan
+        part_source = ro_source
+    else:
+        part_source = SourceSpec(
+            name="derby_rt_part",
+            format="jdbc",
+            options={
+                **ro_source.options,
+                # Spark requires lower < upper for a multi-partition range scan
+                **partition_bounds_options(
+                    "l_orderkey", int(lo), max(int(hi), int(lo) + 1), num_partitions=4
+                ),
+            },
+        )
     job = CopyJob(job_id="lineitem_rt", source="derby_rt_part", from_table="lineitem_rt")
     back = jdbc_reader(spark, part_source, job)
     return back.select(
@@ -327,16 +332,21 @@ def jdbc_roundtrip_typelattice(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).first()[:2]
     )
-    part_source = SourceSpec(
-        name="derby_lat_part",
-        format="jdbc",
-        options={
-            **ro_source.options,
-            **partition_bounds_options(
-                "k_bigint", int(lo), max(int(hi), int(lo) + 1), num_partitions=4
-            ),
-        },
-    )
+    if lo is None or hi is None:
+        # empty subset (hostile corpora): MIN/MAX are NULL, partition
+        # bounds are undefined — a single-partition scan IS the plan
+        part_source = ro_source
+    else:
+        part_source = SourceSpec(
+            name="derby_lat_part",
+            format="jdbc",
+            options={
+                **ro_source.options,
+                **partition_bounds_options(
+                    "k_bigint", int(lo), max(int(hi), int(lo) + 1), num_partitions=4
+                ),
+            },
+        )
     back = jdbc_reader(
         spark,
         part_source,
@@ -372,11 +382,16 @@ def jdbc_roundtrip_typelattice(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_stateful_user_activity",
     oracle="""
+        WITH q AS (
+            SELECT user_id, ts,
+                   LEAST(GREATEST(value * 1000, -1e9), 1e9) AS c
+            FROM events
+        )
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               SUM(CAST(FLOOR(value * 1000) AS DOUBLE)) AS sum_value,
+               SUM(c - (c % 1)) AS sum_value,
                MAX(ts) AS last_ts
-        FROM events GROUP BY user_id ORDER BY user_id
+        FROM q GROUP BY user_id ORDER BY user_id
     """,
 )
 def stream_stateful_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,12 +404,15 @@ def stream_stateful_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame
     its batch id, and the LAST emission per user — the cumulative total — is
     hashed against the batch groupBy oracle.
 
-    Values are quantized to integer-valued doubles (``floor(value*1000)``)
-    before streaming: float addition over integers is exact and
-    order-insensitive, so the cross-batch Python-side accumulation hashes
-    identically to the oracle's single SUM regardless of batch order —
-    the same exactness discipline as the DEC(30,8) helper, expressed in
-    the tracker's native double state.
+    Values are quantized to bounded integer-valued doubles before
+    streaming — clamp to [-1e9, 1e9] then drop the fraction IN DOUBLE
+    SPACE (``c - c % 1``; a bigint ``floor`` intermediate overflows on
+    hostile 1e18-scale values, where Spark saturates at 2^63-1 but
+    DuckDB's double floor doesn't): float addition over bounded integers
+    is exact and order-insensitive, so the cross-batch Python-side
+    accumulation hashes identically to the oracle's single SUM regardless
+    of batch order — the same exactness discipline as the DEC(30,8)
+    helper, expressed in the tracker's native double state.
 
     Reference analog: the polling scheduler's per-tick state carry
     (``CopyTool.java:121-160``) — here the state is per-KEY and
@@ -403,9 +421,8 @@ def stream_stateful_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.stateful import user_activity_tracker
 
     t = Tables(spark, sf_dir)
-    quantized = t.events.withColumn(
-        "value", F.floor(F.col("value") * 1000).cast("double")
-    )
+    _c = F.least(F.greatest(F.col("value") * 1000, F.lit(-1.0e9)), F.lit(1.0e9))
+    quantized = t.events.withColumn("value", (_c - (_c % F.lit(1.0))).cast("double"))
     base = tempfile.mkdtemp(prefix="stream_stateful_")
     src = os.path.join(base, "in")
     for shard in range(3):
