@@ -26,6 +26,31 @@ from mssql2monetdb_spark.queries.registry import bench_queries  # noqa: E402
 from mssql2monetdb_spark.session import get_spark  # noqa: E402
 import mssql2monetdb_spark.queries  # noqa: E402,F401  (populate registry)
 
+#: The 15 queries benched since round 1 — BASELINE.md's recorded totals are
+#: sums over exactly this set, so the headline ``value`` stays a
+#: like-for-like series even as the bench set widens (round 8 added the
+#: three lifecycle pipelines + the heaviest dedup/ANN operators; their
+#: timings appear in ``queries`` and in ``value_extended``).
+BASELINE_SET = frozenset(
+    {
+        "agg_tpch_q1",
+        "ann_bruteforce_topk",
+        "asof_join_events",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "join_broadcast_dims",
+        "join_inner",
+        "rollup_time_buckets",
+        "stream_tumbling_hourly",
+        "text_stats",
+        "tpch_q18_large_orders",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier",
+        "window_row_number",
+    }
+)
+
 
 def force(df) -> None:
     """Execute the full plan distributed; no rows cross to the driver."""
@@ -53,12 +78,13 @@ def main() -> int:
         force(q.build(spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for q, v in timings.items() if q in BASELINE_SET), 3)
     print(
         json.dumps(
             {
                 "metric": "total_bench_sec",
-                "value": total,
+                "value": total,  # r01-baseline 15-query set (like-for-like)
+                "value_extended": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
