@@ -333,10 +333,17 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
     )
+    # initialize with the 1-hop minimum (label = min(id, min neighbor))
+    # instead of label = id: the first propagation round is folded into
+    # initialization, saving one full edge-shuffle round — at scale each
+    # round re-shuffles the whole edge set, so rounds are the cost unit
     labels = caches.tracked(
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("min_dst"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("min_dst")).alias("label"),
+        )
     )
     changed = 0
     for i in range(max_iter):

@@ -41,9 +41,14 @@ GATE_PRIORITY = [
     # --- slots 0-1: round-8 additions (never verified) ---
     "jdbc_roundtrip_typelattice",
     "stream_stateful_user_activity",
-    # --- slot 2: changed building code this round (jar: read-back) ---
+    # --- slots 2-4: changed building code this round (jar:+bulk-load
+    # read/write path; connected_components' 1-hop-min initialization
+    # changed the plan of both its consumers) ---
     "jdbc_roundtrip_lineitem",
-    # --- slots 3-49: canaries, least-recently-verified first ---
+    "dedup_connected_components",
+    "dedup_keep_best_in_cluster",
+    # --- slots 5-49: canaries, least-recently-verified first (the two
+    # displaced canaries tpch_q7/q8 move to the head of the r9 queue) ---
     "multimodal_image_decode",
     "pipeline_clean_corpus",
     "multimodal_audio_decode",
@@ -89,8 +94,6 @@ GATE_PRIORITY = [
     "sample_domain_cap",
     "decontaminate_semantic",
     "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
 ]
 
 GATE_WINDOW = 50
@@ -113,6 +116,8 @@ GATE_WINDOW = 50
 # the 10 TPC-H shapes that didn't fit in the r8 window — then round-4),
 # ties by registration order.
 NEXT_WINDOW_QUEUE = [
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
     "tpch_q13_customer_distribution",

@@ -137,6 +137,9 @@ def jdbc_bulk_loader(
     from ..schema.mapper import spark_schema_to_derby_ddl
 
     url = source.options["url"]
+    # derive DDL before staging: an unmappable column fails loudly here
+    # (UnknownSqlTypeError) instead of after a useless distributed write
+    ddl = table_ddl if table_ddl is not None else spark_schema_to_derby_ddl(df.schema)
     staged = df.select(
         *[
             F.hex(F.col(f.name)).alias(f.name)
@@ -155,7 +158,6 @@ def jdbc_bulk_loader(
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         st = conn.createStatement()
-        ddl = table_ddl if table_ddl is not None else spark_schema_to_derby_ddl(df.schema)
         st.execute(f"CREATE TABLE {table} ({ddl})")
         st.close()
         # unquoted CREATE stores the table name uppercase; the import proc

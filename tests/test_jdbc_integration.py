@@ -91,3 +91,64 @@ def test_jdbc_source_through_copy_engine(spark, derby_source, tmp_path):
     assert published == {"nation_job": "nation_2024_06_01_00_00_00"}
     n = engine.sql("SELECT COUNT(*) AS n FROM nation").collect()[0]["n"]
     assert n == 25
+
+
+def test_bulk_loader_null_vs_empty_string_and_multipart(spark, tmp_path):
+    """Staged-CSV bulk load (the COPY INTO analog, jdbc_bulk_loader) pins
+    the classic CSV null/empty ambiguity the reference handles with \\N
+    markers (CopyTool staged loads): Spark's write defaults render NULL as
+    an unquoted empty field (Derby import -> NULL) and the empty STRING as
+    a quoted "" (Derby import -> empty string). Also stages MULTIPLE part
+    files (one import call each) and round-trips binary via hex."""
+    from pyspark.sql import functions as F
+
+    from mssql2monetdb_spark.sources.jdbc import derby_snapshot_jar, jdbc_bulk_loader
+
+    db_path = str(tmp_path / "db")
+    source = SourceSpec(
+        name="derby_bulk",
+        format="jdbc",
+        options={"url": f"jdbc:derby:{db_path};create=true", "driver": DERBY_DRIVER},
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "plain", b"\x00\xffbin"),
+            (2, None, None),
+            (3, "", b""),
+        ],
+        "k bigint, s string, b binary",
+    )
+    jdbc_bulk_loader(spark, df.repartition(2), source, "bulk_t")
+
+    ro = SourceSpec(
+        name="derby_bulk_ro",
+        format="jdbc",
+        options={"url": derby_snapshot_jar(spark, db_path), "driver": DERBY_DRIVER},
+    )
+    back = jdbc_reader(
+        spark, ro, CopyJob(job_id="bulk_back", source="derby_bulk_ro", from_table="bulk_t")
+    )
+    rows = {r["k"]: (r["s"], bytes(r["b"]) if r["b"] is not None else None) for r in back.collect()}
+    assert rows[1] == ("plain", b"\x00\xffbin")
+    assert rows[2] == (None, None)          # NULL survives (unquoted empty)
+    assert rows[3][0] == ""                 # empty string != NULL (quoted "")
+    assert rows[3][1] == b""                # zero-length BLOB from empty hex
+
+
+def test_bulk_loader_unmapped_type_fails_loudly(spark, tmp_path):
+    """A frame with a non-relational column must fail at DDL derivation
+    (UnknownSqlTypeError), not stage a half-load."""
+    from mssql2monetdb_spark.schema.mapper import UnknownSqlTypeError
+    from mssql2monetdb_spark.sources.jdbc import jdbc_bulk_loader
+
+    source = SourceSpec(
+        name="derby_bad",
+        format="jdbc",
+        options={
+            "url": f"jdbc:derby:{tmp_path}/baddb;create=true",
+            "driver": DERBY_DRIVER,
+        },
+    )
+    df = spark.createDataFrame([(1, [1, 2])], "k bigint, arr array<bigint>")
+    with pytest.raises(UnknownSqlTypeError):
+        jdbc_bulk_loader(spark, df, source, "bad_t")
