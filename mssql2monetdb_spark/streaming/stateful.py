@@ -46,7 +46,10 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
-def _make_tracker(evict: bool):
+DEFAULT_IDLE_TIMEOUT_MS = 60 * 60 * 1000  # evict after 1h idle
+
+
+def _make_tracker(evict: bool, idle_timeout_ms: int = DEFAULT_IDLE_TIMEOUT_MS):
     def _track(key: tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if evict and state.hasTimedOut:
@@ -61,7 +64,7 @@ def _make_tracker(evict: bool):
             last_us = max(last_us, batch_max_us)
         state.update((n, total, last_us))
         if evict:
-            state.setTimeoutDuration(60 * 60 * 1000)  # evict after 1h idle
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
@@ -74,11 +77,18 @@ def _make_tracker(evict: bool):
     return _track
 
 
-def user_activity_tracker(events: DataFrame, *, evict_idle: bool = False) -> DataFrame:
+def user_activity_tracker(
+    events: DataFrame,
+    *,
+    evict_idle: bool = False,
+    idle_timeout_ms: int = DEFAULT_IDLE_TIMEOUT_MS,
+) -> DataFrame:
     """Per-user cumulative activity; optional idle-state eviction.
 
-    ``evict_idle=True`` uses ProcessingTimeTimeout to drop idle users' state
-    (the production knob for continuous triggers). Leave it off with
+    ``evict_idle=True`` uses ProcessingTimeTimeout to drop users idle past
+    ``idle_timeout_ms`` (the production knob for continuous triggers —
+    state size then tracks the ACTIVE key set; measured by
+    ``scripts/stateful_capacity_probe.py``). Leave it off with
     ``trigger(availableNow=True)``: Spark 4.1's end-of-drain state-cleanup
     batch raises an internal planner error when a processing-time timeout is
     configured (observed locally; the data batches themselves succeed).
@@ -87,7 +97,7 @@ def user_activity_tracker(events: DataFrame, *, evict_idle: bool = False) -> Dat
         GroupStateTimeout.ProcessingTimeTimeout if evict_idle else GroupStateTimeout.NoTimeout
     )
     return events.groupBy("user_id").applyInPandasWithState(
-        _make_tracker(evict_idle),
+        _make_tracker(evict_idle, idle_timeout_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
