@@ -129,6 +129,57 @@ class VersionedCatalog:
         writer.parquet(self.version_dir(schema, physical))
         return physical
 
+    def write_version_incremental(
+        self,
+        df_touched: DataFrame,
+        schema: str,
+        table: str,
+        load_date: datetime,
+        *,
+        partition_col: str,
+        base_physical: str | None,
+    ) -> str:
+        """Materialize a new version rewriting ONLY the touched partitions.
+
+        ``df_touched`` holds the merged content of the partitions this load
+        actually changed (hive-partitioned on ``partition_col``); every
+        OTHER partition directory of ``base_physical`` is carried into the
+        new version by hard-linking its data files — zero rewrite I/O, and
+        the links keep the data alive after retention deletes the base
+        version's directory entry. This is the directory-catalog analog of
+        a manifest-based table format's file reuse (Delta/Iceberg): write
+        volume per load drops from O(table) to O(touched partitions) while
+        the version swap stays atomic (the new directory is complete
+        before ``publish`` repoints the manifest) and time travel keeps
+        working (every retained version remains a full self-describing
+        directory).
+
+        Crash-retry safe the same way ``write_version`` is: the target
+        directory is cleared first, so a replay that recomputes the same
+        version name rebuilds it deterministically from the unchanged
+        manifest state.
+        """
+        physical = physical_name(table, load_date)
+        out_dir = self.version_dir(schema, physical)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        df_touched.write.mode("overwrite").partitionBy(partition_col).parquet(out_dir)
+        if base_physical:
+            base_dir = self.version_dir(schema, base_physical)
+            prefix = f"{partition_col}="
+            for entry in os.listdir(base_dir):
+                if not entry.startswith(prefix):
+                    continue
+                dst = os.path.join(out_dir, entry)
+                if os.path.exists(dst):
+                    continue  # touched: freshly rewritten above
+                src = os.path.join(base_dir, entry)
+                os.makedirs(dst)
+                for fname in os.listdir(src):
+                    if fname.startswith(("_", ".")):
+                        continue  # write markers, not data
+                    os.link(os.path.join(src, fname), os.path.join(dst, fname))
+        return physical
+
     def publish(
         self,
         spark: SparkSession,

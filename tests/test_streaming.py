@@ -537,3 +537,166 @@ def test_upsert_stream_migrates_past_legacy_outsorting_version(spark, tmp_path):
         "main", "user_state"
     )
     assert catalog.current_version("main", "user_state") > legacy_hi
+
+
+def _drain_partitioned(spark, tmp_path, buckets, *, shards=3, ckpt="ckpt_part"):
+    from mssql2monetdb_spark.engine.publish import VersionedCatalog
+    from mssql2monetdb_spark.streaming.pipelines import (
+        events_stream,
+        upsert_stream_available_now,
+    )
+
+    events = load_table(spark, SF, "events")
+    src = tmp_path / "in_part"
+    # shards are user-DISJOINT: the SCD-1 merge is last-write-wins by
+    # ARRIVAL (the reference's monotone-source assumption), so sharding a
+    # user's events across batches in arbitrary file order would be an
+    # invalid fixture, not an engine test
+    for shard in range(shards):
+        events.filter(F.col("user_id") % shards == shard).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    catalog = VersionedCatalog(str(tmp_path / "wh_part"))
+    upsert_stream_available_now(
+        events_stream(spark, str(src), max_files_per_trigger=1),
+        catalog,
+        "main",
+        "user_state_p",
+        str(tmp_path / ckpt),
+        partition_buckets=buckets,
+    )
+    return catalog
+
+
+def test_upsert_stream_partitioned_matches_unpartitioned(spark, tmp_path):
+    """Bucketed partition-pruned sync publishes exactly the content the
+    full-rewrite path publishes (latest row per user), plus the internal
+    _kb layout column."""
+    from pyspark.sql.window import Window
+
+    from mssql2monetdb_spark.streaming.pipelines import KEY_BUCKET_COL
+
+    catalog = _drain_partitioned(spark, tmp_path, buckets=8)
+    out = catalog.table_at(spark, "main", "user_state_p")
+    assert KEY_BUCKET_COL in out.columns
+    got = {r.user_id: r.event_id for r in out.collect()}
+
+    events = load_table(spark, SF, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expected = {
+        r.user_id: r.event_id
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == expected
+
+    # every row's bucket matches its key's hash (pruning reads the right dirs)
+    bad = out.filter(
+        F.col(KEY_BUCKET_COL) != F.pmod(F.xxhash64(F.col("user_id")), F.lit(8))
+    ).count()
+    assert bad == 0
+
+
+def test_upsert_stream_partitioned_untouched_buckets_carry_by_hardlink(spark, tmp_path):
+    """A batch that touches a strict subset of buckets must REWRITE only
+    those partition dirs; untouched buckets' data files in the new version
+    are the SAME inodes as the previous version's (hard links, zero write
+    volume)."""
+    import os
+
+    from mssql2monetdb_spark.streaming.pipelines import KEY_BUCKET_COL
+
+    catalog = _drain_partitioned(spark, tmp_path, buckets=8, shards=1)
+    versions = catalog.table_versions("main", "user_state_p")
+    assert len(versions) == 1
+    base = versions[0]
+
+    # second batch: ONE user only -> exactly one touched bucket
+    events = load_table(spark, SF, "events")
+    one_user = events.orderBy("event_id").limit(1)
+    one_user.coalesce(1).write.mode("append").parquet(str(tmp_path / "in_part"))
+    from mssql2monetdb_spark.streaming.pipelines import (
+        events_stream,
+        upsert_stream_available_now,
+    )
+
+    upsert_stream_available_now(
+        events_stream(spark, str(tmp_path / "in_part"), max_files_per_trigger=1),
+        catalog,
+        "main",
+        "user_state_p",
+        str(tmp_path / "ckpt_part"),
+        partition_buckets=8,
+    )
+    new = catalog.current_version("main", "user_state_p")
+    assert new != base
+
+    uid = one_user.first()["user_id"]
+    # cast: a bare python-int lit is int32, and xxhash64 is width-sensitive
+    touched_bucket = (
+        f"{KEY_BUCKET_COL}="
+        f"{spark.range(1).select(F.pmod(F.xxhash64(F.lit(uid).cast('long')), F.lit(8))).first()[0]}"
+    )
+
+    base_dir = catalog.version_dir("main", base)
+    new_dir = catalog.version_dir("main", new)
+    carried = rewritten = 0
+    for entry in os.listdir(new_dir):
+        if not entry.startswith(f"{KEY_BUCKET_COL}="):
+            continue
+        new_files = {
+            f: os.stat(os.path.join(new_dir, entry, f)).st_ino
+            for f in os.listdir(os.path.join(new_dir, entry))
+            if not f.startswith(("_", "."))
+        }
+        base_part = os.path.join(base_dir, entry)
+        base_inodes = (
+            {
+                os.stat(os.path.join(base_part, f)).st_ino
+                for f in os.listdir(base_part)
+                if not f.startswith(("_", "."))
+            }
+            if os.path.isdir(base_part)
+            else set()
+        )
+        if entry == touched_bucket:
+            assert not set(new_files.values()) & base_inodes, "touched bucket must be rewritten"
+            rewritten += 1
+        else:
+            assert set(new_files.values()) == base_inodes, f"{entry} should be hard-linked"
+            carried += 1
+    assert rewritten == 1 and carried >= 1
+
+
+def test_upsert_stream_partitioned_replay_is_idempotent(spark, tmp_path):
+    """Checkpoint wipe replays every batch through the partitioned path;
+    the provenance guard + same-name overwrite keep content identical."""
+    catalog = _drain_partitioned(spark, tmp_path, buckets=4)
+    before = {
+        r.user_id: r.event_id
+        for r in catalog.table_at(spark, "main", "user_state_p").collect()
+    }
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt_part"))
+    from mssql2monetdb_spark.streaming.pipelines import (
+        events_stream,
+        upsert_stream_available_now,
+    )
+
+    upsert_stream_available_now(
+        events_stream(spark, str(tmp_path / "in_part"), max_files_per_trigger=1),
+        catalog,
+        "main",
+        "user_state_p",
+        str(tmp_path / "ckpt_part"),
+        partition_buckets=4,
+    )
+    after = {
+        r.user_id: r.event_id
+        for r in catalog.table_at(spark, "main", "user_state_p").collect()
+    }
+    assert after == before
