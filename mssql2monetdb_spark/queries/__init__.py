@@ -28,7 +28,8 @@ from . import lifecycle  # noqa: E402,F401
 # stale-verdict backlog): slots 0-1 are this round's never-verified
 # additions (the full MonetDBUtil type-lattice JDBC round-trip and the
 # applyInPandasWithState stateful-streaming gate — verdict items 3 and
-# 6); slot 2 is the changed-code re-verify (jdbc_roundtrip_lineitem's
+# 6, plus the partition-pruned sync gate); next are the changed-code
+# re-verifies (jdbc_roundtrip_lineitem's
 # read-back now goes through the multi-JVM-safe derby jar: snapshot —
 # verdict item 2); slots 3-49 are canaries, least-recently-verified
 # first (verdict age computed from CORRECTNESS_r01-r07, ties by
@@ -38,9 +39,10 @@ from . import lifecycle  # noqa: E402,F401
 # Vacuity audit (round 5, sf0.01): every window oracle returns >0 rows —
 # checked by test_window_oracles_non_vacuous on every commit.
 GATE_PRIORITY = [
-    # --- slots 0-1: round-8 additions (never verified) ---
+    # --- slots 0-2: round-8 additions (never verified) ---
     "jdbc_roundtrip_typelattice",
     "stream_stateful_user_activity",
+    "stream_lifecycle_partitioned",
     # --- slots 2-4: changed building code this round (jar:+bulk-load
     # read/write path; connected_components' 1-hop-min initialization
     # changed the plan of both its consumers) ---
@@ -93,7 +95,6 @@ GATE_PRIORITY = [
     "doc_chunk_overlap",
     "sample_domain_cap",
     "decontaminate_semantic",
-    "tpch_q2_min_cost_supplier",
 ]
 
 GATE_WINDOW = 50
@@ -116,6 +117,7 @@ GATE_WINDOW = 50
 # the 10 TPC-H shapes that didn't fit in the r8 window — then round-4),
 # ties by registration order.
 NEXT_WINDOW_QUEUE = [
+    "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -460,6 +460,57 @@ def stream_stateful_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "stream_lifecycle_partitioned",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value, props FROM (
+            SELECT event_id, ts, user_id, event_type, value, props,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def stream_lifecycle_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-pruned streaming sync under the oracle gate: same
+    drain as ``stream_lifecycle_publish`` (three user-disjoint shards,
+    ``maxFilesPerTrigger=1``, retention to keep-2) but with
+    ``partition_buckets=8`` — the published table is hive-partitioned on
+    the key's hash bucket, each micro-batch merges only the buckets it
+    touches, and untouched buckets carry into every new version by hard
+    link (``VersionedCatalog.write_version_incremental``). The published
+    view's content is hashed against the same batch oracle: if pruning
+    reads the wrong buckets, the linker drops or duplicates a partition,
+    or retention reaps a linked file, the hash breaks.
+
+    This is the O(touched buckets)-per-batch publish shape a 100 TB
+    published table needs under frequent ticks (SCALE.md round-8 section
+    for the measured write-volume drop).
+    """
+    t = Tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_lcp_")
+    src = os.path.join(base, "in")
+    for shard in range(3):
+        t.events.filter(F.col("user_id") % 3 == shard).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    catalog = VersionedCatalog(os.path.join(base, "wh"))
+    upsert_stream_available_now(
+        events_stream(spark, src, max_files_per_trigger=1),
+        catalog,
+        "main",
+        "user_state",
+        os.path.join(base, "ckpt"),
+        partition_buckets=8,
+    )
+    catalog.cleanup("main", "user_state")
+    published = catalog.table_at(spark, "main", "user_state")
+    return published.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).orderBy("user_id")
+
+
+@query(
     "copy_incremental_watermark",
     oracle="""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
