@@ -180,6 +180,21 @@ class VersionedCatalog:
                     os.link(os.path.join(src, fname), os.path.join(dst, fname))
         return physical
 
+    def version_is_partitioned(self, schema: str, physical: str | None, partition_col: str) -> bool:
+        """True iff the version directory is hive-partitioned on
+        ``partition_col``. The partition-pruned sync checks this before
+        trusting a base version for incremental linking: a version whose
+        SCHEMA carries the bucket column but whose LAYOUT doesn't (e.g. a
+        ``compact()`` rewrite) must be migrated by full rewrite — linking
+        against it would publish only the touched buckets."""
+        if not physical:
+            return False
+        d = self.version_dir(schema, physical)
+        if not os.path.isdir(d):
+            return False
+        prefix = f"{partition_col}="
+        return any(e.startswith(prefix) for e in os.listdir(d))
+
     def publish(
         self,
         spark: SparkSession,
@@ -296,9 +311,18 @@ class VersionedCatalog:
         *,
         target_files: int = 1,
         sort_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> str:
         """Small-file compaction (the OPTIMIZE analog): rewrite the current
         version into ``target_files`` files and atomically republish.
+
+        Compacting a hive-partitioned table (e.g. the partition-pruned
+        streaming sync's bucketed layout) without passing the same
+        ``partition_by`` produces a valid but UNPARTITIONED version; the
+        sync detects that via ``version_is_partitioned`` and migrates back
+        with one full bucketed rewrite on its next batch — correct either
+        way, but passing ``partition_by`` keeps the incremental-link fast
+        path unbroken (``target_files`` then applies per partition).
 
         Streaming sinks (one version per micro-batch) and highly-parallel
         loads accumulate many small files; at 100 TB small files dominate
@@ -312,9 +336,13 @@ class VersionedCatalog:
         one.
         """
         df = self.table_at(spark, schema, table)
-        out = df.repartition(target_files)
+        out = (
+            df.repartition(target_files, *partition_by)
+            if partition_by
+            else df.repartition(target_files)
+        )
         physical = self.write_version(
-            out, schema, table, load_date, sort_by=sort_by
+            out, schema, table, load_date, sort_by=sort_by, partition_by=partition_by
         )
         self.publish(spark, schema, table, physical)
         return physical

@@ -364,9 +364,16 @@ def upsert_stream_available_now(
             if catalog.exists(schema, table)
             else None
         )
+        # the pruned fast path needs the base version's LAYOUT bucketed,
+        # not just its schema: a compact() rewrite keeps the _kb column
+        # but flattens the directories — linking against it would publish
+        # only the touched buckets (data loss); migrate instead
+        base_is_bucketed = partition_buckets and catalog.version_is_partitioned(
+            schema, info.get("physical"), KEY_BUCKET_COL
+        )
         if existing is None:
             merged = latest
-        elif partition_buckets and KEY_BUCKET_COL in existing.columns:
+        elif base_is_bucketed and KEY_BUCKET_COL in existing.columns:
             # partition-pruned merge: only the buckets this batch touches
             # are read (pruning) and rewritten; the rest carry by hard link
             touched = sorted(
@@ -376,9 +383,14 @@ def upsert_stream_available_now(
                 existing.filter(F.col(KEY_BUCKET_COL).isin(touched)), latest, key
             )
         elif partition_buckets:
-            # migration: previously-unbucketed table — one full bucketed
-            # rewrite brings it under the incremental scheme
-            merged = upsert_scd1(existing, latest.drop(KEY_BUCKET_COL), key).withColumn(
+            # migration: previously-unbucketed LAYOUT (first bucketed batch,
+            # or a compact() flattened the directories — the schema may or
+            # may not still carry the bucket column) — one full bucketed
+            # rewrite brings the table back under the incremental scheme
+            plain = existing.select(
+                *[c for c in existing.columns if c != KEY_BUCKET_COL]
+            )
+            merged = upsert_scd1(plain, latest.drop(KEY_BUCKET_COL), key).withColumn(
                 KEY_BUCKET_COL,
                 F.pmod(F.xxhash64(F.col(key)), F.lit(partition_buckets)),
             )
@@ -393,7 +405,9 @@ def upsert_stream_available_now(
                 partition_col=KEY_BUCKET_COL,
                 base_physical=(
                     info.get("physical")
-                    if existing is not None and KEY_BUCKET_COL in existing.columns
+                    if existing is not None
+                    and base_is_bucketed
+                    and KEY_BUCKET_COL in existing.columns
                     else None
                 ),
             )

@@ -700,3 +700,69 @@ def test_upsert_stream_partitioned_replay_is_idempotent(spark, tmp_path):
         for r in catalog.table_at(spark, "main", "user_state_p").collect()
     }
     assert after == before
+
+
+def test_upsert_stream_partitioned_survives_compact_flatten(spark, tmp_path):
+    """A compact() WITHOUT partition_by flattens the bucketed layout while
+    keeping the _kb column in the schema; the next batch must detect the
+    unbucketed base (version_is_partitioned) and take the full-rewrite
+    migration path — linking against the flat version would silently drop
+    every untouched bucket."""
+    from datetime import datetime
+
+    from mssql2monetdb_spark.streaming.pipelines import (
+        events_stream,
+        upsert_stream_available_now,
+    )
+
+    catalog = _drain_partitioned(spark, tmp_path, buckets=8, shards=1)
+    full_before = {
+        r.user_id: r.event_id
+        for r in catalog.table_at(spark, "main", "user_state_p").collect()
+    }
+    catalog.compact(spark, "main", "user_state_p", datetime(2030, 1, 1))
+    assert not catalog.version_is_partitioned(
+        "main", catalog.current_version("main", "user_state_p"), "_kb"
+    )
+
+    # delta touching one user; without the layout guard this batch would
+    # publish ONLY that user's bucket
+    one_user = load_table(spark, SF, "events").orderBy("event_id").limit(1)
+    delta_uid, delta_eid = (
+        one_user.select("user_id", "event_id").first()[0],
+        one_user.select("event_id").first()[0],
+    )
+    one_user.coalesce(1).write.mode("append").parquet(str(tmp_path / "in_part"))
+    upsert_stream_available_now(
+        events_stream(spark, str(tmp_path / "in_part"), max_files_per_trigger=1),
+        catalog,
+        "main",
+        "user_state_p",
+        str(tmp_path / "ckpt_part"),
+        partition_buckets=8,
+    )
+    after = {
+        r.user_id: r.event_id
+        for r in catalog.table_at(spark, "main", "user_state_p").collect()
+    }
+    # SCD-1 is last-write-wins by ARRIVAL: the delta replaces its user's
+    # row; every OTHER user must survive (the data-loss case under test)
+    expected = dict(full_before)
+    expected[delta_uid] = delta_eid
+    assert after == expected
+    # migrated back to bucketed layout: incremental fast path restored
+    assert catalog.version_is_partitioned(
+        "main", catalog.current_version("main", "user_state_p"), "_kb"
+    )
+
+
+def test_compact_with_partition_by_keeps_bucketed_layout(spark, tmp_path):
+    from datetime import datetime
+
+    catalog = _drain_partitioned(spark, tmp_path, buckets=8, shards=1)
+    catalog.compact(
+        spark, "main", "user_state_p", datetime(2030, 1, 2), partition_by=["_kb"]
+    )
+    assert catalog.version_is_partitioned(
+        "main", catalog.current_version("main", "user_state_p"), "_kb"
+    )
