@@ -469,6 +469,7 @@ def stream_stateful_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame
             FROM events
         ) WHERE rn = 1 ORDER BY user_id
     """,
+    bench=True,
 )
 def stream_lifecycle_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The partition-pruned streaming sync under the oracle gate: same
