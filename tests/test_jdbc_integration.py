@@ -152,3 +152,42 @@ def test_bulk_loader_unmapped_type_fails_loudly(spark, tmp_path):
     df = spark.createDataFrame([(1, [1, 2])], "k bigint, arr array<bigint>")
     with pytest.raises(UnknownSqlTypeError):
         jdbc_bulk_loader(spark, df, source, "bad_t")
+
+
+def test_bulk_loader_hostile_strings_roundtrip(spark, tmp_path):
+    """Staged-CSV bulk load must survive the classic CSV-breaking payloads:
+    embedded commas, quotes (doubled by the writer's escape='\"'), bare and
+    CRLF newlines inside quoted fields (Derby's import parses quoted
+    multi-line records), tabs, non-ASCII, and backslashes (NOT an escape
+    character in this dialect — doubled-quote escaping only)."""
+    from mssql2monetdb_spark.sources.jdbc import derby_snapshot_jar, jdbc_bulk_loader
+
+    db = str(tmp_path / "db")
+    src = SourceSpec(
+        name="d",
+        format="jdbc",
+        options={"url": f"jdbc:derby:{db};create=true", "driver": DERBY_DRIVER},
+    )
+    rows = [
+        (1, "comma,inside"),
+        (2, 'quote"inside'),
+        (3, "newline\ninside"),
+        (4, "crlf\r\ninside"),
+        (5, "tab\tinside"),
+        (6, "unicode-ü-文"),
+        (7, "backslash\\inside"),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, s string")
+    jdbc_bulk_loader(spark, df, src, "hostile_t")
+    ro = SourceSpec(
+        name="dro",
+        format="jdbc",
+        options={"url": derby_snapshot_jar(spark, db), "driver": DERBY_DRIVER},
+    )
+    back = {
+        r["k"]: r["s"]
+        for r in jdbc_reader(
+            spark, ro, CopyJob(job_id="b", source="dro", from_table="hostile_t")
+        ).collect()
+    }
+    assert back == dict(rows)
