@@ -88,14 +88,51 @@ def jdbc_writer(df: DataFrame, source: SourceSpec, table: str, *, mode: str = "a
 #: reads comma-separated, double-quote-delimited fields with doubled
 #: embedded quotes; empty-UNQUOTED means NULL, quoted "" means empty string
 #: (Spark's write defaults emit exactly that split). Timestamp/date render
-#: in Derby's JDBC-escape shapes.
+#: in Derby's JDBC-escape shapes; the 6-digit fraction carries Spark's full
+#: microsecond timestamp precision (Derby's import parses fractions up to
+#: nanoseconds — the reference's Timestamp.toString() staging likewise
+#: keeps the full fraction, CopyTool.java:695-721).
 BULK_CSV_OPTIONS = {
     "header": "false",
     "quote": '"',
     "escape": '"',
-    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSS",
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
     "dateFormat": "yyyy-MM-dd",
 }
+
+
+class BulkLoadError(RuntimeError):
+    """The staged-CSV bulk load could not be completed (staging invisible to
+    the server, partial part-file set, import failure, or a post-import
+    row-count mismatch) and fallback was disabled."""
+
+
+def _execute_update(conn, sql: str) -> None:
+    st = conn.createStatement()
+    try:
+        st.execute(sql)
+    finally:
+        st.close()
+
+
+def _drop_table_if_exists(conn, table: str) -> None:
+    st = conn.createStatement()
+    try:
+        st.execute(f"DROP TABLE {table}")
+    except Exception:  # noqa: BLE001 — table absent: nothing to drop
+        pass
+    finally:
+        st.close()
+
+
+def _server_count(conn, table: str) -> int:
+    st = conn.createStatement()
+    try:
+        rs = st.executeQuery(f"SELECT COUNT(*) FROM {table}")
+        rs.next()
+        return int(rs.getLong(1))
+    finally:
+        st.close()
 
 
 def jdbc_bulk_loader(
@@ -105,10 +142,16 @@ def jdbc_bulk_loader(
     table: str,
     *,
     table_ddl: str | None = None,
-) -> None:
+    staging_dir: str | None = None,
+    expected_count: int | None = None,
+    fallback: bool = True,
+) -> str:
     """Staged-CSV bulk load — the reference's COPY INTO path
-    (``CopyTool.java:1042-1071``; the batched-INSERT :func:`jdbc_writer` is
-    its fallback, ``CopyTool.java:829-866``), re-expressed for Spark:
+    (``CopyTool.java:1042-1071``), with the reference's own degradation
+    chain (COPY-from-file -> batched INSERT, ``CopyTool.java:829-866``)
+    re-expressed for Spark. Returns the path that loaded the table:
+    ``"copy"`` (server-side bulk import) or ``"insert"`` (the distributed
+    :func:`jdbc_writer` fallback).
 
     1. executors stage the frame as CSV part files (distributed write, no
        database connection on any executor);
@@ -116,19 +159,34 @@ def jdbc_bulk_loader(
        unless ``table_ddl`` pins explicit types) and issues ONE server-side
        bulk-import call per part file (Derby:
        ``SYSCS_UTIL.SYSCS_IMPORT_TABLE``; a MonetDB sink would issue
-       ``COPY INTO ... FROM``).
+       ``COPY INTO ... FROM``);
+    3. the loaded row count is verified against the frame's count (the
+       reference's pre-load count file, ``CopyTool.java:643-649``). Any
+       shortfall — zero staged part files, an import error, or a count
+       mismatch — means the staging path was not fully server-visible;
+       with ``fallback=True`` (default) the half-load is dropped and the
+       table is reloaded through the distributed batched-INSERT
+       :func:`jdbc_writer`, exactly the reference's fallback order; with
+       ``fallback=False`` a :class:`BulkLoadError` is raised.
 
-    Two properties make this the right shape for the embedded fixture AND
-    for scale: no executor ever boots the (single-JVM) embedded engine, so
-    the load works under multi-executor masters where the distributed JDBC
-    writer cannot reach an embedded endpoint; and the per-file import is
-    the same staged-bulk pattern production Spark->warehouse pipelines use
-    when server-side COPY beats row inserts.
+    **Cluster contract**: ``staging_dir`` (default: a driver-local tmpdir)
+    must be a filesystem BOTH the executors and the database server can
+    see — on a multi-node cluster that means shared storage (NFS/HDFS
+    fuse), the same constraint the reference documents for COPY INTO FROM
+    file (``CopyTool.java:756-870``). When it is not (executors committed
+    part files to their own local disks, so the driver-side glob sees a
+    partial set), the count verification catches the shortfall and the
+    loader degrades to the INSERT path instead of silently importing a
+    partial table.
+
+    ``expected_count`` lets callers that already counted the extract (the
+    engine's pre-scan count, op #4) skip the extra count job here.
 
     BinaryType columns are hex-encoded at staging (Derby's documented
     import representation for BLOB data without LOB side-files).
     """
     import glob
+    import logging
     import tempfile
 
     from pyspark.sql import functions as F
@@ -136,10 +194,13 @@ def jdbc_bulk_loader(
 
     from ..schema.mapper import spark_schema_to_derby_ddl
 
+    log = logging.getLogger(__name__)
     url = source.options["url"]
     # derive DDL before staging: an unmappable column fails loudly here
     # (UnknownSqlTypeError) instead of after a useless distributed write
     ddl = table_ddl if table_ddl is not None else spark_schema_to_derby_ddl(df.schema)
+    if expected_count is None:
+        expected_count = df.count()
     staged = df.select(
         *[
             F.hex(F.col(f.name)).alias(f.name)
@@ -148,8 +209,9 @@ def jdbc_bulk_loader(
             for f in df.schema.fields
         ]
     )
-    csv_dir = os.path.join(tempfile.mkdtemp(prefix="jdbc_bulk_"), "stage")
-    writer = staged.write
+    base_dir = staging_dir or tempfile.mkdtemp(prefix="jdbc_bulk_")
+    csv_dir = os.path.join(base_dir, f"stage_{table}")
+    writer = staged.write.mode("overwrite")
     for k, v in BULK_CSV_OPTIONS.items():
         writer = writer.option(k, v)
     writer.csv(csv_dir)
@@ -157,36 +219,76 @@ def jdbc_bulk_loader(
     jvm = spark._jvm  # noqa: SLF001
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
-        st = conn.createStatement()
-        st.execute(f"CREATE TABLE {table} ({ddl})")
-        st.close()
-        # unquoted CREATE stores the table name uppercase; the import proc
-        # matches its tablename argument case-SENSITIVELY against the store
-        cs = conn.prepareCall(
-            "CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(NULL, ?, ?, NULL, NULL, 'UTF-8', 0)"
-        )
-        try:
-            for part in sorted(glob.glob(os.path.join(csv_dir, "part-*"))):
-                cs.setString(1, table.upper())
-                cs.setString(2, part)
-                cs.execute()
-        finally:
-            cs.close()
+        _execute_update(conn, f"CREATE TABLE {table} ({ddl})")
+        failure: str | None = None
+        parts = sorted(glob.glob(os.path.join(csv_dir, "part-*")))
+        if not parts and expected_count > 0:
+            failure = f"no staged part files visible at {csv_dir}"
+        else:
+            # unquoted CREATE stores the table name uppercase; the import
+            # proc matches its tablename argument case-SENSITIVELY
+            cs = conn.prepareCall(
+                "CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(NULL, ?, ?, NULL, NULL, 'UTF-8', 0)"
+            )
+            try:
+                for part in parts:
+                    cs.setString(1, table.upper())
+                    cs.setString(2, part)
+                    cs.execute()
+            except Exception as exc:  # noqa: BLE001 — degrade per reference chain
+                failure = f"server-side import failed: {exc}"
+            finally:
+                cs.close()
+        if failure is None:
+            loaded = _server_count(conn, table)
+            if loaded != expected_count:
+                failure = (
+                    f"bulk load row-count mismatch: imported {loaded}, "
+                    f"expected {expected_count} (staging dir {csv_dir} "
+                    f"not fully server-visible?)"
+                )
+        if failure is None:
+            return "copy"
+        if not fallback:
+            raise BulkLoadError(f"{table}: {failure}")
+        # The reference's COPY-file -> INSERT degradation
+        # (CopyTool.java:829-866): drop the half-load, recreate with the
+        # same DDL, reload through the distributed batched writer.
+        log.warning("bulk load of %s degraded to INSERT path: %s", table, failure)
+        _drop_table_if_exists(conn, table)
+        _execute_update(conn, f"CREATE TABLE {table} ({ddl})")
     finally:
         conn.close()
+    jdbc_writer(df, source, table, mode="append")
+    return "insert"
 
 
 def derby_shutdown(spark: SparkSession, db_path: str) -> None:
     """Cleanly shut down ONE embedded-Derby database (flushes the log so a
     filesystem snapshot of the directory is consistent). Derby signals a
-    successful single-db shutdown with SQLState 08006 — i.e. the JDBC call
-    always raises; swallow it."""
+    successful single-db shutdown by RAISING SQLState 08006 — so that state
+    is swallowed, and anything else (database not found, boot failure — the
+    cases where a subsequent snapshot would zip an unflushed store) is
+    re-raised loudly."""
     try:
         spark._jvm.java.sql.DriverManager.getConnection(  # noqa: SLF001
             f"jdbc:derby:{db_path};shutdown=true"
         )
-    except Exception:  # noqa: BLE001 — 08006 on success by Derby contract
-        pass
+    except Exception as exc:
+        jexc = getattr(exc, "java_exception", None)
+        state = None
+        if jexc is not None:
+            try:
+                state = jexc.getSQLState()
+            except Exception:  # noqa: BLE001 — not an SQLException
+                state = None
+        if state == "08006":
+            return  # Derby's documented success signal
+        raise
+    raise RuntimeError(
+        f"derby shutdown of {db_path!r} returned a connection instead of "
+        "raising SQLState 08006 — the database was not shut down"
+    )
 
 
 def derby_snapshot_jar(spark: SparkSession, db_path: str) -> str:

@@ -191,3 +191,137 @@ def test_bulk_loader_hostile_strings_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert back == dict(rows)
+
+
+def test_bulk_loader_microsecond_timestamps_roundtrip(spark, tmp_path):
+    """Sub-second timestamp precision through the staged-CSV path: the
+    6-digit staging fraction (BULK_CSV_OPTIONS) must carry Spark's full
+    microsecond resolution to the server and back — the reference's
+    Timestamp.toString() staging keeps the full fraction
+    (CopyTool.java:695-721)."""
+    from datetime import datetime
+
+    from mssql2monetdb_spark.sources.jdbc import derby_snapshot_jar, jdbc_bulk_loader
+
+    db = str(tmp_path / "db")
+    src = SourceSpec(
+        name="d",
+        format="jdbc",
+        options={"url": f"jdbc:derby:{db};create=true", "driver": DERBY_DRIVER},
+    )
+    rows = [
+        (1, datetime(2024, 5, 1, 12, 30, 15, 123456)),
+        (2, datetime(2024, 5, 1, 12, 30, 15, 7)),      # leading zeros
+        (3, datetime(2024, 5, 1, 12, 30, 15, 0)),      # whole second
+        (4, datetime(2024, 5, 1, 12, 30, 15, 999999)),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, t timestamp")
+    assert jdbc_bulk_loader(spark, df, src, "ts_t") == "copy"
+    ro = SourceSpec(
+        name="dro",
+        format="jdbc",
+        options={"url": derby_snapshot_jar(spark, db), "driver": DERBY_DRIVER},
+    )
+    back = {
+        r["k"]: r["t"]
+        for r in jdbc_reader(
+            spark, ro, CopyJob(job_id="b", source="dro", from_table="ts_t")
+        ).collect()
+    }
+    assert back == dict(rows)
+
+
+def test_bulk_loader_falls_back_to_insert_on_partial_staging(spark, tmp_path, monkeypatch):
+    """The cluster-reality failure: executors committed part files the
+    driver/server can't all see (here: the glob is forced to drop one
+    part). The post-import count check must catch the shortfall and the
+    loader must degrade to the distributed INSERT path — the reference's
+    COPY-file -> INSERT fallback chain (CopyTool.java:829-866) — ending
+    with a COMPLETE table, never a silent partial import."""
+    import glob as glob_mod
+
+    from mssql2monetdb_spark.sources.jdbc import derby_snapshot_jar, jdbc_bulk_loader
+
+    db = str(tmp_path / "db")
+    src = SourceSpec(
+        name="d",
+        format="jdbc",
+        options={"url": f"jdbc:derby:{db};create=true", "driver": DERBY_DRIVER},
+    )
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(10)], "k bigint, s string")
+
+    real_glob = glob_mod.glob
+    monkeypatch.setattr(glob_mod, "glob", lambda pat: sorted(real_glob(pat))[1:])
+    path = jdbc_bulk_loader(spark, df.repartition(2), src, "partial_t")
+    monkeypatch.setattr(glob_mod, "glob", real_glob)
+    assert path == "insert"
+
+    ro = SourceSpec(
+        name="dro",
+        format="jdbc",
+        options={"url": derby_snapshot_jar(spark, db), "driver": DERBY_DRIVER},
+    )
+    back = jdbc_reader(
+        spark, ro, CopyJob(job_id="b", source="dro", from_table="partial_t")
+    )
+    assert back.count() == 10
+
+
+def test_bulk_loader_no_fallback_raises(spark, tmp_path, monkeypatch):
+    """fallback=False must surface the shortfall as BulkLoadError instead
+    of degrading (the caller opted into bulk-or-nothing)."""
+    import glob as glob_mod
+
+    from mssql2monetdb_spark.sources.jdbc import BulkLoadError, jdbc_bulk_loader
+
+    db = str(tmp_path / "db")
+    src = SourceSpec(
+        name="d",
+        format="jdbc",
+        options={"url": f"jdbc:derby:{db};create=true", "driver": DERBY_DRIVER},
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string")
+    monkeypatch.setattr(glob_mod, "glob", lambda pat: [])
+    with pytest.raises(BulkLoadError):
+        jdbc_bulk_loader(spark, df, src, "strict_t", fallback=False)
+
+
+def test_bulk_loader_shared_staging_dir(spark, tmp_path):
+    """An explicit staging_dir (the shared-filesystem knob for real
+    clusters) is honored: part files land under it and the load succeeds."""
+    import os
+
+    from mssql2monetdb_spark.sources.jdbc import jdbc_bulk_loader
+
+    db = str(tmp_path / "db")
+    stage = str(tmp_path / "shared_stage")
+    src = SourceSpec(
+        name="d",
+        format="jdbc",
+        options={"url": f"jdbc:derby:{db};create=true", "driver": DERBY_DRIVER},
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string")
+    assert jdbc_bulk_loader(spark, df, src, "staged_t", staging_dir=stage) == "copy"
+    assert os.path.isdir(os.path.join(stage, "stage_staged_t"))
+
+
+def test_derby_shutdown_raises_on_missing_database(spark, tmp_path):
+    """derby_shutdown must re-raise anything that is NOT Derby's 08006
+    success signal: shutting down a database that doesn't exist would
+    otherwise let a snapshot zip an unflushed/nonexistent store."""
+    from mssql2monetdb_spark.sources.jdbc import derby_shutdown, jdbc_writer
+
+    # ensure the embedded driver is registered in this JVM
+    db = str(tmp_path / "real")
+    src = SourceSpec(
+        name="d",
+        format="jdbc",
+        options={"url": f"jdbc:derby:{db};create=true", "driver": DERBY_DRIVER},
+    )
+    jdbc_writer(
+        spark.createDataFrame([(1,)], "k bigint"), src, "t", mode="overwrite",
+        locked_mode=False,
+    )
+    derby_shutdown(spark, db)  # real db: succeeds (08006 swallowed)
+    with pytest.raises(Exception):
+        derby_shutdown(spark, str(tmp_path / "does_not_exist"))
