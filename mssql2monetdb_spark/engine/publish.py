@@ -138,6 +138,7 @@ class VersionedCatalog:
         *,
         partition_col: str,
         base_physical: str | None,
+        carry_mode: str = "auto",
     ) -> str:
         """Materialize a new version rewriting ONLY the touched partitions.
 
@@ -154,15 +155,33 @@ class VersionedCatalog:
         working (every retained version remains a full self-describing
         directory).
 
+        ``carry_mode`` states the store contract explicitly:
+
+        - ``"auto"`` (default): capability probe — try ``os.link``, and on
+          the first ``OSError`` (object-store FUSE mounts, cross-device
+          staging, filesystems without hard links) degrade to byte copies
+          for the remainder of the carry. Content-identical either way —
+          pinned by ``tests/test_streaming.py`` parity tests.
+        - ``"link"``: hard links only; raises where unsupported (choose
+          when carry I/O must stay O(metadata), e.g. POSIX/HDFS).
+        - ``"copy"``: byte copies only — the portable mode for stores with
+          no link primitive; carry I/O becomes O(untouched bytes), still
+          sequential file copies with no compute. (On a real object store
+          the next step up is a manifest-file-list version format that
+          carries by reference — SCALE.md §object-store-portability.)
+
         Crash-retry safe the same way ``write_version`` is: the target
         directory is cleared first, so a replay that recomputes the same
         version name rebuilds it deterministically from the unchanged
         manifest state.
         """
+        if carry_mode not in ("auto", "link", "copy"):
+            raise ValueError(f"carry_mode must be auto|link|copy, got {carry_mode!r}")
         physical = physical_name(table, load_date)
         out_dir = self.version_dir(schema, physical)
         shutil.rmtree(out_dir, ignore_errors=True)
         df_touched.write.mode("overwrite").partitionBy(partition_col).parquet(out_dir)
+        use_copy = carry_mode == "copy"
         if base_physical:
             base_dir = self.version_dir(schema, base_physical)
             prefix = f"{partition_col}="
@@ -177,7 +196,17 @@ class VersionedCatalog:
                 for fname in os.listdir(src):
                     if fname.startswith(("_", ".")):
                         continue  # write markers, not data
-                    os.link(os.path.join(src, fname), os.path.join(dst, fname))
+                    s, d = os.path.join(src, fname), os.path.join(dst, fname)
+                    if use_copy:
+                        shutil.copy2(s, d)
+                        continue
+                    try:
+                        os.link(s, d)
+                    except OSError:
+                        if carry_mode == "link":
+                            raise
+                        use_copy = True  # store has no links: copy from here on
+                        shutil.copy2(s, d)
         return physical
 
     def version_is_partitioned(self, schema: str, physical: str | None, partition_col: str) -> bool:
@@ -344,7 +373,16 @@ class VersionedCatalog:
         physical = self.write_version(
             out, schema, table, load_date, sort_by=sort_by, partition_by=partition_by
         )
-        self.publish(spark, schema, table, physical)
+        # A layout-preserving compact (partition_by passed) carries the
+        # publisher's recorded bucket count forward: the partitioned sync's
+        # fast path trusts a base version only when the manifest's bucket
+        # modulus matches its own — dropping the key here would force one
+        # needless full-rewrite migration on the next batch.
+        meta = None
+        prior = self.manifest_info(schema, table)
+        if partition_by and prior.get("buckets") is not None:
+            meta = {"buckets": prior["buckets"]}
+        self.publish(spark, schema, table, physical, meta=meta)
         return physical
 
     def drop_table(self, spark: SparkSession, schema: str, table: str) -> None:

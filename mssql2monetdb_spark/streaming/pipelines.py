@@ -236,6 +236,7 @@ def upsert_stream_available_now(
     *,
     key: str = "user_id",
     partition_buckets: int | None = None,
+    carry_mode: str = "auto",
 ) -> None:
     """Streaming SCD-1 sync into the versioned catalog: each micro-batch
     collapses to one row per ``key`` (latest ``(ts, event_id)`` wins),
@@ -284,8 +285,16 @@ def upsert_stream_available_now(
     drops from O(table) to O(touched buckets) ≈ O(batch x table/P),
     which is the knob that makes a 100 TB published table sustainable
     under frequent ticks; the version swap, replay guard, retention and
-    time travel are unchanged. A table previously published without
-    buckets is migrated by one full bucketed rewrite on the next batch.
+    time travel are unchanged. Every bucketed publish records its modulus
+    in the manifest (``"buckets"``); a base published without buckets,
+    under a DIFFERENT modulus, or with a flattened layout is migrated by
+    one full bucketed rewrite on the next batch — linking old-modulus
+    directories next to new-modulus rewrites of the same keys would
+    silently publish duplicates. ``carry_mode`` selects how untouched
+    buckets travel into each new version: ``"auto"`` (hard links with a
+    capability-probe fallback to byte copies), ``"link"``, or ``"copy"``
+    (object stores without a link primitive) — see
+    ``VersionedCatalog.write_version_incremental``.
 
     Pinned by ``tests/test_streaming.py::test_upsert_stream_replay_is_
     idempotent`` (checkpoint wipe = every batch replays),
@@ -367,9 +376,20 @@ def upsert_stream_available_now(
         # the pruned fast path needs the base version's LAYOUT bucketed,
         # not just its schema: a compact() rewrite keeps the _kb column
         # but flattens the directories — linking against it would publish
-        # only the touched buckets (data loss); migrate instead
-        base_is_bucketed = partition_buckets and catalog.version_is_partitioned(
-            schema, info.get("physical"), KEY_BUCKET_COL
+        # only the touched buckets (data loss); migrate instead. It ALSO
+        # needs the base written under the SAME bucket modulus: the
+        # manifest records the publishing P ("buckets"), and a base whose
+        # recorded P differs from — or predates — the current parameter is
+        # migrated by full rewrite (carrying old-modulus directories by
+        # link while rewriting the same keys under a new modulus would
+        # silently publish duplicate rows per key).
+        base_is_bucketed = (
+            partition_buckets
+            and catalog.version_is_partitioned(
+                schema, info.get("physical"), KEY_BUCKET_COL
+            )
+            and info.get("buckets") is not None
+            and int(info["buckets"]) == int(partition_buckets)
         )
         if existing is None:
             merged = latest
@@ -410,16 +430,16 @@ def upsert_stream_available_now(
                     and KEY_BUCKET_COL in existing.columns
                     else None
                 ),
+                carry_mode=carry_mode,
             )
         else:
             physical = catalog.write_version(merged, schema, table, load_date)
-        catalog.publish(
-            spark,
-            schema,
-            table,
-            physical,
-            meta={"lineage": lineage, "batch_id": int(batch_id), "seq": seq},
-        )
+        meta = {"lineage": lineage, "batch_id": int(batch_id), "seq": seq}
+        if partition_buckets:
+            # the modulus this version's layout was written under — what
+            # the NEXT batch's fast-path guard compares against its own P
+            meta["buckets"] = int(partition_buckets)
+        catalog.publish(spark, schema, table, physical, meta=meta)
 
     q = (
         events.writeStream.foreachBatch(apply_batch)

@@ -539,7 +539,9 @@ def test_upsert_stream_migrates_past_legacy_outsorting_version(spark, tmp_path):
     assert catalog.current_version("main", "user_state") > legacy_hi
 
 
-def _drain_partitioned(spark, tmp_path, buckets, *, shards=3, ckpt="ckpt_part"):
+def _drain_partitioned(
+    spark, tmp_path, buckets, *, shards=3, ckpt="ckpt_part", carry_mode="auto"
+):
     from mssql2monetdb_spark.engine.publish import VersionedCatalog
     from mssql2monetdb_spark.streaming.pipelines import (
         events_stream,
@@ -564,6 +566,7 @@ def _drain_partitioned(spark, tmp_path, buckets, *, shards=3, ckpt="ckpt_part"):
         "user_state_p",
         str(tmp_path / ckpt),
         partition_buckets=buckets,
+        carry_mode=carry_mode,
     )
     return catalog
 
@@ -766,3 +769,168 @@ def test_compact_with_partition_by_keeps_bucketed_layout(spark, tmp_path):
     assert catalog.version_is_partitioned(
         "main", catalog.current_version("main", "user_state_p"), "_kb"
     )
+
+
+def _latest_per_user(spark):
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, SF, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return {
+        r.user_id: r.event_id
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+
+
+def test_upsert_stream_partitioned_bucket_count_change_migrates(spark, tmp_path):
+    """Changing partition_buckets between runs (8 -> 4) must force the
+    full-rewrite migration: the manifest records the publishing modulus,
+    and a base published under a DIFFERENT modulus cannot be carried by
+    link — old-modulus directories would coexist with the same keys
+    rewritten under the new modulus, silently publishing duplicate rows
+    per key."""
+    from mssql2monetdb_spark.streaming.pipelines import (
+        KEY_BUCKET_COL,
+        events_stream,
+        upsert_stream_available_now,
+    )
+
+    catalog = _drain_partitioned(spark, tmp_path, buckets=8, shards=1)
+    assert catalog.manifest_info("main", "user_state_p")["buckets"] == 8
+
+    one_user = load_table(spark, SF, "events").orderBy("event_id").limit(1)
+    one_user.coalesce(1).write.mode("append").parquet(str(tmp_path / "in_part"))
+    upsert_stream_available_now(
+        events_stream(spark, str(tmp_path / "in_part"), max_files_per_trigger=1),
+        catalog,
+        "main",
+        "user_state_p",
+        str(tmp_path / "ckpt_part"),
+        partition_buckets=4,
+    )
+    out = catalog.table_at(spark, "main", "user_state_p")
+    # no duplicate keys (the bug under test), and every row re-bucketed
+    # under the NEW modulus
+    assert out.count() == out.select("user_id").distinct().count()
+    bad = out.filter(
+        F.col(KEY_BUCKET_COL) != F.pmod(F.xxhash64(F.col("user_id")), F.lit(4))
+    ).count()
+    assert bad == 0
+    assert catalog.manifest_info("main", "user_state_p")["buckets"] == 4
+    delta_uid, delta_eid = one_user.select("user_id", "event_id").first()[:2]
+    expected = _latest_per_user(spark)
+    expected[delta_uid] = delta_eid
+    got = {r.user_id: r.event_id for r in out.collect()}
+    assert got == expected
+
+
+def test_upsert_stream_partitioned_copy_carry_parity(spark, tmp_path):
+    """carry_mode='copy' (the object-store-portable mode, no link
+    primitive) must publish byte-for-byte the same CONTENT as the default
+    link carry — and actually copy: no carried file may share an inode
+    with the base version."""
+    import os
+
+    catalog = _drain_partitioned(spark, tmp_path, buckets=8, carry_mode="copy")
+    out = catalog.table_at(spark, "main", "user_state_p")
+    got = {r.user_id: r.event_id for r in out.collect()}
+    assert got == _latest_per_user(spark)
+
+    # 3 shards -> >= 2 versions with carried (untouched) buckets; every
+    # data file in the published version must be link-count 1 (a copy)
+    cur_dir = catalog.version_dir(
+        "main", catalog.current_version("main", "user_state_p")
+    )
+    nlinks = [
+        os.stat(os.path.join(root, f)).st_nlink
+        for root, _dirs, files in os.walk(cur_dir)
+        for f in files
+        if not f.startswith(("_", "."))
+    ]
+    assert nlinks and all(n == 1 for n in nlinks)
+
+
+def test_write_version_incremental_auto_falls_back_to_copy(spark, tmp_path, monkeypatch):
+    """carry_mode='auto' on a store without hard links (os.link raises):
+    the capability probe degrades to copies mid-carry with identical
+    published content."""
+    import os
+
+    def no_link(src, dst, *a, **k):
+        raise OSError("EXDEV: cross-device link (simulated object store)")
+
+    monkeypatch.setattr(os, "link", no_link)
+    catalog = _drain_partitioned(spark, tmp_path, buckets=8)
+    got = {
+        r.user_id: r.event_id
+        for r in catalog.table_at(spark, "main", "user_state_p").collect()
+    }
+    assert got == _latest_per_user(spark)
+
+
+def test_write_version_incremental_link_mode_raises_without_links(spark, tmp_path, monkeypatch):
+    """carry_mode='link' states a hard requirement: on a linkless store it
+    must raise, never silently copy."""
+    import os
+
+    import pytest
+
+    def no_link(src, dst, *a, **k):
+        raise OSError("EPERM: links unsupported")
+
+    monkeypatch.setattr(os, "link", no_link)
+    with pytest.raises(Exception):
+        _drain_partitioned(spark, tmp_path, buckets=8, carry_mode="link")
+
+
+def test_compact_carries_buckets_meta_and_keeps_fast_path(spark, tmp_path):
+    """A layout-preserving compact (partition_by=['_kb']) must carry the
+    manifest's recorded bucket modulus forward, so the next batch still
+    takes the partition-pruned fast path (untouched buckets carried by
+    hard link, not rewritten)."""
+    import os
+    from datetime import datetime
+
+    from mssql2monetdb_spark.streaming.pipelines import (
+        events_stream,
+        upsert_stream_available_now,
+    )
+
+    catalog = _drain_partitioned(spark, tmp_path, buckets=8, shards=1)
+    catalog.compact(
+        spark, "main", "user_state_p", datetime(2030, 1, 2), partition_by=["_kb"]
+    )
+    assert catalog.manifest_info("main", "user_state_p")["buckets"] == 8
+    compacted = catalog.current_version("main", "user_state_p")
+
+    one_user = load_table(spark, SF, "events").orderBy("event_id").limit(1)
+    one_user.coalesce(1).write.mode("append").parquet(str(tmp_path / "in_part"))
+    upsert_stream_available_now(
+        events_stream(spark, str(tmp_path / "in_part"), max_files_per_trigger=1),
+        catalog,
+        "main",
+        "user_state_p",
+        str(tmp_path / "ckpt_part"),
+        partition_buckets=8,
+    )
+    new = catalog.current_version("main", "user_state_p")
+    assert new != compacted
+    # fast path proof: at least one data file in the new version shares an
+    # inode with the compacted base (hard-link carry, not a full rewrite)
+    base_inodes = {
+        os.stat(os.path.join(root, f)).st_ino
+        for root, _dirs, files in os.walk(catalog.version_dir("main", compacted))
+        for f in files
+        if not f.startswith(("_", "."))
+    }
+    new_inodes = {
+        os.stat(os.path.join(root, f)).st_ino
+        for root, _dirs, files in os.walk(catalog.version_dir("main", new))
+        for f in files
+        if not f.startswith(("_", "."))
+    }
+    assert base_inodes & new_inodes
