@@ -64,10 +64,19 @@ class CopyEngine:
     # -- trigger (PHASE 0, CopyTool.java:332-477) ------------------------
     def _probe_job(self, job: CopyJob):
         src = self.spec.sources[job.source]
+        table = job.trigger_table or job.from_table
+        if src.format == "jdbc" and table:
+            # source-side MAX: the aggregate runs ON the database and one
+            # row crosses the wire (the reference's dialect probe) — the
+            # Spark-side agg would pull the whole trigger column, since
+            # the V1 JDBC relation never pushes aggregates
+            from .watermark import probe_max_jdbc
+
+            return probe_max_jdbc(self.spark, src, table, job.trigger_column)
         trigger_job = CopyJob(
             job_id=f"{job.job_id}__trigger",
             source=job.source,
-            from_table=job.trigger_table or job.from_table,
+            from_table=table,
         )
         df = read_source(self.spark, src, trigger_job)
         return probe_max(df, job.trigger_column)

@@ -59,11 +59,7 @@ class Watermark:
         return Watermark(v, t)
 
 
-def probe_max(df: DataFrame, column: str) -> Watermark | None:
-    """``SELECT MAX(col)`` typed probe (dialect TOP-1/LIMIT-1 queries in the
-    reference, ``SourceDatabaseType.java:21-25,45-49`` — same value)."""
-    row = df.agg(F.max(column).alias("m")).collect()[0]
-    value = row["m"]
+def _typed_watermark(value, column: str) -> Watermark | None:
     if value is None:
         return None
     if isinstance(value, datetime):
@@ -76,6 +72,57 @@ def probe_max(df: DataFrame, column: str) -> Watermark | None:
         f"trigger column {column!r} has unsupported type {type(value).__name__}; "
         f"supported: BIGINT/INTEGER, DATE, TIMESTAMP (CopyTool.java:356-370)"
     )
+
+
+def probe_max(df: DataFrame, column: str) -> Watermark | None:
+    """``SELECT MAX(col)`` typed probe (dialect TOP-1/LIMIT-1 queries in the
+    reference, ``SourceDatabaseType.java:21-25,45-49`` — same value).
+
+    The aggregate is partial/map-side over the scan (one scalar to the
+    driver); on columnar file sources the scan prunes to the single probe
+    column. JDBC sources should prefer :func:`jdbc_max_probe_frame` —
+    Spark's V1 JDBC relation does NOT push aggregates, so this form would
+    pull the whole trigger column across the wire at a 100 TB source."""
+    row = df.agg(F.max(column).alias("m")).collect()[0]
+    return _typed_watermark(row["m"], column)
+
+
+def jdbc_max_probe_frame(spark, source, table: str, column: str) -> DataFrame:
+    """One-row frame whose MAX executes ON the source server.
+
+    Query-mode pushdown (``SELECT MAX("col") AS m FROM table`` shipped
+    verbatim as the JDBC relation's query — the reference's dialect
+    probe, ``SourceDatabaseType.java:21-25,45-49``): the source computes
+    the aggregate and exactly ONE row crosses the wire, regardless of
+    table size. Spark's V1 JDBC relation never pushes a Spark-side
+    ``agg(max(...))`` down (pinned by ``tests/test_watermark.py``), so
+    at a 100 TB source the Spark-side form is a full-column pull — this
+    frame is the scale-correct probe shape. The column is double-quoted
+    (ANSI; Spark's JDBC writer creates case-exact quoted identifiers);
+    the table name travels verbatim like every other ``dbtable`` here.
+    """
+    opts = {
+        k: v
+        for k, v in source.options.items()
+        if k
+        not in (
+            "dbtable",
+            "query",
+            "partitionColumn",
+            "lowerBound",
+            "upperBound",
+            "numPartitions",
+        )
+    }
+    opts["query"] = f'SELECT MAX("{column}") AS m FROM {table}'
+    return spark.read.format("jdbc").options(**opts).load()
+
+
+def probe_max_jdbc(spark, source, table: str, column: str) -> Watermark | None:
+    """Typed watermark from the source-side MAX probe (see
+    :func:`jdbc_max_probe_frame`)."""
+    value = jdbc_max_probe_frame(spark, source, table, column).collect()[0][0]
+    return _typed_watermark(value, column)
 
 
 class WatermarkStore:

@@ -325,3 +325,68 @@ def test_derby_shutdown_raises_on_missing_database(spark, tmp_path):
     derby_shutdown(spark, db)  # real db: succeeds (08006 swallowed)
     with pytest.raises(Exception):
         derby_shutdown(spark, str(tmp_path / "does_not_exist"))
+
+
+def test_jdbc_watermark_probe_pushes_max_to_source(spark, derby_source):
+    """The watermark MAX probe on a JDBC source must execute ON the
+    server: the probe frame's scan carries the MAX inside the external
+    engine query and plans NO Spark-side aggregate — one row crosses the
+    wire regardless of source size (the reference's dialect probe,
+    SourceDatabaseType.java:21-25,45-49)."""
+    import contextlib
+    import io
+
+    from mssql2monetdb_spark.engine.watermark import (
+        jdbc_max_probe_frame,
+        probe_max,
+        probe_max_jdbc,
+    )
+
+    frame = jdbc_max_probe_frame(spark, derby_source, "nation", "n_nationkey")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        frame.explain("formatted")
+    plan = buf.getvalue()
+    assert 'SELECT MAX("n_nationkey")' in plan  # aggregate inside the scan
+    assert "HashAggregate" not in plan          # nothing computed Spark-side
+
+    wm = probe_max_jdbc(spark, derby_source, "nation", "n_nationkey")
+    assert (wm.value, wm.type_name) == (24, "bigint")
+
+    # pin WHY the pushdown form exists: the V1 JDBC relation does NOT push
+    # a Spark-side agg(max(...)) down -- that plan aggregates in Spark
+    job = CopyJob(job_id="probe_neg", source="derby", from_table="nation")
+    naive = jdbc_reader(spark, derby_source, job)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        naive.groupBy().max("n_nationkey").explain("formatted")
+    assert "HashAggregate" in buf.getvalue()
+    assert probe_max(naive, "n_nationkey").value == 24
+
+
+def test_copy_engine_trigger_probe_uses_jdbc_pushdown(spark, derby_source, tmp_path):
+    """CopyEngine's PHASE-0 trigger probe against a JDBC source routes
+    through the source-side MAX (typed watermark, correct value)."""
+    from mssql2monetdb_spark.config.spec import load_spec
+    from mssql2monetdb_spark.engine.copy import CopyEngine
+
+    spec = load_spec(
+        {
+            "warehouse_dir": str(tmp_path / "wh"),
+            "state_dir": str(tmp_path / "state"),
+            "sources": {"derby": {"format": "jdbc", "options": dict(derby_source.options)}},
+            "tables": {
+                "nation_job": {
+                    "source": "derby",
+                    "from_table": "nation",
+                    "trigger": {"column": "n_nationkey"},
+                }
+            },
+        }
+    )
+    engine = CopyEngine(spark, spec)
+    wm = engine._probe_job(spec.jobs["nation_job"])
+    assert (wm.value, wm.type_name) == (24, "bigint")
+    # and the full decision loop sees new data on a fresh state
+    probes = engine.check_for_new_data()
+    assert probes["nation_job"].value == 24
