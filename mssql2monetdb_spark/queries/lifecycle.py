@@ -595,3 +595,114 @@ def copy_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderpriority",
     ).orderBy("o_orderkey")
+
+
+@query(
+    "copy_multi_table_guard",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(COALESCE(o.o_totalprice, 0.0) AS DECIMAL(30,8)))
+                    AS DOUBLE) AS sum_price
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderkey % 4 = 0
+        WHERE c.c_custkey % 10 = 0
+        GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+        ORDER BY c.c_custkey
+    """,
+)
+def copy_multi_table_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's multi-table run gate under the oracle: ONE
+    ``CopyEngine.do_copy`` carries N jobs, and an empty source with
+    ``allow_empty=False`` aborts the WHOLE run before ANY table loads or
+    publishes (``CopyTool.java:192-197,205-231`` — the all-or-nothing
+    empty guard, ``SourceDatabaseUtil.java:22-52``).
+
+    Tick 1 stages a real customer subset but an EMPTY orders relation:
+    ``run()`` must exit 1 and leave BOTH targets unpublished (a partial
+    publish — customers without their orders — is exactly the torn state
+    the guard exists to prevent; a RuntimeError here is a gate ERROR).
+    Tick 2 stages both subsets and the happy path publishes the pair;
+    the returned frame joins the two PUBLISHED views (per-customer order
+    counts + exact-decimal price sums) and is hashed against the
+    parquet-direct oracle — value-preservation across a multi-job run,
+    not just per-table.
+    """
+    from ..engine.copy import EXIT_ERROR, CopyEngine
+
+    t = Tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="copy_multi_")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    cust = t.customer.filter(F.col("c_custkey") % 10 == 0)
+    ords = t.orders.filter(
+        (F.col("o_custkey") % 10 == 0) & (F.col("o_orderkey") % 4 == 0)
+    )
+    cust.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "customer.parquet")
+    )
+    # tick 1: orders exists but is EMPTY (schema-only parquet)
+    ords.filter(F.lit(False)).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "orders.parquet")
+    )
+
+    spec = JobSpec(
+        sources={"src": SourceSpec(name="src", format="parquet", path=src_dir)},
+        jobs={
+            "cust_sync": CopyJob(
+                job_id="cust_sync",
+                source="src",
+                from_table="customer",
+                to_table="cust_sync",
+                auto_trim=False,
+            ),
+            "ord_sync": CopyJob(
+                job_id="ord_sync",
+                source="src",
+                from_table="orders",
+                to_table="ord_sync",
+                auto_trim=False,
+            ),
+        },
+        warehouse_dir=os.path.join(base, "wh"),
+        state_dir=os.path.join(base, "state"),
+    )
+    engine = CopyEngine(spark, spec)
+    code = engine.run()
+    if code != EXIT_ERROR:
+        raise RuntimeError(
+            f"empty-source multi-table run must exit 1 (abort), got {code}"
+        )
+    for target in ("cust_sync", "ord_sync"):
+        if engine.catalog.exists("default", target):
+            raise RuntimeError(
+                f"aborted run must publish NOTHING, but {target} exists "
+                "(torn multi-table publish)"
+            )
+
+    # tick 2: both sources populated -> both load + publish atomically
+    from datetime import datetime
+
+    ords.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "orders.parquet")
+    )
+    published = engine.do_copy(load_date=datetime(2024, 3, 1))
+    if set(published) != {"cust_sync", "ord_sync"}:
+        raise RuntimeError(f"expected both jobs published, got {sorted(published)}")
+
+    from .helpers import DEC
+
+    c = engine.catalog.table_at(spark, "default", "cust_sync")
+    o = engine.catalog.table_at(spark, "default", "ord_sync")
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)).cast(DEC))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("c_custkey")
+    )

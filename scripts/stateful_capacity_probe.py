@@ -144,6 +144,50 @@ def eviction_state_rows(spark, *, evict: bool) -> int:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def eviction_state_rows_event_time(spark) -> int:
+    """EventTimeTimeout variant: 100 keys whose last events all sit inside
+    day 0; a later single-key file at day +4 advances the watermark past
+    every idle deadline (last_ts + 1h). The drain's final batch must fire
+    all those timers — the store ends holding ~1 active key. Unlike the
+    processing-time probe this needs no sleeps: eviction is a function of
+    the DATA, which is also why it is the replay-deterministic mode."""
+    base = tempfile.mkdtemp(prefix="stateful_evict_et_")
+    try:
+        src = os.path.join(base, "in")
+        ev = synth_events(spark, 2000, 100)
+        ev.filter(F.col("user_id") < 50).coalesce(1).write.mode("append").parquet(src)
+        ev.filter(F.col("user_id") >= 50).coalesce(1).write.mode("append").parquet(src)
+        late = synth_events(spark, 1, 1).withColumn(
+            "ts", F.timestamp_seconds(F.lit(1704067200 + 4 * 86400))
+        )
+        late.coalesce(1).write.mode("append").parquet(src)
+        out = os.path.join(base, "out")
+
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(out)
+
+        q = (
+            user_activity_tracker(
+                events_stream(spark, src, max_files_per_trigger=1),
+                evict_idle=True,
+                idle_timeout_ms=3600_000,
+                timeout_mode="event",
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        lp = q.lastProgress
+        if lp and lp.get("stateOperators"):
+            return lp["stateOperators"][0].get("numRowsTotal", -1)
+        return -1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> int:
     spark = get_spark("stateful-capacity-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -171,12 +215,14 @@ def main() -> int:
 
     no_evict = eviction_state_rows(spark, evict=False)
     with_evict = eviction_state_rows(spark, evict=True)
+    event_time = eviction_state_rows_event_time(spark)
     print(
         json.dumps(
             {
                 "probe": "eviction",
                 "state_rows_no_evict": no_evict,
                 "state_rows_with_evict": with_evict,
+                "state_rows_event_time_evict": event_time,
             }
         ),
         flush=True,

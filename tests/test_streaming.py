@@ -934,3 +934,87 @@ def test_compact_carries_buckets_meta_and_keeps_fast_path(spark, tmp_path):
         if not f.startswith(("_", "."))
     }
     assert base_inodes & new_inodes
+
+
+def _drain_tracker_event_time(spark, src, ckpt, out_dir, idle_ms):
+    from mssql2monetdb_spark.streaming.pipelines import events_stream
+    from mssql2monetdb_spark.streaming.stateful import user_activity_tracker
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        user_activity_tracker(
+            events_stream(spark, src),
+            evict_idle=True,
+            idle_timeout_ms=idle_ms,
+            timeout_mode="event",
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _stage_tracker_file(spark, src, event_id, user_id, ts):
+    spark.createDataFrame(
+        [(event_id, ts, user_id, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+
+def _run_tracker_event_time_scenario(spark, base):
+    """4 single-file batches: user 1 goes idle past the 1h event-time
+    window while user 2 advances the watermark; user 1 is evicted by the
+    WATERMARK (not wall clock) and restarts at n_events=1 on return."""
+    import os
+
+    src = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    steps = [
+        [(1, 1, "2024-01-01 10:00:00"), (2, 2, "2024-01-01 10:00:00")],
+        [(3, 2, "2024-01-01 12:30:00")],   # watermark -> 12:29:59 > user1 deadline 11:00
+        [(4, 2, "2024-01-01 13:00:00")],   # user1 timer fires here: evicted
+        [(5, 1, "2024-01-01 14:00:00")],   # user1 returns: fresh state
+    ]
+    for batch in steps:
+        for eid, uid, ts in batch:
+            _stage_tracker_file(spark, src, eid, uid, ts)
+        _drain_tracker_event_time(spark, src, ckpt, out, idle_ms=60 * 60 * 1000)
+    return spark.read.parquet(out)
+
+
+def test_stateful_tracker_event_time_eviction(spark, tmp_path):
+    out = _run_tracker_event_time_scenario(spark, str(tmp_path / "a"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    final = {
+        r.user_id: r.n_events
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    # user 1 was evicted at the watermark and restarted: 1, not 2
+    assert final[1] == 1
+    assert final[2] == 3
+
+
+def test_stateful_tracker_event_time_replay_deterministic(spark, tmp_path):
+    """Event-time eviction is a function of the DATA: a full replay (fresh
+    checkpoint, same files) produces the identical emission sequence,
+    including identical eviction points — the property processing-time
+    timeouts cannot give an at-least-once sink."""
+    a = _run_tracker_event_time_scenario(spark, str(tmp_path / "a"))
+    b = _run_tracker_event_time_scenario(spark, str(tmp_path / "b"))
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and len(rows_a) > 0
