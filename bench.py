@@ -10,6 +10,14 @@ Runs the headline queries (registry entries flagged ``bench=True``) at
 Each query is forced with a noop-sink write (full distributed execution, no
 driver collect) and timed wall-clock. A tiny warmup query first so JVM/codegen
 startup isn't billed to the first headline query.
+
+Per-query isolation (round-9 verdict item): every timed query starts from an
+EMPTY Spark cache — ``caches.release()`` (this package's tracked
+intermediates) plus ``spark.catalog.clearCache()`` run after the warmup pass
+and after each timed query, so no query's number is flattered by a cached
+relation another query built (SCALE.md's starred 0.51 finding). Each query
+still pays for — and benefits from — only its OWN caches, which is what its
+number means; the headline ``value`` definition is unchanged.
 """
 
 from __future__ import annotations
@@ -72,11 +80,27 @@ def main() -> int:
     else:
         force(spark.read.parquet(os.path.join(sf_dir, "region.parquet")))
 
+    from mssql2monetdb_spark.engine import caches
+
+    def isolate() -> None:
+        """Drop every Spark-level cached relation (tracked + untracked) so
+        the next query's timing is order-insensitive."""
+        caches.release()
+        spark.catalog.clearCache()
+
+    isolate()
+    # $SPARK_GRAFT_BENCH_ORDER=reverse runs the set backwards — the
+    # order-insensitivity probe (per-query numbers must not depend on what
+    # ran before them; SCALE.md round-9 section records the A/B).
+    ordered = sorted(bench_queries().items())
+    if os.environ.get("SPARK_GRAFT_BENCH_ORDER") == "reverse":
+        ordered.reverse()
     timings: dict[str, float] = {}
-    for name, q in sorted(bench_queries().items()):
+    for name, q in ordered:
         start = time.perf_counter()
         force(q.build(spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 3)
+        isolate()
 
     total = round(sum(v for q, v in timings.items() if q in BASELINE_SET), 3)
     print(

@@ -24,99 +24,32 @@ from . import llm_prep  # noqa: E402,F401
 from . import tpch_full  # noqa: E402,F401
 from . import lifecycle  # noqa: E402,F401
 
-# ROTATION — round 8 (the round-7 verdict's #1 directive: drain the
-# stale-verdict backlog): slots 0-1 are this round's never-verified
-# additions (the full MonetDBUtil type-lattice JDBC round-trip and the
-# applyInPandasWithState stateful-streaming gate — verdict items 3 and
-# 6, plus the partition-pruned sync gate); next are the changed-code
-# re-verifies (jdbc_roundtrip_lineitem's
-# read-back now goes through the multi-JVM-safe derby jar: snapshot —
-# verdict item 2); slots 3-49 are canaries, least-recently-verified
-# first (verdict age computed from CORRECTNESS_r01-r07, ties by
-# registration order — this window drains every r2-aged verdict and
-# most of r3; the 10 remaining r3 TPC-H shapes head NEXT_WINDOW_QUEUE).
+# ROTATION — round 9 (the round-8 verdict's #1 directive: drain the 13
+# r3-aged TPC-H driver verdicts): slot 0 is this round's never-verified
+# addition (the multi-table all-or-nothing run gate — verdict item 6);
+# slots 1-5 are the changed-code re-verifies (the bulk loader gained
+# count-verification + INSERT fallback, the partitioned sync gained the
+# bucket-modulus guard + carry modes, publish/compact meta handling
+# changed, and CopyEngine's trigger probe now dispatches to the JDBC
+# pushdown form); slots 6-49 are canaries, least-recently-verified
+# first (verdict age computed from CORRECTNESS_r01-r08, ties by
+# registration order) — this window drains ALL 13 r3-aged TPC-H shapes
+# and the oldest r4 tail, leaving no verdict older than r4.
 #
 # Vacuity audit (round 5, sf0.01): every window oracle returns >0 rows —
 # checked by test_window_oracles_non_vacuous on every commit.
 GATE_PRIORITY = [
-    # --- slots 0-2: round-8 additions (never verified) ---
-    "jdbc_roundtrip_typelattice",
-    "stream_stateful_user_activity",
-    "stream_lifecycle_partitioned",
-    # --- slots 2-4: changed building code this round (jar:+bulk-load
-    # read/write path; connected_components' 1-hop-min initialization
-    # changed the plan of both its consumers) ---
+    # --- slot 0: round-9 addition (never verified) ---
+    "copy_multi_table_guard",
+    # --- slots 1-5: changed building code this round ---
     "jdbc_roundtrip_lineitem",
-    "dedup_connected_components",
-    "dedup_keep_best_in_cluster",
-    # --- slots 5-49: canaries, least-recently-verified first (the two
-    # displaced canaries tpch_q7/q8 move to the head of the r9 queue) ---
-    "multimodal_image_decode",
-    "pipeline_clean_corpus",
-    "multimodal_audio_decode",
-    "multimodal_video_frames",
-    "dedup_incremental_ingest",
-    "rollup_approx_users_daily",
-    "stream_dedup_first",
-    "text_pii_scrub",
-    "pack_sequences",
-    "split_train_val_test",
-    "text_repetition",
-    "agg_histogram_bins",
-    "window_first_last_nth",
-    "agg_boolean",
-    "agg_unpivot",
-    "fn_conditional",
-    "fn_string2",
-    "fn_bitwise",
-    "fn_datetime2",
-    "join_nullsafe",
-    "fn_greatest_least",
-    "fn_levenshtein",
-    "fn_format",
-    "ann_ivf_topk",
-    "funnel_stages",
-    "retention_cohorts",
-    "embed_random_projection",
-    "merge_scd1_upsert",
-    "ngram_topk",
-    "embed_quantize_int8",
-    "mix_domain_weights",
-    "sample_stratified",
-    "decontaminate_test_split",
-    "vocab_oov_rate",
-    "filter_length_outliers",
-    "decontaminate_ngram_overlap",
-    "pack_sequences_text",
-    "boilerplate_span_removal",
-    "sample_quality_weighted",
-    "corpus_pretraining_pipeline",
-    "report_corpus_health",
-    "doc_chunk_overlap",
-    "sample_domain_cap",
-    "decontaminate_semantic",
-]
-
-GATE_WINDOW = 50
-
-# STEADY-STATE ROTATION POLICY (round-5 VERDICT item 7) — with the
-# registry closed out, each round's window is composed in this order:
-#   1. any never-verified additions (new queries land HERE, inside the
-#      window, the same round they are registered — growth stays gated
-#      on the per-round budget);
-#   2. a re-verify slot for every query whose building code changed this
-#      round (even when the output is identical by construction);
-#   3. canaries, least-recently-verified first (ties broken by
-#      registration order), filling the window to 50.
-# With 197 queries and ~46 canary slots per round, every query's verdict
-# age stays <= ~4 rounds; the per-family representation guarantee is
-# enforced structurally by test_every_capability_family_verified_or_
-# inside_window. NEXT_WINDOW_QUEUE below pre-stages round 9 under this
-# policy: the remaining least-recently-verified queries in verdict-age
-# order (computed from CORRECTNESS_r01-r07: the round-3-verdict tail —
-# the 10 TPC-H shapes that didn't fit in the r8 window — then round-4),
-# ties by registration order.
-NEXT_WINDOW_QUEUE = [
+    "jdbc_roundtrip_typelattice",
+    "stream_lifecycle_partitioned",
+    "stream_lifecycle_publish",
+    "copy_incremental_watermark",
+    # --- slots 6-49: canaries, least-recently-verified first (the 13
+    # r3-aged TPC-H shapes lead; the displaced r4 canaries head the r10
+    # queue) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -161,6 +94,27 @@ NEXT_WINDOW_QUEUE = [
     "vocab_token_freq_stats",
     "quality_unigram_rarity",
     "quality_lm_bigram",
+]
+
+GATE_WINDOW = 50
+
+# STEADY-STATE ROTATION POLICY (round-5 VERDICT item 7) — with the
+# registry closed out, each round's window is composed in this order:
+#   1. any never-verified additions (new queries land HERE, inside the
+#      window, the same round they are registered — growth stays gated
+#      on the per-round budget);
+#   2. a re-verify slot for every query whose building code changed this
+#      round (even when the output is identical by construction);
+#   3. canaries, least-recently-verified first (ties broken by
+#      registration order), filling the window to 50.
+# With 199 queries and ~44 canary slots per round, every query's verdict
+# age stays <= ~4 rounds; the per-family representation guarantee is
+# enforced structurally by test_every_capability_family_verified_or_
+# inside_window. NEXT_WINDOW_QUEUE below pre-stages round 10 under this
+# policy: every query NOT in the r9 window, ordered by verdict age
+# (computed from CORRECTNESS_r01-r08 — the displaced r4 canaries first,
+# then the r6 block), ties by registration order.
+NEXT_WINDOW_QUEUE = [
     "index_inverted_postings",
     "filter_gopher_rules",
     "dedup_url_normalized",
@@ -168,6 +122,50 @@ NEXT_WINDOW_QUEUE = [
     "report_packing_efficiency",
     "report_dedup_by_source",
     "order_curriculum_stages",
+    "scan_lineitem",
+    "projection",
+    "filter_predicates",
+    "filter_like_null",
+    "join_inner",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_broadcast_dims",
+    "join_theta_range",
+    "join_cross",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_having",
+    "agg_minmax",
+    "subquery_scalar",
+    "subquery_correlated",
+    "window_row_number",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_ntile",
+    "sort_multi_key",
+    "topk_limit",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q18_large_orders",
+    "agg_grouping_sets",
+    "subquery_not_in_nulls",
+    "cte_with_clause",
+    "subquery_correlated_min",
+    "agg_filter_clause",
+    "cte_recursive",
+    "fn_udtf_shingles",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "rollup_time_buckets",
+    "events_sessionize_bounded",
+    "sketch_quantile_histogram",
 ]
 
 
