@@ -107,6 +107,78 @@ class BulkLoadError(RuntimeError):
     row-count mismatch) and fallback was disabled."""
 
 
+def bulk_dialect(url: str) -> str:
+    """Dialect key for a JDBC url's server-side bulk-import support.
+
+    Raises ``ValueError`` for dialects without a known server-side COPY —
+    the loader then degrades to the distributed INSERT path up front
+    (before any staging I/O)."""
+    for prefix, name in (
+        ("jdbc:derby:", "derby"),
+        ("jdbc:monetdb:", "monetdb"),
+        ("jdbc:postgresql:", "postgresql"),
+    ):
+        if url.startswith(prefix):
+            return name
+    raise ValueError(f"no server-side bulk import for JDBC url {url.split(':', 2)[:2]}")
+
+
+def bulk_csv_options(url: str) -> dict[str, str]:
+    """Staging CSV options for the target dialect.
+
+    Derby keeps the base conventions (unquoted-empty = NULL). MonetDB
+    gets the reference's staging exactly: NULL rendered as ``\\N`` and
+    declared to COPY with ``NULL AS '\\N'`` (``CopyTool.java:695-721``
+    serialization, ``:1058`` declaration) — quoted ``""`` stays the empty
+    string. PostgreSQL COPY's csv format uses an empty unquoted field for
+    NULL, same as Derby."""
+    opts = dict(BULK_CSV_OPTIONS)
+    if bulk_dialect(url) == "monetdb":
+        opts["nullValue"] = "\\N"
+    return opts
+
+
+def server_bulk_import_sql(
+    url: str, table: str, path: str, *, locked: bool = False
+) -> tuple[str, list[str]]:
+    """One staged part file's server-side bulk-import statement —
+    the reference's COPY INTO builder re-expressed per dialect
+    (``CopyTool.java:1042-1071``). Returns ``(sql, params)``; empty
+    params means plain ``execute``.
+
+    - Derby: ``SYSCS_UTIL.SYSCS_IMPORT_TABLE`` (parameterized call; the
+      integration-tested path — embedded Derby ships with Spark).
+    - MonetDB: the reference's statement verbatim —
+      ``COPY INTO t FROM 'file' USING DELIMITERS ',','\\n','\"'
+      NULL AS '\\\\N' [LOCKED]`` (``locked`` = the reference's
+      use-locked-mode flag, ``CopyTable.java:65``). Statement-shape
+      parity is unit-pinned; no MonetDB server exists in this sandbox,
+      so the path is integration-ready rather than integration-proven.
+    - PostgreSQL: server-side ``COPY ... FROM ... (FORMAT csv)`` —
+      requires the file be readable by the SERVER process, the same
+      visibility contract as the other two.
+    """
+    dialect = bulk_dialect(url)
+    esc = path.replace("'", "''")
+    if dialect == "derby":
+        return (
+            "CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(NULL, ?, ?, NULL, NULL, 'UTF-8', 0)",
+            [table.upper(), path],
+        )
+    if dialect == "monetdb":
+        sql = (
+            f"COPY INTO {table} FROM '{esc}'"
+            " USING DELIMITERS ',','\\n','\"' NULL AS '\\\\N'"
+        )
+        if locked:
+            sql += " LOCKED"
+        return (sql, [])
+    return (
+        f"COPY {table} FROM '{esc}' WITH (FORMAT csv, QUOTE '\"', ESCAPE '\"')",
+        [],
+    )
+
+
 def _execute_update(conn, sql: str) -> None:
     st = conn.createStatement()
     try:
@@ -145,6 +217,7 @@ def jdbc_bulk_loader(
     staging_dir: str | None = None,
     expected_count: int | None = None,
     fallback: bool = True,
+    locked: bool = False,
 ) -> str:
     """Staged-CSV bulk load — the reference's COPY INTO path
     (``CopyTool.java:1042-1071``), with the reference's own degradation
@@ -157,9 +230,13 @@ def jdbc_bulk_loader(
        database connection on any executor);
     2. the driver creates the table (DDL from the engine's schema mapper
        unless ``table_ddl`` pins explicit types) and issues ONE server-side
-       bulk-import call per part file (Derby:
-       ``SYSCS_UTIL.SYSCS_IMPORT_TABLE``; a MonetDB sink would issue
-       ``COPY INTO ... FROM``);
+       bulk-import call per part file, dialect-dispatched by
+       :func:`server_bulk_import_sql` (Derby:
+       ``SYSCS_UTIL.SYSCS_IMPORT_TABLE``; MonetDB: the reference's
+       ``COPY INTO ... USING DELIMITERS ... NULL AS '\\N' [LOCKED]``
+       statement verbatim, with ``\\N``-staged nulls; PostgreSQL:
+       ``COPY ... (FORMAT csv)``). A dialect with no known server-side
+       COPY degrades to the INSERT path BEFORE staging;
     3. the loaded row count is verified against the frame's count (the
        reference's pre-load count file, ``CopyTool.java:643-649``). Any
        shortfall — zero staged part files, an import error, or a count
@@ -199,6 +276,21 @@ def jdbc_bulk_loader(
     # derive DDL before staging: an unmappable column fails loudly here
     # (UnknownSqlTypeError) instead of after a useless distributed write
     ddl = table_ddl if table_ddl is not None else spark_schema_to_derby_ddl(df.schema)
+    # dialect gate, also before staging: a target with no server-side COPY
+    # degrades straight to the INSERT path (no useless distributed write)
+    try:
+        csv_options = bulk_csv_options(url)
+    except ValueError as exc:
+        if not fallback:
+            raise BulkLoadError(f"{table}: {exc}") from exc
+        log.warning("bulk load of %s degraded to INSERT path: %s", table, exc)
+        conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+        try:
+            _execute_update(conn, f"CREATE TABLE {table} ({ddl})")
+        finally:
+            conn.close()
+        jdbc_writer(df, source, table, mode="append")
+        return "insert"
     if expected_count is None:
         expected_count = df.count()
     staged = df.select(
@@ -212,7 +304,7 @@ def jdbc_bulk_loader(
     base_dir = staging_dir or tempfile.mkdtemp(prefix="jdbc_bulk_")
     csv_dir = os.path.join(base_dir, f"stage_{table}")
     writer = staged.write.mode("overwrite")
-    for k, v in BULK_CSV_OPTIONS.items():
+    for k, v in csv_options.items():
         writer = writer.option(k, v)
     writer.csv(csv_dir)
 
@@ -225,20 +317,27 @@ def jdbc_bulk_loader(
         if not parts and expected_count > 0:
             failure = f"no staged part files visible at {csv_dir}"
         else:
-            # unquoted CREATE stores the table name uppercase; the import
-            # proc matches its tablename argument case-SENSITIVELY
-            cs = conn.prepareCall(
-                "CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(NULL, ?, ?, NULL, NULL, 'UTF-8', 0)"
-            )
+            # dialect-dispatched server-side import, one call per part file
+            # (Derby: parameterized SYSCS_IMPORT_TABLE — unquoted CREATE
+            # stores the name uppercase and the proc matches its tablename
+            # argument case-SENSITIVELY; MonetDB/PostgreSQL: plain COPY)
             try:
                 for part in parts:
-                    cs.setString(1, table.upper())
-                    cs.setString(2, part)
-                    cs.execute()
+                    sql, params = server_bulk_import_sql(
+                        url, table, part, locked=locked
+                    )
+                    if params:
+                        cs = conn.prepareCall(sql)
+                        try:
+                            for i, p in enumerate(params, start=1):
+                                cs.setString(i, p)
+                            cs.execute()
+                        finally:
+                            cs.close()
+                    else:
+                        _execute_update(conn, sql)
             except Exception as exc:  # noqa: BLE001 — degrade per reference chain
                 failure = f"server-side import failed: {exc}"
-            finally:
-                cs.close()
         if failure is None:
             loaded = _server_count(conn, table)
             if loaded != expected_count:

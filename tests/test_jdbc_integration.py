@@ -390,3 +390,52 @@ def test_copy_engine_trigger_probe_uses_jdbc_pushdown(spark, derby_source, tmp_p
     # and the full decision loop sees new data on a fresh state
     probes = engine.check_for_new_data()
     assert probes["nation_job"].value == 24
+
+
+def test_bulk_import_sql_dialect_statements():
+    """Statement-shape parity with the reference's COPY INTO builder
+    (CopyTool.java:1042-1071 file path, :988 NULL token) per dialect."""
+    from mssql2monetdb_spark.sources.jdbc import (
+        bulk_csv_options,
+        server_bulk_import_sql,
+    )
+
+    sql, params = server_bulk_import_sql("jdbc:derby:/x/db", "t", "/stage/p1")
+    assert sql == "CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(NULL, ?, ?, NULL, NULL, 'UTF-8', 0)"
+    assert params == ["T", "/stage/p1"]
+
+    sql, params = server_bulk_import_sql("jdbc:monetdb://h:50000/db", "t", "/stage/p1")
+    assert sql == (
+        "COPY INTO t FROM '/stage/p1'"
+        " USING DELIMITERS ',','\\n','\"' NULL AS '\\\\N'"
+    )
+    assert params == []
+    locked, _ = server_bulk_import_sql(
+        "jdbc:monetdb://h:50000/db", "t", "/stage/p1", locked=True
+    )
+    assert locked.endswith(" LOCKED")
+
+    sql, params = server_bulk_import_sql(
+        "jdbc:postgresql://h/db", "t", "/stage/it's"
+    )
+    assert sql == "COPY t FROM '/stage/it''s' WITH (FORMAT csv, QUOTE '\"', ESCAPE '\"')"
+
+    # staging options follow the dialect: MonetDB declares \N nulls
+    assert bulk_csv_options("jdbc:monetdb://h/db")["nullValue"] == "\\N"
+    assert "nullValue" not in bulk_csv_options("jdbc:derby:/x/db")
+
+    with pytest.raises(ValueError):
+        server_bulk_import_sql("jdbc:h2:mem:x", "t", "/p")
+
+
+def test_bulk_loader_unknown_dialect_strict_raises(spark):
+    """fallback=False + a dialect without server-side COPY must raise
+    BEFORE any staging or connection."""
+    from mssql2monetdb_spark.sources.jdbc import BulkLoadError, jdbc_bulk_loader
+
+    src = SourceSpec(
+        name="d", format="jdbc", options={"url": "jdbc:h2:mem:x", "driver": "x.Y"}
+    )
+    df = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    with pytest.raises(BulkLoadError):
+        jdbc_bulk_loader(spark, df, src, "t", fallback=False)
