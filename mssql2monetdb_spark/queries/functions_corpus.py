@@ -740,3 +740,61 @@ def fn_lambda_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("a", F.lit(0.0), lambda acc, x: acc + x).alias("arr_sum"),
         F.element_at(F.zip_with("a", "b", lambda x, y: x + y), 1).alias("zip_first"),
     ).orderBy("l_orderkey", "l_linenumber", "arr_sum")
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+        WITH b AS (
+            SELECT event_id,
+                   printf('{"id": %d, "k": %s, "tags": ["%s", "t%s"], "m": {"v": %d}}',
+                          event_id,
+                          json_extract_string(props, '$.k'),
+                          event_type,
+                          json_extract_string(props, '$.k'),
+                          user_id) AS j
+            FROM events
+        )
+        SELECT event_id,
+               CAST(json_extract(j, '$.m.v') AS BIGINT) AS m_v,
+               json_extract_string(j, '$.tags[1]') AS tag1,
+               CAST(json_extract(j, '$.k') AS INTEGER) AS k_int,
+               CAST(json_extract(j, '$.missing') AS BIGINT) AS absent
+        FROM b ORDER BY event_id
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT semi-structured type as the JSON engine: a nested
+    document (object + array + nested object) is synthesized per event row,
+    parsed once with ``parse_json`` into a VARIANT, and fields come out
+    through typed ``variant_get`` paths — nested object traversal
+    (``$.m.v``), array index (``$.tags[1]``), typed scalar (``$.k`` as
+    INT), and a missing path through ``try_variant_get`` (NULL, not an
+    error). The DuckDB oracle builds the identical document and walks the
+    same JSONPaths with ``json_extract``.
+
+    Scale note: VARIANT stores a parsed binary encoding, so the document
+    is decoded ONCE per row and each ``variant_get`` is a cheap typed
+    probe — the repeated-``get_json_object`` shape (``fn_json``) re-parses
+    the string per extraction. For wide multi-field extraction over a
+    100 TB raw-JSON events feed, parse-once-probe-many is the right plan;
+    both stay whole-stage-codegen, no UDFs.
+    """
+    t = Tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    j = F.format_string(
+        '{"id": %d, "k": %s, "tags": ["%s", "t%s"], "m": {"v": %d}}',
+        F.col("event_id"),
+        k,
+        F.col("event_type"),
+        k,
+        F.col("user_id"),
+    )
+    v = F.parse_json(j)
+    return t.events.select(
+        "event_id",
+        F.variant_get(v, "$.m.v", "bigint").alias("m_v"),
+        F.variant_get(v, "$.tags[1]", "string").alias("tag1"),
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("absent"),
+    ).orderBy("event_id")
