@@ -748,30 +748,33 @@ def fn_lambda_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH b AS (
             SELECT event_id,
                    printf('{"id": %d, "k": %s, "tags": ["%s", "t%s"], "m": {"v": %d}}',
-                          event_id,
-                          json_extract_string(props, '$.k'),
-                          event_type,
-                          json_extract_string(props, '$.k'),
-                          user_id) AS j
+                          COALESCE(event_id, -1),
+                          COALESCE(json_extract_string(props, '$.k'), 'null'),
+                          COALESCE(event_type, ''),
+                          COALESCE(json_extract_string(props, '$.k'), 'null'),
+                          COALESCE(user_id, -1)) AS j
             FROM events
         )
         SELECT event_id,
-               CAST(json_extract(j, '$.m.v') AS BIGINT) AS m_v,
-               json_extract_string(j, '$.tags[1]') AS tag1,
-               CAST(json_extract(j, '$.k') AS INTEGER) AS k_int,
-               CAST(json_extract(j, '$.missing') AS BIGINT) AS absent
+               TRY_CAST(CASE WHEN json_valid(j) THEN json_extract(j, '$.m.v') END AS BIGINT) AS m_v,
+               CASE WHEN json_valid(j) THEN json_extract_string(j, '$.tags[1]') END AS tag1,
+               TRY_CAST(CASE WHEN json_valid(j) THEN json_extract(j, '$.k') END AS INTEGER) AS k_int,
+               TRY_CAST(CASE WHEN json_valid(j) THEN json_extract(j, '$.missing') END AS BIGINT) AS absent
         FROM b ORDER BY event_id
     """,
 )
 def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4's VARIANT semi-structured type as the JSON engine: a nested
     document (object + array + nested object) is synthesized per event row,
-    parsed once with ``parse_json`` into a VARIANT, and fields come out
-    through typed ``variant_get`` paths — nested object traversal
+    parsed once with ``try_parse_json`` into a VARIANT, and fields come
+    out through typed ``try_variant_get`` paths — nested object traversal
     (``$.m.v``), array index (``$.tags[1]``), typed scalar (``$.k`` as
-    INT), and a missing path through ``try_variant_get`` (NULL, not an
-    error). The DuckDB oracle builds the identical document and walks the
-    same JSONPaths with ``json_extract``.
+    INT), and a missing path (NULL, not an error). The DuckDB oracle
+    builds the identical document and walks the same JSONPaths with
+    ``json_extract``. The try-variants on BOTH ends keep hostile corpora
+    failure-soft: a ``props``/``event_type`` payload with embedded quotes
+    or bad escapes makes the synthesized document malformed, which must
+    be a NULL row, not an ANSI crash (edge-corpus catch).
 
     Scale note: VARIANT stores a parsed binary encoding, so the document
     is decoded ONCE per row and each ``variant_get`` is a cheap typed
@@ -781,20 +784,24 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     both stay whole-stage-codegen, no UDFs.
     """
     t = Tables(spark, sf_dir)
-    k = F.get_json_object("props", "$.k")
+    # NULL formatting args diverge across engines (Spark format_string
+    # prints "null", DuckDB printf returns NULL) — coalesce every nullable
+    # argument identically on both sides; 'null' keeps the synthesized
+    # field a valid JSON null
+    k = F.coalesce(F.get_json_object("props", "$.k"), F.lit("null"))
     j = F.format_string(
         '{"id": %d, "k": %s, "tags": ["%s", "t%s"], "m": {"v": %d}}',
-        F.col("event_id"),
+        F.coalesce(F.col("event_id"), F.lit(-1)),
         k,
-        F.col("event_type"),
+        F.coalesce(F.col("event_type"), F.lit("")),
         k,
-        F.col("user_id"),
+        F.coalesce(F.col("user_id"), F.lit(-1)),
     )
-    v = F.parse_json(j)
+    v = F.try_parse_json(j)
     return t.events.select(
         "event_id",
-        F.variant_get(v, "$.m.v", "bigint").alias("m_v"),
-        F.variant_get(v, "$.tags[1]", "string").alias("tag1"),
-        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.m.v", "bigint").alias("m_v"),
+        F.try_variant_get(v, "$.tags[1]", "string").alias("tag1"),
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
         F.try_variant_get(v, "$.missing", "bigint").alias("absent"),
     ).orderBy("event_id")

@@ -607,7 +607,6 @@ def copy_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c
         LEFT JOIN orders o
           ON o.o_custkey = c.c_custkey AND o.o_orderkey % 4 = 0
-        WHERE c.c_custkey % 10 = 0
         GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
         ORDER BY c.c_custkey
     """,
@@ -635,10 +634,11 @@ def copy_multi_table_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="copy_multi_")
     src_dir = os.path.join(base, "src")
     os.makedirs(src_dir, exist_ok=True)
-    cust = t.customer.filter(F.col("c_custkey") % 10 == 0)
-    ords = t.orders.filter(
-        (F.col("o_custkey") % 10 == 0) & (F.col("o_orderkey") % 4 == 0)
-    )
+    # stage the FULL tables: any modulo subset can be empty on a hostile
+    # corpus (edge-corpus catch), which would make the HAPPY-path tick
+    # abort too; selection lives in the final join condition instead
+    cust = t.customer
+    ords = t.orders
     cust.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(src_dir, "customer.parquet")
     )
@@ -696,7 +696,11 @@ def copy_multi_table_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = engine.catalog.table_at(spark, "default", "cust_sync")
     o = engine.catalog.table_at(spark, "default", "ord_sync")
     return (
-        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        c.join(
+            o,
+            (o["o_custkey"] == c["c_custkey"]) & (o["o_orderkey"] % 4 == 0),
+            "left",
+        )
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
