@@ -710,3 +710,104 @@ def copy_multi_table_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "jdbc_warehouse_publish",
+    oracle=f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % {RT_FILTER_MOD} = 0
+        ORDER BY o_orderkey
+    """,
+)
+def jdbc_warehouse_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WAREHOUSE-side publish lifecycle under the oracle
+    gate (``engine/export.py::JdbcWarehouse``): two versioned loads land in
+    a real Derby warehouse through the staged-CSV bulk path, each publish
+    transactionally swaps the public VIEW (``MonetDBUtil.java:442-529``),
+    retention keeps current + backup (``CopyTool.java:554-602``), and the
+    final VIEW's content — read back through the multi-JVM-safe ``jar:``
+    snapshot with a partitioned scan — is hashed against the parquet
+    oracle. A wrong view target, a reaped live version, or a lossy load
+    breaks the hash; the in-query assertions turn protocol violations
+    (view not following the newest publish, retention width) into gate
+    ERRORs.
+    """
+    t = Tables(spark, sf_dir)
+    subset = t.orders.filter(F.col("o_orderkey") % RT_FILTER_MOD == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    from datetime import datetime
+
+    from ..engine.export import JdbcWarehouse
+
+    db_path = os.path.join(tempfile.mkdtemp(prefix="jdbc_wh_"), "db")
+    wh = JdbcWarehouse(
+        spark,
+        SourceSpec(
+            name="derby_wh",
+            format="jdbc",
+            options={
+                "url": f"jdbc:derby:{db_path};create=true",
+                "driver": DERBY_DRIVER,
+            },
+        ),
+    )
+    # v1 = lower key half (range midpoint: non-empty for any corpus with
+    # >= 2 distinct keys), v2 = the full subset; the view must follow v2
+    lo_hi = subset.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    if lo_hi[0] is None:
+        v1_frame = subset  # empty subset (hostile corpora): both loads empty
+    else:
+        mid = (lo_hi[0] + lo_hi[1]) // 2
+        v1_frame = subset.filter(F.col("o_orderkey") <= mid)
+    wh.export(v1_frame.coalesce(1), "orders_wh", datetime(2024, 6, 1))
+    p2 = wh.export(subset.coalesce(1), "orders_wh", datetime(2024, 6, 2))
+
+    cur = wh.current_version("orders_wh")
+    if cur is None or cur.lower() != p2.lower():
+        raise RuntimeError(f"view must follow the newest publish: {cur} != {p2}")
+    n_versions = len(wh.table_versions("orders_wh"))
+    if n_versions != 2:
+        raise RuntimeError(f"retention must keep current + backup, found {n_versions}")
+
+    ro = SourceSpec(
+        name="derby_wh_ro",
+        format="jdbc",
+        options={"url": derby_snapshot_jar(spark, db_path), "driver": DERBY_DRIVER},
+    )
+    if lo_hi[0] is None:
+        part_source = ro
+    else:
+        part_source = SourceSpec(
+            name="derby_wh_part",
+            format="jdbc",
+            options={
+                **ro.options,
+                **partition_bounds_options(
+                    "o_orderkey",
+                    int(lo_hi[0]),
+                    max(int(lo_hi[1]), int(lo_hi[0]) + 1),
+                    num_partitions=4,
+                ),
+            },
+        )
+    back = jdbc_reader(
+        spark,
+        part_source,
+        CopyJob(job_id="wh_rb", source="derby_wh_part", from_table="orders_wh"),
+    )
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ).orderBy("o_orderkey")
