@@ -121,6 +121,11 @@ class JobSpec:
     state_dir: str
     scheduler_interval: str | None = None
     mail: "MailSettings | None" = None  # failure-mail config (EmailUtil analog)
+    # optional JDBC sink: publish to a real warehouse (the reference's
+    # MonetDB topology) instead of the parquet catalog — see engine/export.py
+    sink: SourceSpec | None = None
+    sink_method: str = "copy"  # "copy" (staged bulk) | "insert" (batched writer)
+    sink_staging_dir: str | None = None  # shared-fs staging for the bulk path
     raw: dict = field(default_factory=dict, compare=False)
 
 
@@ -226,6 +231,43 @@ def load_spec(spec: dict | str, env: dict[str, str] | None = None) -> JobSpec:
             enabled=bool(m.get("enabled", True)),
         )
 
+    # optional JDBC sink block (the reference's MonetDB target,
+    # CopyToolConfig monetdb.* block): publishes go to a real warehouse
+    # through engine/export.py instead of the parquet catalog
+    sink = None
+    sink_method = "copy"
+    sink_staging_dir = None
+    sk = spec.get("sink")
+    if sk is not None:
+        if (sk.get("format") or "jdbc").lower() != "jdbc":
+            raise SpecError("sink.format must be 'jdbc' (only warehouse sinks exist)")
+        if not (sk.get("options") or {}).get("url"):
+            raise SpecError("sink: jdbc requires options.url")
+        sink_method = (sk.get("method") or "copy").lower()
+        if sink_method not in ("copy", "insert"):
+            raise SpecError(f"sink.method must be copy|insert, got {sink_method!r}")
+        sink_staging_dir = sk.get("staging_dir")
+        sink = SourceSpec(name="_sink", format="jdbc", options=dict(sk["options"]))
+        for job_id, job in jobs.items():
+            if job.incremental:
+                # the reference re-copies the full table every run against
+                # MonetDB; snapshot+delta needs the parquet catalog's
+                # versioned snapshot read — not offered on a JDBC sink
+                raise SpecError(
+                    f"table {job_id!r}: 'incremental' is a parquet-catalog "
+                    "upgrade; a jdbc sink re-copies fully (reference parity)"
+                )
+            if job.partition_by or job.zorder_by:
+                raise SpecError(
+                    f"table {job_id!r}: partition_by/zorder_by are parquet "
+                    "layout controls — not applicable to a jdbc sink"
+                )
+            if not job.use_fast_view_switching:
+                raise SpecError(
+                    f"table {job_id!r}: a jdbc sink always publishes via the "
+                    "versioned view switch (Derby has no CTAS-with-data)"
+                )
+
     return JobSpec(
         sources=sources,
         jobs=jobs,
@@ -233,6 +275,9 @@ def load_spec(spec: dict | str, env: dict[str, str] | None = None) -> JobSpec:
         state_dir=state_dir,
         scheduler_interval=spec.get("scheduler_interval"),
         mail=mail,
+        sink=sink,
+        sink_method=sink_method,
+        sink_staging_dir=sink_staging_dir,
         raw=spec,
     )
 

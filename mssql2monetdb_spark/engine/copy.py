@@ -60,6 +60,13 @@ class CopyEngine:
         self.catalog = VersionedCatalog(spec.warehouse_dir)
         self.store = WatermarkStore(spec.state_dir)
         self.checksum = spec_checksum(spec)
+        # optional JDBC sink: publishes land in a real warehouse through the
+        # reference's versioned-table + view-switch protocol (engine/export)
+        self.warehouse = None
+        if spec.sink is not None:
+            from .export import JdbcWarehouse
+
+            self.warehouse = JdbcWarehouse(spark, spec.sink)
 
     # -- trigger (PHASE 0, CopyTool.java:332-477) ------------------------
     def _probe_job(self, job: CopyJob):
@@ -183,6 +190,11 @@ class CopyEngine:
         """
         load_date = load_date or datetime.now(timezone.utc).replace(tzinfo=None)
         published: dict[str, str] = {}
+
+        if self.warehouse is not None:
+            return self._do_copy_jdbc_sink(
+                no_switch=no_switch, switch_only=switch_only, load_date=load_date
+            )
 
         if switch_only:
             for job in self.spec.jobs.values():
@@ -331,6 +343,78 @@ class CopyEngine:
                 self.store.save(self.checksum, probe, job_id)
         return published
 
+    def _do_copy_jdbc_sink(
+        self, *, no_switch: bool, switch_only: bool, load_date: datetime
+    ) -> dict[str, str]:
+        """The 4 phases against a real JDBC warehouse (the reference's
+        MonetDB topology): extract is unchanged; load lands each job in a
+        new versioned physical table (staged bulk COPY or batched INSERT);
+        publish is the transactional view switch; cleanup is keep-2
+        retention on the server. Trigger probes, the all-or-nothing empty
+        guard, exit codes, and state-after-success are IDENTICAL to the
+        parquet path — only the storage side of phases 2-4 differs.
+
+        The pre-load counts from the empty guard double as the bulk
+        loader's verification counts (the reference's count file,
+        ``CopyTool.java:643-649``), so no extra count job runs.
+        """
+        wh = self.warehouse
+        published: dict[str, str] = {}
+
+        if switch_only:
+            for job in self.spec.jobs.values():
+                versions = wh.table_versions(job.to_table)
+                if not versions:
+                    raise FileNotFoundError(
+                        f"switch-only: no loaded version for {job.to_table}"
+                    )
+                wh.publish(job.to_table, versions[0])
+                wh.cleanup(job.to_table)
+                # report in the engine's canonical lowercase (store listings
+                # come back store-cased; unquoted SQL resolves either way)
+                published[job.job_id] = versions[0].lower()
+            return published
+
+        probes = self.check_for_new_data()
+
+        frames = {job_id: self._extract(job) for job_id, job in self.spec.jobs.items()}
+        counts = self.assert_non_empty(frames)
+
+        loaded: dict[str, str] = {}
+        for job_id, df in frames.items():
+            job = self.spec.jobs[job_id]
+            if job.drop:
+                wh.drop_table(job.to_table)
+            if not job.create and not wh.exists(job.to_table):
+                raise FileNotFoundError(
+                    f"target {job.to_table} does not exist and create=False"
+                )
+            if job.sort_by:
+                df = df.sortWithinPartitions(*job.sort_by)
+            loaded[job_id] = wh.load_version(
+                df,
+                job.to_table,
+                load_date,
+                method=self.spec.sink_method,
+                staging_dir=self.spec.sink_staging_dir,
+                expected_count=counts[job_id],
+            )
+
+        if no_switch:
+            return loaded
+
+        for job_id, physical in loaded.items():
+            job = self.spec.jobs[job_id]
+            wh.publish(job.to_table, physical)
+            published[job_id] = physical
+        for job_id in published:
+            wh.cleanup(self.spec.jobs[job_id].to_table)
+
+        for job_id, probe in probes.items():
+            if probe is not None:
+                self.store.save(self.checksum, probe, job_id)
+        return published
+
     def run(self, *, notify=None, **kwargs) -> int:
         """CLI-shaped wrapper with the reference's exit codes.
 
@@ -359,6 +443,15 @@ class CopyEngine:
         return self.spark.sql(query)
 
     def table(self, table: str, schema: str = "default") -> DataFrame:
+        if self.warehouse is not None:
+            # jdbc sink: the published name is a VIEW on the warehouse
+            from ..sources.readers import read_source
+
+            return read_source(
+                self.spark,
+                self.spec.sink,
+                CopyJob(job_id=f"read_{table}", source="_sink", from_table=table),
+            )
         self.catalog.register_view(self.spark, schema, table)
         name = table if schema == "default" else f"{schema}_{table}"
         return self.spark.table(name)

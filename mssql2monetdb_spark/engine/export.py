@@ -183,8 +183,22 @@ class JdbcWarehouse:
         physical name. ``method="copy"`` is the staged-CSV server-side
         import with its own INSERT degradation (``jdbc_bulk_loader``);
         ``method="insert"`` forces the distributed batched writer against
-        a mapper-derived DDL."""
+        a mapper-derived DDL.
+
+        Crash-retry: a colliding physical name that is NOT the live view's
+        target is an unpublished corpse from a crashed attempt — it is
+        dropped and rebuilt (the same-name reclaim the parquet catalog does
+        with ``mode("overwrite")``). A collision WITH the live target
+        raises: rebuilding a table readers are on is never safe."""
         physical = physical_name(table, load_date)
+        if self.exists(physical):
+            current = self.current_version(table)
+            if current and current.lower() == physical.lower():
+                raise RuntimeError(
+                    f"{physical} is the live published version; refusing to "
+                    "rebuild it in place — pick a later load_date"
+                )
+            self._execute(f"DROP TABLE {physical}")
         if method == "copy":
             jdbc_bulk_loader(
                 self.spark,
