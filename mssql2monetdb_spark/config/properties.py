@@ -15,11 +15,14 @@ reference user's config file runs unmodified::
 
 Differences by design (SURVEY.md §7 sanctioned):
 
-- The copy *target* is the Spark warehouse, not a MonetDB server, so the
-  ``monetdb.server/database/user/password`` connection block has no Spark
-  meaning; ``warehouse_dir`` stands in for it (a required parameter — the
-  spec layer fails without one, exactly as the reference fails without a
-  target database). ``monetdb.mail.*`` maps onto the failure-mail settings.
+- The default copy *target* is the Spark warehouse (``warehouse_dir``, a
+  required parameter). Passing ``monetdb_sink=True`` honors the config's
+  ``monetdb.server/database/user/password`` block instead: it compiles to
+  the spec's jdbc ``sink`` (the reference's exact URL shape,
+  ``CopyToolConnectionManager.java:60-80``) and the engine publishes to
+  that warehouse through the versioned view-switch protocol
+  (``engine/export.py``). ``monetdb.mail.*`` maps onto the failure-mail
+  settings either way.
 - ``ENV:`` interpolation is fail-open like the reference (missing variable
   resolves to the default, or empty string — ``CopyToolConfig.java:338-355``
   logs a warning and continues), unlike the spec layer's fail-closed
@@ -137,6 +140,7 @@ def properties_to_spec_dict(
     warehouse_dir: str,
     env: dict[str, str] | None = None,
     query_loader=None,
+    monetdb_sink: bool = False,
 ) -> dict:
     """Compile parsed properties into the dict shape ``load_spec`` validates.
 
@@ -159,6 +163,7 @@ def properties_to_spec_dict(
     sources: dict[str, dict] = {}
     tables: dict[str, dict] = {}
     mail: dict = {}
+    monetdb_block: dict = {}
     top: dict = {}
 
     for key, value in props.items():
@@ -183,6 +188,13 @@ def properties_to_spec_dict(
                     src["port"] = int(value)
                 except ValueError:
                     pass  # reference logs a warning and keeps the default
+        elif head == "monetdb" and len(parts) == 2:
+            # the reference's target-database block (CopyToolConnectionManager
+            # .java:60-80); honored as the engine's jdbc sink when the caller
+            # opts in (monetdb_sink=True), otherwise recorded and ignored
+            # (the parquet warehouse stands in — SURVEY §7 sanctioned)
+            if parts[1] in ("user", "password", "server", "database", "port"):
+                monetdb_block[parts[1]] = value.strip()
         elif head == "monetdb" and len(parts) >= 3 and parts[1] == "mail":
             field = parts[2]
             if field == "sendmail":
@@ -286,6 +298,24 @@ def properties_to_spec_dict(
         "sources": compiled_sources,
         "tables": tables,
     }
+    if monetdb_sink:
+        missing = [f for f in ("server", "database") if not monetdb_block.get(f)]
+        if missing:
+            raise SpecError(f"monetdb sink requested but the config's monetdb block is missing {missing}")
+        # the reference's URL shape exactly: jdbc:monetdb://server/database
+        # (CopyToolConnectionManager.java:71-76; port rides in server when
+        # configured); user/password only when BOTH are set (ibid.:65-69)
+        server = monetdb_block["server"]
+        if monetdb_block.get("port"):
+            server = f"{server}:{monetdb_block['port']}"
+        options = {
+            "url": f"jdbc:monetdb://{server}/{monetdb_block['database']}",
+            "driver": "nl.cwi.monetdb.jdbc.MonetDriver",
+        }
+        if monetdb_block.get("user") and monetdb_block.get("password"):
+            options["user"] = monetdb_block["user"]
+            options["password"] = monetdb_block["password"]
+        spec["sink"] = {"format": "jdbc", "options": options}
     if top.get("scheduler_enabled") and top.get("scheduler_interval"):
         spec["scheduler_interval"] = top["scheduler_interval"]
     for passthrough in ("batch_size", "temp_directory"):
@@ -310,6 +340,7 @@ def load_properties_spec(
     warehouse_dir: str,
     env: dict[str, str] | None = None,
     query_loader=None,
+    monetdb_sink: bool = False,
 ) -> JobSpec:
     """One-call adapter: ``.properties`` file (path or literal text) ->
     validated :class:`JobSpec`. Checksum semantics are identical to the
@@ -337,6 +368,10 @@ def load_properties_spec(
         raise FileNotFoundError(f"properties file not found: {path_or_text!r}")
     props = parse_properties(text)
     spec_dict = properties_to_spec_dict(
-        props, warehouse_dir=warehouse_dir, env=env, query_loader=query_loader
+        props,
+        warehouse_dir=warehouse_dir,
+        env=env,
+        query_loader=query_loader,
+        monetdb_sink=monetdb_sink,
     )
     return load_spec(spec_dict, env=env or {})

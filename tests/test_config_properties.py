@@ -455,3 +455,63 @@ table.regions.to = region_copy
     assert published == {"regions": "region_copy_2024_06_01_00_00_00"}
     got = engine.sql("SELECT COUNT(*) AS n FROM region_copy").collect()[0]["n"]
     assert got == region.count()
+
+
+def test_monetdb_block_compiles_to_sink_when_opted_in():
+    """monetdb_sink=True honors the reference's target block: the spec's
+    jdbc sink carries the reference's exact URL shape
+    (CopyToolConnectionManager.java:60-80) and credentials only when BOTH
+    user and password are set."""
+    from mssql2monetdb_spark.config.properties import load_properties_spec
+
+    text = """
+monetdb.user = monetdb
+monetdb.password = secret
+monetdb.server = warehouse.example.org
+monetdb.database = analytics_db
+mssql.src.server = db.example.org
+mssql.src.database = erp
+mssql.src.user = u
+mssql.src.password = p
+table.t1.source = src
+table.t1.from.table = dbo.orders
+table.t1.to = orders
+"""
+    spec = load_properties_spec(text, warehouse_dir="/tmp/wh", monetdb_sink=True)
+    assert spec.sink is not None
+    assert spec.sink.options["url"] == "jdbc:monetdb://warehouse.example.org/analytics_db"
+    assert spec.sink.options["driver"] == "nl.cwi.monetdb.jdbc.MonetDriver"
+    assert spec.sink.options["user"] == "monetdb"
+    assert spec.sink.options["password"] == "secret"
+    assert spec.sink_method == "copy"
+
+    # default (no opt-in): block recorded-and-ignored, parquet warehouse
+    spec2 = load_properties_spec(text, warehouse_dir="/tmp/wh")
+    assert spec2.sink is None
+
+    # credentials ride only as a PAIR (reference semantics)
+    text_nopw = text.replace("monetdb.password = secret\n", "")
+    spec3 = load_properties_spec(text_nopw, warehouse_dir="/tmp/wh", monetdb_sink=True)
+    assert "user" not in spec3.sink.options
+
+    # port, when configured, rides in the server part
+    text_port = text.replace(
+        "monetdb.server = warehouse.example.org",
+        "monetdb.server = warehouse.example.org\nmonetdb.port = 50001",
+    )
+    spec4 = load_properties_spec(text_port, warehouse_dir="/tmp/wh", monetdb_sink=True)
+    assert spec4.sink.options["url"] == "jdbc:monetdb://warehouse.example.org:50001/analytics_db"
+
+
+def test_monetdb_sink_requires_block():
+    import pytest
+
+    from mssql2monetdb_spark.config.properties import load_properties_spec
+    from mssql2monetdb_spark.config.spec import SpecError
+
+    with pytest.raises(SpecError, match="monetdb block is missing"):
+        load_properties_spec(
+            "table.t1.from.table = x\nmssql.s.server=h\nmssql.s.database=d",
+            warehouse_dir="/tmp/wh",
+            monetdb_sink=True,
+        )
