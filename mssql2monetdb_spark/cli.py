@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="poll forever on the spec's scheduler_interval",
     )
     p.add_argument("--max-runs", type=int, default=None, help="scheduler iterations (testing)")
+    p.add_argument(
+        "--monetdb-sink",
+        action="store_true",
+        help="with a .properties config: honor its monetdb.* target block as "
+        "a JDBC warehouse sink (versioned tables + view switch on the server) "
+        "instead of the parquet warehouse",
+    )
     p.add_argument("--query", help="after the run, execute this SQL on the published views")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -103,7 +110,11 @@ def main(argv: list[str] | None = None) -> int:
                 return EXIT_ERROR
             from .config.properties import load_properties_spec
 
-            spec = load_properties_spec(args.config, warehouse_dir=args.warehouse)
+            spec = load_properties_spec(
+                args.config,
+                warehouse_dir=args.warehouse,
+                monetdb_sink=args.monetdb_sink,
+            )
         else:
             spec = load_spec(args.config)
     except (SpecError, OSError, ValueError) as exc:
