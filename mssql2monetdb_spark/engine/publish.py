@@ -166,22 +166,85 @@ class VersionedCatalog:
           when carry I/O must stay O(metadata), e.g. POSIX/HDFS).
         - ``"copy"``: byte copies only — the portable mode for stores with
           no link primitive; carry I/O becomes O(untouched bytes), still
-          sequential file copies with no compute. (On a real object store
-          the next step up is a manifest-file-list version format that
-          carries by reference — SCALE.md §object-store-portability.)
+          sequential file copies with no compute.
+        - ``"manifest"``: carry BY REFERENCE — zero carry I/O on any
+          store. Untouched partitions are recorded in a ``_CARRIED.json``
+          manifest at the version root, each entry naming the version that
+          PHYSICALLY WROTE the partition (refs resolve transitively at
+          write time, so a ref never points at another ref). Readers
+          (``table_at``/``register_view``) stitch the version together by
+          reading the owned partitions plus one grouped scan per
+          referenced host version; ``cleanup`` becomes ref-counted — a
+          version directory past retention survives as a data host while
+          any retained version still references it (bounded by P hosts:
+          a never-rewritten partition pins its original writer, exactly
+          like a table-format data file). ``compact()`` reads through
+          refs and materializes them, releasing pinned hosts.
 
         Crash-retry safe the same way ``write_version`` is: the target
         directory is cleared first, so a replay that recomputes the same
         version name rebuilds it deterministically from the unchanged
         manifest state.
         """
-        if carry_mode not in ("auto", "link", "copy"):
-            raise ValueError(f"carry_mode must be auto|link|copy, got {carry_mode!r}")
+        if carry_mode not in ("auto", "link", "copy", "manifest"):
+            raise ValueError(
+                f"carry_mode must be auto|link|copy|manifest, got {carry_mode!r}"
+            )
         physical = physical_name(table, load_date)
         out_dir = self.version_dir(schema, physical)
         shutil.rmtree(out_dir, ignore_errors=True)
         df_touched.write.mode("overwrite").partitionBy(partition_col).parquet(out_dir)
+        if carry_mode == "manifest":
+            refs: dict[str, dict] = {}
+            if base_physical:
+                base_dir = self.version_dir(schema, base_physical)
+                prefix = f"{partition_col}="
+                for entry in os.listdir(base_dir):
+                    if not entry.startswith(prefix):
+                        continue
+                    if os.path.exists(os.path.join(out_dir, entry)):
+                        continue  # touched: freshly rewritten above
+                    src = os.path.join(base_dir, entry)
+                    refs[entry] = {
+                        "version": base_physical,
+                        "files": [
+                            f for f in os.listdir(src) if not f.startswith(("_", "."))
+                        ],
+                    }
+                # partitions the base itself carried by reference: copy the
+                # entry through — refs always name the PHYSICAL writer, so
+                # a ref never points at another ref (no transitive walks at
+                # read or retention time)
+                for entry, ref in self._carried_refs(schema, base_physical).items():
+                    if entry not in refs and not os.path.exists(
+                        os.path.join(out_dir, entry)
+                    ):
+                        refs[entry] = ref
+            tmp = os.path.join(out_dir, "_CARRIED.json.tmp")
+            with open(tmp, "w") as fh:
+                json.dump({"partition_col": partition_col, "refs": refs}, fh)
+            os.replace(tmp, os.path.join(out_dir, "_CARRIED.json"))
+            return physical
         use_copy = carry_mode == "copy"
+
+        def carry_dir(src: str, dst: str) -> None:
+            nonlocal use_copy
+            os.makedirs(dst)
+            for fname in os.listdir(src):
+                if fname.startswith(("_", ".")):
+                    continue  # write markers, not data
+                s, d = os.path.join(src, fname), os.path.join(dst, fname)
+                if use_copy:
+                    shutil.copy2(s, d)
+                    continue
+                try:
+                    os.link(s, d)
+                except OSError:
+                    if carry_mode == "link":
+                        raise
+                    use_copy = True  # store has no links: copy from here on
+                    shutil.copy2(s, d)
+
         if base_physical:
             base_dir = self.version_dir(schema, base_physical)
             prefix = f"{partition_col}="
@@ -191,23 +254,51 @@ class VersionedCatalog:
                 dst = os.path.join(out_dir, entry)
                 if os.path.exists(dst):
                     continue  # touched: freshly rewritten above
-                src = os.path.join(base_dir, entry)
-                os.makedirs(dst)
-                for fname in os.listdir(src):
-                    if fname.startswith(("_", ".")):
-                        continue  # write markers, not data
-                    s, d = os.path.join(src, fname), os.path.join(dst, fname)
-                    if use_copy:
-                        shutil.copy2(s, d)
-                        continue
-                    try:
-                        os.link(s, d)
-                    except OSError:
-                        if carry_mode == "link":
-                            raise
-                        use_copy = True  # store has no links: copy from here on
-                        shutil.copy2(s, d)
+                carry_dir(os.path.join(base_dir, entry), dst)
+            # a manifest-mode base owns only its touched partitions; the
+            # rest live in referenced host versions — materialize those
+            # here (mode switch manifest -> link/copy must not lose them)
+            for entry, ref in self._carried_refs(schema, base_physical).items():
+                dst = os.path.join(out_dir, entry)
+                if os.path.exists(dst):
+                    continue
+                carry_dir(
+                    os.path.join(self.version_dir(schema, ref["version"]), entry), dst
+                )
         return physical
+
+    def _carried_refs(self, schema: str, physical: str | None) -> dict[str, dict]:
+        """The version's carry-by-reference manifest entries ({} when the
+        version owns all of its partitions — link/copy/full modes)."""
+        if not physical:
+            return {}
+        path = os.path.join(self.version_dir(schema, physical), "_CARRIED.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as fh:
+            return json.load(fh)["refs"]
+
+    def read_version(self, spark: SparkSession, schema: str, physical: str) -> DataFrame:
+        """Read one physical version, stitching in carried-by-reference
+        partitions (``carry_mode="manifest"``): the owned partition dirs
+        plus ONE grouped partition-discovering scan per referenced host
+        version. Versions with no manifest read as a plain parquet dir."""
+        d = self.version_dir(schema, physical)
+        carried = self._carried_refs(schema, physical)
+        own = spark.read.parquet(d)
+        if not carried:
+            return own
+        by_host: dict[str, list[str]] = {}
+        for entry, ref in carried.items():
+            by_host.setdefault(ref["version"], []).append(entry)
+        out = own
+        for host, entries in sorted(by_host.items()):
+            host_dir = self.version_dir(schema, host)
+            paths = [os.path.join(host_dir, e) for e in sorted(entries)]
+            out = out.unionByName(
+                spark.read.option("basePath", host_dir).parquet(*paths)
+            )
+        return out
 
     def version_is_partitioned(self, schema: str, physical: str | None, partition_col: str) -> bool:
         """True iff the version directory is hive-partitioned on
@@ -222,7 +313,15 @@ class VersionedCatalog:
         if not os.path.isdir(d):
             return False
         prefix = f"{partition_col}="
-        return any(e.startswith(prefix) for e in os.listdir(d))
+        if any(e.startswith(prefix) for e in os.listdir(d)):
+            return True
+        # manifest-carried versions may own few/no partition dirs but are
+        # fully partitioned through their refs
+        path = os.path.join(d, "_CARRIED.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                return json.load(fh)["partition_col"] == partition_col
+        return False
 
     def publish(
         self,
@@ -271,7 +370,7 @@ class VersionedCatalog:
         physical = self.current_version(schema, table)
         if physical is None:
             raise FileNotFoundError(f"no published version for {schema}.{table}")
-        df = spark.read.parquet(self.version_dir(schema, physical))
+        df = self.read_version(spark, schema, physical)
         df.createOrReplaceTempView(f"{schema}_{table}")
         if schema == "default":
             df.createOrReplaceTempView(table)
@@ -294,7 +393,7 @@ class VersionedCatalog:
                     f"version {version} of {schema}.{table} not retained; "
                     f"available: {[version_of(v) for v in self.table_versions(schema, table)]}"
                 )
-        return spark.read.parquet(self.version_dir(schema, physical))
+        return self.read_version(spark, schema, physical)
 
     def register_all(self, spark: SparkSession) -> list[str]:
         """Re-register every published view in a fresh session (re-publish
@@ -321,11 +420,23 @@ class VersionedCatalog:
         """PHASE 4 analog: drop versions beyond retention (op #21).
 
         Never drops the currently-published version even if it is old.
+        Ref-counted for manifest-carried tables: a version past retention
+        survives as a DATA HOST while any kept version's ``_CARRIED.json``
+        still references it (at most P hosts can stay pinned — one per
+        never-rewritten partition; ``compact()`` materializes refs and
+        releases them). Link/copy/full tables have no refs and reap
+        exactly as before.
         """
         current = self.current_version(schema, table)
+        versions = self.table_versions(schema, table)
+        kept = set(versions[:retain]) | ({current} - {None})
+        referenced: set[str] = set()
+        for v in kept:
+            for ref in self._carried_refs(schema, v).values():
+                referenced.add(ref["version"])
         dropped = []
-        for physical in self.table_versions(schema, table)[retain:]:
-            if physical == current:
+        for physical in versions[retain:]:
+            if physical == current or physical in referenced:
                 continue
             shutil.rmtree(self.version_dir(schema, physical))
             dropped.append(physical)
