@@ -193,7 +193,7 @@ def properties_to_spec_dict(
             # .java:60-80); honored as the engine's jdbc sink when the caller
             # opts in (monetdb_sink=True), otherwise recorded and ignored
             # (the parquet warehouse stands in — SURVEY §7 sanctioned)
-            if parts[1] in ("user", "password", "server", "database", "port"):
+            if parts[1] in ("user", "password", "server", "database", "port", "driver"):
                 monetdb_block[parts[1]] = value.strip()
         elif head == "monetdb" and len(parts) >= 3 and parts[1] == "mail":
             field = parts[2]
@@ -310,7 +310,9 @@ def properties_to_spec_dict(
             server = f"{server}:{monetdb_block['port']}"
         options = {
             "url": f"jdbc:monetdb://{server}/{monetdb_block['database']}",
-            "driver": "nl.cwi.monetdb.jdbc.MonetDriver",
+            # the reference loads the legacy 2.x class (CopyTool.java:1152);
+            # monetdb-jdbc 3.x renamed it — monetdb.driver overrides
+            "driver": monetdb_block.get("driver") or "nl.cwi.monetdb.jdbc.MonetDriver",
         }
         if monetdb_block.get("user") and monetdb_block.get("password"):
             options["user"] = monetdb_block["user"]

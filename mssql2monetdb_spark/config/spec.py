@@ -267,6 +267,16 @@ def load_spec(spec: dict | str, env: dict[str, str] | None = None) -> JobSpec:
                     f"table {job_id!r}: a jdbc sink always publishes via the "
                     "versioned view switch (Derby has no CTAS-with-data)"
                 )
+            if job.schema_name != "default":
+                # two jobs with the same to_table in different schemas would
+                # compute the SAME physical name on the warehouse and
+                # silently replace each other — refuse until the sink path
+                # schema-qualifies its DDL and catalog probes
+                raise SpecError(
+                    f"table {job_id!r}: schema-qualified jdbc-sink targets are "
+                    "not supported yet — encode the schema in to_table "
+                    "(e.g. to_table='myschema_orders')"
+                )
 
     return JobSpec(
         sources=sources,

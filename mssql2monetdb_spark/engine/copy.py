@@ -79,7 +79,18 @@ class CopyEngine:
             # the V1 JDBC relation never pushes aggregates
             from .watermark import probe_max_jdbc
 
-            return probe_max_jdbc(self.spark, src, table, job.trigger_column)
+            try:
+                return probe_max_jdbc(self.spark, src, table, job.trigger_column)
+            except Exception:
+                # e.g. the quoted column case doesn't match the store's
+                # (Spark resolves columns case-insensitively; shipped SQL
+                # can't) — degrade to the Spark-side probe instead of
+                # losing the no-new-data skip to the fail-open rule
+                log.warning(
+                    "source-side MAX probe failed for %s — retrying Spark-side",
+                    job.job_id,
+                    exc_info=True,
+                )
         trigger_job = CopyJob(
             job_id=f"{job.job_id}__trigger",
             source=job.source,

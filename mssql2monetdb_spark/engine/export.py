@@ -36,7 +36,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config.spec import SourceSpec
-from ..sources.jdbc import bulk_dialect, jdbc_bulk_loader, jdbc_writer
+from ..sources.jdbc import jdbc_bulk_loader, jdbc_writer
 from .publish import RETAIN_VERSIONS, VERSION_RE, physical_name
 
 log = logging.getLogger(__name__)
@@ -79,7 +79,44 @@ CATALOG_SQL = {
         ),
         "view_definition": "SELECT query FROM sys.tables WHERE name = '{name}'",
     },
+    "postgresql": {
+        "exists": (
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_name = '{name}'"
+        ),
+        "is_table": (
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_name = '{name}' AND table_type = 'BASE TABLE'"
+        ),
+        "list_versions": (
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_name LIKE '{prefix}20%' AND table_type = 'BASE TABLE' "
+            "ORDER BY table_name DESC"
+        ),
+        "view_definition": (
+            "SELECT view_definition FROM information_schema.views "
+            "WHERE table_name = '{name}'"
+        ),
+    },
 }
+
+
+def parse_view_target(text: str | None) -> str | None:
+    """The physical relation a stored view definition selects FROM.
+
+    Tolerates the stores' rendering differences: optional schema
+    qualification (``"sys"."t_2024_..."``), quoting, trailing semicolon,
+    and full create-statement text (MonetDB keeps the whole
+    ``create view ... as select ...`` in ``sys.tables.query``)."""
+    if not text:
+        return None
+    text = text.strip().rstrip(";").strip()
+    m = re.search(
+        r'FROM\s+(?:"?[A-Za-z0-9_]+"?\s*\.\s*)?"?([A-Za-z0-9_]+)"?\s*$',
+        text,
+        re.IGNORECASE,
+    )
+    return m.group(1) if m else None
 
 
 @dataclass
@@ -92,17 +129,32 @@ class JdbcWarehouse:
     # -- plumbing ---------------------------------------------------------
     @property
     def dialect(self) -> str:
-        return bulk_dialect(self.source.options["url"])
+        """Catalog-probe dialect — its own gate, distinct from bulk-import
+        support: a warehouse needs CATALOG_SQL to be a sink at all (even
+        in insert mode), while server-side COPY support is the bulk
+        loader's concern."""
+        url = self.source.options["url"]
+        for prefix, name in (
+            ("jdbc:derby:", "derby"),
+            ("jdbc:monetdb:", "monetdb"),
+            ("jdbc:postgresql:", "postgresql"),
+        ):
+            if url.startswith(prefix):
+                return name
+        raise ValueError(
+            "jdbc sink requires a dialect with catalog probes "
+            f"(derby/monetdb/postgresql), got {url.split(':', 2)[:2]}"
+        )
 
     def _store_name(self, name: str) -> str:
         """Unquoted identifiers are case-normalized by the store: Derby
-        upper-cases, MonetDB lower-cases."""
+        upper-cases, MonetDB/PostgreSQL lower-case."""
         return name.upper() if self.dialect == "derby" else name.lower()
 
     def _connect(self):
-        return self.spark._jvm.java.sql.DriverManager.getConnection(  # noqa: SLF001
-            self.source.options["url"]
-        )
+        from ..sources.jdbc import driver_connection
+
+        return driver_connection(self.spark, self.source.options)
 
     def _probe_on(self, st, kind: str, **subst: str) -> list[str]:
         """Run a catalog probe on an EXISTING statement — inside the view
@@ -160,12 +212,13 @@ class JdbcWarehouse:
 
     def current_version(self, table: str) -> str | None:
         """The physical table the public view points at, parsed from the
-        stored view definition (``... FROM <physical>``)."""
+        stored view definition (``... FROM <physical>``). The pattern
+        tolerates the stores' rendering differences: optional schema
+        qualification (``"sys"."t_2024_..."``), quoting, a trailing
+        semicolon, and full create-statement text (MonetDB keeps the
+        whole ``create view ... as select ...`` in sys.tables.query)."""
         rows = self._probe("view_definition", name=self._store_name(table))
-        if not rows or rows[0] is None:
-            return None
-        m = re.search(r"FROM\s+\"?([A-Za-z0-9_]+)\"?\s*$", rows[0].strip(), re.IGNORECASE)
-        return m.group(1) if m else None
+        return parse_view_target(rows[0]) if rows else None
 
     # -- PHASE 2: load ----------------------------------------------------
     def load_version(

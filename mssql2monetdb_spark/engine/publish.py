@@ -294,6 +294,18 @@ class VersionedCatalog:
         out = own
         for host, entries in sorted(by_host.items()):
             host_dir = self.version_dir(schema, host)
+            missing = [e for e in entries if not os.path.isdir(os.path.join(host_dir, e))]
+            if missing:
+                # a host this version references was reaped: versions kept
+                # by retention are always protected (cleanup's ref count),
+                # so this is a BEYOND-retention version surviving only as a
+                # data host — not independently readable, by contract
+                raise FileNotFoundError(
+                    f"version {physical} references partitions "
+                    f"{sorted(missing)} in reaped host {host}; versions "
+                    "beyond the retention window are data hosts, not "
+                    "readable snapshots (manifest carry contract)"
+                )
             paths = [os.path.join(host_dir, e) for e in sorted(entries)]
             out = out.unionByName(
                 spark.read.option("basePath", host_dir).parquet(*paths)

@@ -129,12 +129,16 @@ def bulk_csv_options(url: str) -> dict[str, str]:
     Derby keeps the base conventions (unquoted-empty = NULL). MonetDB
     gets the reference's staging exactly: NULL rendered as ``\\N`` and
     declared to COPY with ``NULL AS '\\N'`` (``CopyTool.java:695-721``
-    serialization, ``:1058`` declaration) — quoted ``""`` stays the empty
-    string. PostgreSQL COPY's csv format uses an empty unquoted field for
-    NULL, same as Derby."""
+    serialization, ``:1058`` declaration) — plus ``quoteAll`` so a DATA
+    value that happens to be the two characters ``\\N`` is written quoted
+    and can never collide with the unquoted null token (the reference
+    quotes every serialized string for the same reason). PostgreSQL
+    COPY's csv format uses an empty unquoted field for NULL, same as
+    Derby."""
     opts = dict(BULK_CSV_OPTIONS)
     if bulk_dialect(url) == "monetdb":
         opts["nullValue"] = "\\N"
+        opts["quoteAll"] = "true"  # NULL token stays unquoted; data never does
     return opts
 
 
@@ -177,6 +181,22 @@ def server_bulk_import_sql(
         f"COPY {table} FROM '{esc}' WITH (FORMAT csv, QUOTE '\"', ESCAPE '\"')",
         [],
     )
+
+
+def driver_connection(spark: SparkSession, options: dict[str, str]):
+    """Driver-side java.sql.Connection honoring the FULL option map — the
+    ``driver`` class is loaded explicitly and ``user``/``password`` travel
+    as connection properties (DriverManager.getConnection(url) alone
+    silently drops credentials, which no embedded-Derby test ever catches
+    because Derby needs none)."""
+    jvm = spark._jvm  # noqa: SLF001
+    if options.get("driver"):
+        jvm.java.lang.Class.forName(options["driver"])
+    props = jvm.java.util.Properties()
+    for key in ("user", "password"):
+        if options.get(key):
+            props.setProperty(key, options[key])
+    return jvm.java.sql.DriverManager.getConnection(options["url"], props)
 
 
 def _execute_update(conn, sql: str) -> None:
@@ -284,7 +304,7 @@ def jdbc_bulk_loader(
         if not fallback:
             raise BulkLoadError(f"{table}: {exc}") from exc
         log.warning("bulk load of %s degraded to INSERT path: %s", table, exc)
-        conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+        conn = driver_connection(spark, source.options)
         try:
             _execute_update(conn, f"CREATE TABLE {table} ({ddl})")
         finally:
@@ -308,8 +328,7 @@ def jdbc_bulk_loader(
         writer = writer.option(k, v)
     writer.csv(csv_dir)
 
-    jvm = spark._jvm  # noqa: SLF001
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    conn = driver_connection(spark, source.options)
     try:
         _execute_update(conn, f"CREATE TABLE {table} ({ddl})")
         failure: str | None = None

@@ -300,3 +300,127 @@ def test_load_version_reclaims_unpublished_corpse(spark, wh):
     assert _view_count(spark, wh, "nation") == 5
     with pytest.raises(RuntimeError, match="live published"):
         wh.load_version(nation.limit(7), "nation", d)
+
+
+def test_driver_connection_passes_credentials(spark, tmp_path):
+    """Connections built by the engine must carry user/password — proven by
+    the session's CURRENT_USER: Derby binds the connection to the supplied
+    user (default APP otherwise). DriverManager.getConnection(url) alone
+    silently drops credentials, which Derby-only suites never catch because
+    Derby doesn't REQUIRE auth by default — asserting the bound identity
+    catches the drop anyway."""
+    from mssql2monetdb_spark.sources.jdbc import driver_connection
+
+    db = f"{tmp_path}/authdb"
+
+    def current_user(opts):
+        conn = driver_connection(spark, {"url": f"jdbc:derby:{db};create=true", **opts})
+        st = conn.createStatement()
+        try:
+            rs = st.executeQuery("VALUES CURRENT_USER")
+            rs.next()
+            return rs.getString(1)
+        finally:
+            st.close()
+            conn.close()
+
+    assert current_user({"user": "alice", "password": "s3cret"}) == "ALICE"
+    assert current_user({}) == "APP"  # Derby default when none supplied
+
+
+def test_postgresql_catalog_statement_shapes_and_dialect_gate(spark):
+    """PostgreSQL sinks probe information_schema; a dialect with no catalog
+    probes is rejected with a clear error naming the supported set."""
+    pg = CATALOG_SQL["postgresql"]
+    assert "information_schema.tables" in pg["exists"]
+    assert "table_type = 'BASE TABLE'" in pg["is_table"]
+    assert pg["list_versions"].endswith("ORDER BY table_name DESC")
+    assert "information_schema.views" in pg["view_definition"]
+
+    wh_pg = JdbcWarehouse(
+        spark, SourceSpec(name="pg", format="jdbc", options={"url": "jdbc:postgresql://h/db"})
+    )
+    assert wh_pg.dialect == "postgresql"
+    assert wh_pg._store_name("Orders_WH") == "orders_wh"
+
+    wh_bad = JdbcWarehouse(
+        spark, SourceSpec(name="ms", format="jdbc", options={"url": "jdbc:sqlserver://h"})
+    )
+    with pytest.raises(ValueError, match="catalog probes"):
+        _ = wh_bad.dialect
+
+
+def test_parse_view_target_tolerates_store_renderings():
+    """The live-version guard must survive every store's view-text shape —
+    Derby's bare SELECT, MonetDB's full create statement with quoted
+    schema-qualified names and trailing semicolon."""
+    from mssql2monetdb_spark.engine.export import parse_view_target
+
+    assert parse_view_target("SELECT * FROM nation_2024_06_01_00_00_00") == (
+        "nation_2024_06_01_00_00_00"
+    )
+    assert parse_view_target(
+        'create view "sys"."orders_wh" as select * from '
+        '"sys"."orders_wh_2024_06_02_00_00_00";'
+    ) == "orders_wh_2024_06_02_00_00_00"
+    assert parse_view_target(
+        "SELECT * FROM SYS . ORDERS_WH_2024_06_02_00_00_00 ;"
+    ) == "ORDERS_WH_2024_06_02_00_00_00"
+    assert parse_view_target(None) is None
+    assert parse_view_target("not a view definition") is None
+
+
+def test_sink_rejects_schema_qualified_jobs():
+    """Two same-named tables in different schemas would compute the SAME
+    physical warehouse name — refused loudly at spec time."""
+    from mssql2monetdb_spark.config.spec import SpecError, load_spec
+
+    with pytest.raises(SpecError, match="schema-qualified jdbc-sink"):
+        load_spec(
+            {
+                "warehouse_dir": "/tmp/x",
+                "sources": {"src": {"format": "parquet", "path": "/tmp/src"}},
+                "sink": {"format": "jdbc", "options": {"url": "jdbc:derby:/tmp/d"}},
+                "tables": {
+                    "t": {"source": "src", "from_table": "x", "schema": "s1"}
+                },
+            }
+        )
+
+
+def test_trigger_probe_falls_back_on_case_mismatch(spark, tmp_path):
+    """A trigger_column whose case doesn't match the store's quoted
+    identifier must not lose the no-new-data skip: the pushdown probe
+    fails, the engine retries Spark-side (case-insensitive resolution)."""
+    from mssql2monetdb_spark.config.spec import load_spec
+    from mssql2monetdb_spark.engine.copy import CopyEngine
+    from mssql2monetdb_spark.sources.jdbc import jdbc_writer
+
+    db = f"{tmp_path}/fbdb"
+    src = SourceSpec(
+        name="derby",
+        format="jdbc",
+        options={"url": f"jdbc:derby:{db};create=true", "driver": DERBY_DRIVER},
+    )
+    jdbc_writer(
+        load_table(spark, SF, "nation"), src, "nation", mode="overwrite",
+        locked_mode=False,
+    )
+    spec = load_spec(
+        {
+            "warehouse_dir": str(tmp_path / "wh"),
+            "state_dir": str(tmp_path / "state"),
+            "sources": {"derby": {"format": "jdbc", "options": dict(src.options)}},
+            "tables": {
+                "nation_job": {
+                    "source": "derby",
+                    "from_table": "nation",
+                    # store column is quoted lowercase "n_nationkey"
+                    "trigger": {"column": "N_NATIONKEY"},
+                }
+            },
+        }
+    )
+    engine = CopyEngine(spark, spec)
+    wm = engine._probe_job(spec.jobs["nation_job"])
+    assert (wm.value, wm.type_name) == (24, "bigint")
