@@ -39,17 +39,18 @@ from . import lifecycle  # noqa: E402,F401
 # Vacuity audit (round 5, sf0.01): every window oracle returns >0 rows —
 # checked by test_window_oracles_non_vacuous on every commit.
 GATE_PRIORITY = [
-    # --- slots 0-2: round-9 additions (never verified) ---
+    # --- slots 0-3: round-9 additions (never verified) ---
     "copy_multi_table_guard",
     "fn_variant_json",
     "jdbc_warehouse_publish",
-    # --- slots 3-7: changed building code this round ---
+    "join_lateral_topn",
+    # --- slots 4-8: changed building code this round ---
     "jdbc_roundtrip_lineitem",
     "jdbc_roundtrip_typelattice",
     "stream_lifecycle_partitioned",
     "stream_lifecycle_publish",
     "copy_incremental_watermark",
-    # --- slots 8-49: canaries, least-recently-verified first (the 13
+    # --- slots 9-49: canaries, least-recently-verified first (the 13
     # r3-aged TPC-H shapes lead; the displaced r4 canaries head the r10
     # queue) ---
     "tpch_q2_min_cost_supplier",
@@ -93,7 +94,6 @@ GATE_PRIORITY = [
     "text_ngram_novelty",
     "sample_semantic_coverage",
     "mix_sqrt_temperature",
-    "vocab_token_freq_stats",
 ]
 
 GATE_WINDOW = 50
@@ -107,7 +107,7 @@ GATE_WINDOW = 50
 #      round (even when the output is identical by construction);
 #   3. canaries, least-recently-verified first (ties broken by
 #      registration order), filling the window to 50.
-# With 201 queries and ~42 canary slots per round, every query's verdict
+# With 202 queries and ~41 canary slots per round, every query's verdict
 # age stays <= ~4 rounds; the per-family representation guarantee is
 # enforced structurally by test_every_capability_family_verified_or_
 # inside_window. NEXT_WINDOW_QUEUE below pre-stages round 10 under this
@@ -115,6 +115,7 @@ GATE_WINDOW = 50
 # (computed from CORRECTNESS_r01-r08 — the displaced r4 canaries first,
 # then the r6 block), ties by registration order.
 NEXT_WINDOW_QUEUE = [
+    "vocab_token_freq_stats",
     "quality_unigram_rarity",
     "quality_lm_bigram",
     "index_inverted_postings",

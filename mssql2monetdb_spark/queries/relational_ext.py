@@ -1320,3 +1320,43 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_cols=["event_id", "value"],
     ).orderBy("event_id")
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, l.o_orderkey, l.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 2) l
+        ORDER BY c.c_custkey, l.o_orderkey
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table with ORDER BY + LIMIT — the
+    per-group top-N expressed as a join, not a window: each customer row
+    drives a top-2-orders subquery. Both engines run the identical SQL.
+
+    Scale note: Catalyst DECORRELATES this (no per-row re-execution) into
+    exactly the plan a hand-written window top-k would get —
+    ``WindowGroupLimit`` (partial, rank <= 2 inside each partition before
+    any shuffle) + one hash join back to the driving side; customers here
+    broadcast. The lateral FORM is what the surface needs (arbitrary
+    correlated SQL in FROM, ``CopyToolConfig.java:856-867``); the plan is
+    proof it costs the same as the idiomatic rewrite.
+    """
+    t = Tables(spark, sf_dir)
+    return sql_with_views(
+        spark,
+        """
+        SELECT c.c_custkey, c.c_name, l.o_orderkey, l.o_totalprice
+        FROM {customer} c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM {orders} o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 2) l
+        ORDER BY c.c_custkey, l.o_orderkey
+        """,
+        customer=t.customer,
+        orders=t.orders,
+    )
