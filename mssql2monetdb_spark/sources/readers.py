@@ -82,5 +82,13 @@ def register_source_views(spark: SparkSession, source: SourceSpec) -> None:
 
 
 def write_csv_compat(df: DataFrame, path: str) -> None:
-    """Reference-convention CSV sink: ``\\N`` nulls, quoted+escaped fields."""
+    """Reference-convention CSV sink: ``\\N`` nulls, quoted+escaped fields.
+
+    Spark-internal round-trip surface: Spark's reader matches ``nullValue``
+    after unquoting, so the quoted ``"\\N"`` this writer emits for NULL
+    reads back as NULL through :data:`CSV_OPTIONS`. It is NOT a bulk-load
+    staging format — a server-side COPY parser distinguishes the quoted
+    token from the bare one; that path uses
+    :func:`..jdbc.monetdb_staged_frame`, which keeps the null token
+    unquoted exactly like the reference's serializer."""
     df.write.mode("overwrite").options(**CSV_OPTIONS, quoteAll="true").csv(path)

@@ -395,10 +395,7 @@ def test_copy_engine_trigger_probe_uses_jdbc_pushdown(spark, derby_source, tmp_p
 def test_bulk_import_sql_dialect_statements():
     """Statement-shape parity with the reference's COPY INTO builder
     (CopyTool.java:1042-1071 file path, :988 NULL token) per dialect."""
-    from mssql2monetdb_spark.sources.jdbc import (
-        bulk_csv_options,
-        server_bulk_import_sql,
-    )
+    from mssql2monetdb_spark.sources.jdbc import server_bulk_import_sql
 
     sql, params = server_bulk_import_sql("jdbc:derby:/x/db", "t", "/stage/p1")
     assert sql == "CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(NULL, ?, ?, NULL, NULL, 'UTF-8', 0)"
@@ -420,12 +417,73 @@ def test_bulk_import_sql_dialect_statements():
     )
     assert sql == "COPY t FROM '/stage/it''s' WITH (FORMAT csv, QUOTE '\"', ESCAPE '\"')"
 
-    # staging options follow the dialect: MonetDB declares \N nulls
-    assert bulk_csv_options("jdbc:monetdb://h/db")["nullValue"] == "\\N"
-    assert "nullValue" not in bulk_csv_options("jdbc:derby:/x/db")
-
     with pytest.raises(ValueError):
         server_bulk_import_sql("jdbc:h2:mem:x", "t", "/p")
+
+
+def test_import_concurrency_clamps_by_dialect():
+    """Parallel per-part COPY is opt-in and only where the server allows
+    concurrent COPYs into one table: PostgreSQL honors the request;
+    Derby (table-locking import proc) and MonetDB (COPY serializes,
+    always under LOCKED) clamp to the reference's single connection."""
+    from mssql2monetdb_spark.sources.jdbc import effective_import_concurrency
+
+    assert effective_import_concurrency("jdbc:postgresql://h/db", 4) == 4
+    assert effective_import_concurrency("jdbc:derby:/x/db", 4) == 1
+    assert effective_import_concurrency("jdbc:monetdb://h/db", 4) == 1
+    assert effective_import_concurrency("jdbc:postgresql://h/db", 1) == 1
+    assert effective_import_concurrency("jdbc:postgresql://h/db", 0) == 1
+
+
+def test_monetdb_staging_serializer_reference_bytes(spark, tmp_path):
+    """Byte-exact pin of the MonetDB staging serialization against the
+    reference's writer (CopyTool.java:691-733): NULL is the bare UNQUOTED
+    token \\N; every non-null value is quoted with backslash escaping
+    (\\ -> \\\\ before " -> \\"). The round-8 csv-writer staging
+    (quoteAll + nullValue) violated this — it quoted the null token, so a
+    staged NULL was byte-identical to a quoted literal-\\N data value and
+    string NULLs would load as the 2-char literal with no row-count
+    shortfall to trip the loader's verification."""
+    import datetime
+
+    from mssql2monetdb_spark.sources.jdbc import (
+        monetdb_staged_frame,
+        stage_bulk_frame,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain", 1.5, datetime.date(2024, 1, 2)),
+            (2, None, None, None),                 # NULLs of every type
+            (3, "\\N", 0.25, datetime.date(2024, 3, 4)),   # literal \N DATA
+            (4, 'say "hi"', -2.0, datetime.date(2024, 5, 6)),  # embedded quote
+            (5, "back\\slash", 1e-8, datetime.date(2024, 7, 8)),  # backslash
+        ],
+        "k bigint, s string, d double, dt date",
+    )
+    lines = {
+        r["value"]
+        for r in monetdb_staged_frame(df).collect()
+    }
+    assert lines == {
+        '"1","plain","1.5","2024-01-02"',
+        '"2",\\N,\\N,\\N',
+        '"3","\\\\N","0.25","2024-03-04"',
+        '"4","say \\"hi\\"","-2.0","2024-05-06"',
+        '"5","back\\\\slash","1.0E-8","2024-07-08"',
+    }
+    # a staged NULL (bare \N) is now DISTINCT from a literal-\N data value
+    # ("\\N"): the collision the csv writer could not avoid
+    assert '"2",\\N,\\N,\\N' != '"3","\\\\N","0.25","2024-03-04"'
+
+    # the dialect-dispatched staging write emits those exact lines as text
+    # part files (Derby/PG keep the csv writer)
+    out = str(tmp_path / "stage_mdb")
+    stage_bulk_frame(df, "jdbc:monetdb://h:50000/db", out)
+    staged = set()
+    for part in (tmp_path / "stage_mdb").glob("part-*"):
+        staged |= {ln for ln in part.read_text().splitlines() if ln}
+    assert staged == lines
 
 
 def test_bulk_loader_unknown_dialect_strict_raises(spark):
