@@ -59,6 +59,8 @@ class CopyEngine:
         self.spec = spec
         self.catalog = VersionedCatalog(spec.warehouse_dir)
         self.store = WatermarkStore(spec.state_dir)
+        # consecutive source-side-probe degradations per job (see _probe_job)
+        self._probe_degradations: dict[str, int] = {}
         self.checksum = spec_checksum(spec)
         # optional JDBC sink: publishes land in a real warehouse through the
         # reference's versioned-table + view-switch protocol (engine/export)
@@ -80,17 +82,34 @@ class CopyEngine:
             from .watermark import probe_max_jdbc
 
             try:
-                return probe_max_jdbc(self.spark, src, table, job.trigger_column)
+                wm = probe_max_jdbc(self.spark, src, table, job.trigger_column)
+                self._probe_degradations.pop(job.job_id, None)
+                return wm
             except Exception:
-                # e.g. the quoted column case doesn't match the store's
-                # (Spark resolves columns case-insensitively; shipped SQL
-                # can't) — degrade to the Spark-side probe instead of
-                # losing the no-new-data skip to the fail-open rule
-                log.warning(
-                    "source-side MAX probe failed for %s — retrying Spark-side",
-                    job.job_id,
-                    exc_info=True,
+                # both identifier casings failed (probe_max_jdbc's quoted ->
+                # unquoted ladder) — degrade to the Spark-side probe instead
+                # of losing the no-new-data skip to the fail-open rule. The
+                # Spark-side probe pulls the whole trigger column across the
+                # wire, so REPEATED degradation (same job, consecutive runs)
+                # escalates to ERROR: at a 100 TB source that is a standing
+                # scale regression, not a transient.
+                n = self._probe_degradations.get(job.job_id, 0) + 1
+                self._probe_degradations[job.job_id] = n
+                msg = (
+                    "source-side MAX probe failed for %s — degrading to the "
+                    "Spark-side full-column probe (run %d)"
                 )
+                if n >= 2:
+                    log.error(
+                        msg + "; this is persistent — the pushdown's "
+                        "one-row-across-the-wire property is LOST every run; "
+                        "fix the trigger column's identifier case",
+                        job.job_id,
+                        n,
+                        exc_info=True,
+                    )
+                else:
+                    log.warning(msg, job.job_id, n, exc_info=True)
         trigger_job = CopyJob(
             job_id=f"{job.job_id}__trigger",
             source=job.source,

@@ -178,6 +178,7 @@ class JdbcWarehouse:
 
     def _execute(self, *statements: str, transactional: bool = False) -> None:
         conn = self._connect()
+        committed = False
         try:
             if transactional:
                 conn.setAutoCommit(False)
@@ -189,7 +190,16 @@ class JdbcWarehouse:
                 st.close()
             if transactional:
                 conn.commit()
+                committed = True
         finally:
+            # roll back an open transaction before close: embedded Derby
+            # raises SQLState 25001 from close() on an active transaction,
+            # which would mask the original failure and leak the connection
+            if transactional and not committed:
+                try:
+                    conn.rollback()
+                except Exception:  # noqa: BLE001 — closing anyway
+                    log.warning("rollback before close failed", exc_info=True)
             conn.close()
 
     # -- catalog probes (ops #15-16, MonetDBUtil.java:41-88) --------------
@@ -286,6 +296,7 @@ class JdbcWarehouse:
             raise FileNotFoundError(f"physical table {physical} does not exist")
         store = self._store_name(table)
         conn = self._connect()
+        committed = False
         try:
             conn.setAutoCommit(False)
             st = conn.createStatement()
@@ -305,7 +316,16 @@ class JdbcWarehouse:
             finally:
                 st.close()
             conn.commit()
+            committed = True
         finally:
+            # a failed switch must roll back before close (see _execute):
+            # readers keep the OLD view, and the original exception — not
+            # Derby's 25001 active-transaction close error — propagates
+            if not committed:
+                try:
+                    conn.rollback()
+                except Exception:  # noqa: BLE001 — closing anyway
+                    log.warning("rollback before close failed", exc_info=True)
             conn.close()
 
     # -- PHASE 4: retention (CopyTool.java:554-602) ------------------------

@@ -87,7 +87,9 @@ def probe_max(df: DataFrame, column: str) -> Watermark | None:
     return _typed_watermark(row["m"], column)
 
 
-def jdbc_max_probe_frame(spark, source, table: str, column: str) -> DataFrame:
+def jdbc_max_probe_frame(
+    spark, source, table: str, column: str, *, quoted: bool = True
+) -> DataFrame:
     """One-row frame whose MAX executes ON the source server.
 
     Query-mode pushdown (``SELECT MAX("col") AS m FROM table`` shipped
@@ -97,9 +99,13 @@ def jdbc_max_probe_frame(spark, source, table: str, column: str) -> DataFrame:
     table size. Spark's V1 JDBC relation never pushes a Spark-side
     ``agg(max(...))`` down (pinned by ``tests/test_watermark.py``), so
     at a 100 TB source the Spark-side form is a full-column pull — this
-    frame is the scale-correct probe shape. The column is double-quoted
-    (ANSI; Spark's JDBC writer creates case-exact quoted identifiers);
-    the table name travels verbatim like every other ``dbtable`` here.
+    frame is the scale-correct probe shape. With ``quoted=True`` (default)
+    the column is double-quoted (ANSI; matches the case-exact quoted
+    identifiers Spark's JDBC writer creates); ``quoted=False`` ships the
+    bare identifier so the STORE case-normalizes it (columns created
+    unquoted are stored upper- or lower-cased and never match a quoted
+    probe). The table name travels verbatim like every other ``dbtable``
+    here.
     """
     opts = {
         k: v
@@ -114,14 +120,36 @@ def jdbc_max_probe_frame(spark, source, table: str, column: str) -> DataFrame:
             "numPartitions",
         )
     }
-    opts["query"] = f'SELECT MAX("{column}") AS m FROM {table}'
+    ident = f'"{column}"' if quoted else column
+    opts["query"] = f"SELECT MAX({ident}) AS m FROM {table}"
     return spark.read.format("jdbc").options(**opts).load()
 
 
 def probe_max_jdbc(spark, source, table: str, column: str) -> Watermark | None:
     """Typed watermark from the source-side MAX probe (see
-    :func:`jdbc_max_probe_frame`)."""
-    value = jdbc_max_probe_frame(spark, source, table, column).collect()[0][0]
+    :func:`jdbc_max_probe_frame`).
+
+    Identifier-case ladder: the quoted form is tried first (Spark-written
+    case-exact columns), then the UNQUOTED form (store-case-normalized —
+    a column created unquoted is stored upper-cased in Derby/MSSQL-style
+    stores and the quoted engine-cased probe fails on EVERY run, which
+    would otherwise silently trade the one-row pushdown for the caller's
+    Spark-side full-column pull at a 100 TB source). Only when both forms
+    fail does the exception reach the caller's degradation path."""
+    try:
+        value = jdbc_max_probe_frame(spark, source, table, column).collect()[0][0]
+    except Exception:
+        log.warning(
+            "quoted MAX probe failed for %s.%s — retrying with the "
+            "store-cased unquoted identifier",
+            table,
+            column,
+            exc_info=True,
+        )
+        value = (
+            jdbc_max_probe_frame(spark, source, table, column, quoted=False)
+            .collect()[0][0]
+        )
     return _typed_watermark(value, column)
 
 

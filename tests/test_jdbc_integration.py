@@ -364,6 +364,37 @@ def test_jdbc_watermark_probe_pushes_max_to_source(spark, derby_source):
     assert probe_max(naive, "n_nationkey").value == 24
 
 
+def test_jdbc_watermark_probe_retries_store_cased_identifier(spark, tmp_path):
+    """A source column created UNQUOTED is stored case-normalized (Derby:
+    uppercase), so the quoted engine-cased probe fails on every run. The
+    probe ladder must retry with the bare identifier — keeping the
+    one-row pushdown — instead of letting the caller degrade to the
+    Spark-side full-column pull forever."""
+    from mssql2monetdb_spark.engine.watermark import probe_max_jdbc
+    from mssql2monetdb_spark.sources.jdbc import driver_connection
+
+    db = f"{tmp_path}/casedb"
+    src = SourceSpec(
+        name="derby",
+        format="jdbc",
+        options={"url": f"jdbc:derby:{db};create=true", "driver": DERBY_DRIVER},
+    )
+    conn = driver_connection(spark, src.options)
+    try:
+        st = conn.createStatement()
+        # unquoted DDL: Derby stores the column as N_KEY (uppercase)
+        st.execute("CREATE TABLE up_t (n_key BIGINT)")
+        st.execute("INSERT INTO up_t VALUES (7), (42)")
+        st.close()
+    finally:
+        conn.close()
+
+    # quoted probe 'SELECT MAX("n_key")' fails (no lowercase column);
+    # the unquoted retry is store-case-normalized and succeeds
+    wm = probe_max_jdbc(spark, src, "up_t", "n_key")
+    assert (wm.value, wm.type_name) == (42, "bigint")
+
+
 def test_copy_engine_trigger_probe_uses_jdbc_pushdown(spark, derby_source, tmp_path):
     """CopyEngine's PHASE-0 trigger probe against a JDBC source routes
     through the source-side MAX (typed watermark, correct value)."""

@@ -80,6 +80,26 @@ def test_publish_missing_physical_fails_loudly(spark, wh):
         wh.publish("nation", "nation_2024_06_01_00_00_00")
 
 
+def test_publish_failure_rolls_back_and_keeps_old_view(spark, wh):
+    """A mid-transaction switch failure must roll back before close: the
+    ORIGINAL error propagates (not Derby's SQLState 25001 'cannot close
+    connection with active transaction' from conn.close()) and readers
+    keep the OLD view — the atomicity the transactional switch exists
+    for (MonetDBUtil.java:442-529)."""
+    nation = load_table(spark, SF, "nation")
+    p1 = wh.load_version(nation.limit(5), "nation", datetime(2024, 6, 1))
+    wh.publish("nation", p1)
+    # a dependent view makes the switch's DROP VIEW fail mid-transaction
+    wh._execute("CREATE VIEW nation_dep AS SELECT * FROM nation")
+    p2 = wh.load_version(nation.limit(10), "nation", datetime(2024, 6, 2))
+    with pytest.raises(Exception) as ei:
+        wh.publish("nation", p2)
+    assert "25001" not in str(ei.value)
+    # the old view survived the failed switch intact
+    assert wh.current_version("nation").lower() == p1.lower()
+    assert _view_count(spark, wh, "nation") == 5
+
+
 def test_cleanup_never_drops_published_version(spark, wh):
     """Even when the view points at an OLD version (rollback), retention
     must not reap it — same contract as the parquet catalog."""
