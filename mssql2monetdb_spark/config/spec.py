@@ -267,16 +267,23 @@ def load_spec(spec: dict | str, env: dict[str, str] | None = None) -> JobSpec:
                     f"table {job_id!r}: a jdbc sink always publishes via the "
                     "versioned view switch (Derby has no CTAS-with-data)"
                 )
-            if job.schema_name != "default":
-                # two jobs with the same to_table in different schemas would
-                # compute the SAME physical name on the warehouse and
-                # silently replace each other — refuse until the sink path
-                # schema-qualifies its DDL and catalog probes
+        # schema-qualified sink targets (round 10): each job publishes into
+        # its own warehouse schema (reference MonetDBTable.java:12-25;
+        # identifiers schema-qualified per MonetDBUtil.java:301-333; schema
+        # lowercased at config time, CopyToolConfig.java:875-876 — matched
+        # by load_spec's .lower() above). Same-named targets must still be
+        # unique per (schema, table): two jobs writing one view would race
+        # the switch.
+        seen_targets: dict[tuple[str, str], str] = {}
+        for job_id, job in jobs.items():
+            key = (job.schema_name, job.to_table.lower())
+            if key in seen_targets:
                 raise SpecError(
-                    f"table {job_id!r}: schema-qualified jdbc-sink targets are "
-                    "not supported yet — encode the schema in to_table "
-                    "(e.g. to_table='myschema_orders')"
+                    f"tables {seen_targets[key]!r} and {job_id!r} both target "
+                    f"jdbc sink {job.schema_name}.{job.to_table} — targets "
+                    "must be unique per (schema, table)"
                 )
+            seen_targets[key] = job_id
 
     return JobSpec(
         sources=sources,

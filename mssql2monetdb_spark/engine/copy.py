@@ -373,6 +373,12 @@ class CopyEngine:
                 self.store.save(self.checksum, probe, job_id)
         return published
 
+    @staticmethod
+    def _sink_schema(job) -> str | None:
+        """Warehouse schema for a job: ``None`` (the connection's default
+        schema, unqualified SQL) for the config's ``default`` namespace."""
+        return None if job.schema_name == "default" else job.schema_name
+
     def _do_copy_jdbc_sink(
         self, *, no_switch: bool, switch_only: bool, load_date: datetime
     ) -> dict[str, str]:
@@ -391,15 +397,21 @@ class CopyEngine:
         wh = self.warehouse
         published: dict[str, str] = {}
 
+        # map the config's "default" namespace to the connection's default
+        # schema (unqualified SQL, the pre-round-10 behavior); any other
+        # schema name qualifies every statement and scopes every catalog
+        # probe (reference MonetDBTable.java:12-25)
+
         if switch_only:
             for job in self.spec.jobs.values():
-                versions = wh.table_versions(job.to_table)
+                schema = self._sink_schema(job)
+                versions = wh.table_versions(job.to_table, schema=schema)
                 if not versions:
                     raise FileNotFoundError(
                         f"switch-only: no loaded version for {job.to_table}"
                     )
-                wh.publish(job.to_table, versions[0])
-                wh.cleanup(job.to_table)
+                wh.publish(job.to_table, versions[0], schema=schema)
+                wh.cleanup(job.to_table, schema=schema)
                 # report in the engine's canonical lowercase (store listings
                 # come back store-cased; unquoted SQL resolves either way)
                 published[job.job_id] = versions[0].lower()
@@ -413,9 +425,10 @@ class CopyEngine:
         loaded: dict[str, str] = {}
         for job_id, df in frames.items():
             job = self.spec.jobs[job_id]
+            schema = self._sink_schema(job)
             if job.drop:
-                wh.drop_table(job.to_table)
-            if not job.create and not wh.exists(job.to_table):
+                wh.drop_table(job.to_table, schema=schema)
+            if not job.create and not wh.exists(job.to_table, schema=schema):
                 raise FileNotFoundError(
                     f"target {job.to_table} does not exist and create=False"
                 )
@@ -428,6 +441,7 @@ class CopyEngine:
                 method=self.spec.sink_method,
                 staging_dir=self.spec.sink_staging_dir,
                 expected_count=counts[job_id],
+                schema=schema,
             )
 
         if no_switch:
@@ -435,10 +449,11 @@ class CopyEngine:
 
         for job_id, physical in loaded.items():
             job = self.spec.jobs[job_id]
-            wh.publish(job.to_table, physical)
+            wh.publish(job.to_table, physical, schema=self._sink_schema(job))
             published[job_id] = physical
         for job_id in published:
-            wh.cleanup(self.spec.jobs[job_id].to_table)
+            job = self.spec.jobs[job_id]
+            wh.cleanup(job.to_table, schema=self._sink_schema(job))
 
         for job_id, probe in probes.items():
             if probe is not None:
@@ -475,12 +490,14 @@ class CopyEngine:
     def table(self, table: str, schema: str = "default") -> DataFrame:
         if self.warehouse is not None:
             # jdbc sink: the published name is a VIEW on the warehouse
+            # (schema-qualified when the job declared a non-default schema)
             from ..sources.readers import read_source
 
+            name = table if schema == "default" else f"{schema}.{table}"
             return read_source(
                 self.spark,
                 self.spec.sink,
-                CopyJob(job_id=f"read_{table}", source="_sink", from_table=table),
+                CopyJob(job_id=f"read_{table}", source="_sink", from_table=name),
             )
         self.catalog.register_view(self.spark, schema, table)
         name = table if schema == "default" else f"{schema}_{table}"

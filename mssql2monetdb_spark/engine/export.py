@@ -41,63 +41,103 @@ from .publish import RETAIN_VERSIONS, VERSION_RE, physical_name
 
 log = logging.getLogger(__name__)
 
-#: dialect-specific catalog probe SQL; {name}/{prefix} are substituted with
-#: store-cased identifiers (Derby upper-cases unquoted names, MonetDB
-#: lower-cases them — SourceDatabaseType semantics).
+#: dialect-specific catalog probes; {name}/{prefix}/{schema} are substituted
+#: with store-cased identifiers (Derby upper-cases unquoted names,
+#: MonetDB/PostgreSQL lower-case them — SourceDatabaseType semantics).
+#: EVERY probe is schema-scoped, exactly like the reference's
+#: (MonetDBTable.java:12-25 carries a schema; MonetDBUtil.java:41-88 scopes
+#: every probe with a sys.schemas subselect; CopyToolConfig.java:875-876
+#: lowercases the schema at config time). An unscoped probe would let two
+#: same-named tables in different schemas satisfy each other's existence
+#: checks — and default-namespace retention would try to DROP another
+#: schema's same-prefixed versions. Jobs without a declared schema scope to
+#: the CONNECTION's current schema (where their unqualified DDL lands).
 CATALOG_SQL = {
     "derby": {
         "exists": (
-            "SELECT TABLENAME FROM SYS.SYSTABLES "
-            "WHERE TABLENAME = '{name}' AND TABLETYPE IN ('T', 'V')"
+            "SELECT t.TABLENAME FROM SYS.SYSTABLES t "
+            "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID "
+            "WHERE t.TABLENAME = '{name}' AND t.TABLETYPE IN ('T', 'V') "
+            "AND s.SCHEMANAME = '{schema}'"
         ),
         "is_table": (
-            "SELECT TABLENAME FROM SYS.SYSTABLES "
-            "WHERE TABLENAME = '{name}' AND TABLETYPE = 'T'"
+            "SELECT t.TABLENAME FROM SYS.SYSTABLES t "
+            "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID "
+            "WHERE t.TABLENAME = '{name}' AND t.TABLETYPE = 'T' "
+            "AND s.SCHEMANAME = '{schema}'"
         ),
         "list_versions": (
-            "SELECT TABLENAME FROM SYS.SYSTABLES "
-            "WHERE TABLETYPE = 'T' AND TABLENAME LIKE '{prefix}20%' "
-            "ORDER BY TABLENAME DESC"
+            "SELECT t.TABLENAME FROM SYS.SYSTABLES t "
+            "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID "
+            "WHERE t.TABLETYPE = 'T' AND t.TABLENAME LIKE '{prefix}20%' "
+            "AND s.SCHEMANAME = '{schema}' ORDER BY t.TABLENAME DESC"
         ),
         "view_definition": (
             "SELECT v.VIEWDEFINITION FROM SYS.SYSVIEWS v "
             "JOIN SYS.SYSTABLES t ON v.TABLEID = t.TABLEID "
-            "WHERE t.TABLENAME = '{name}'"
+            "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID "
+            "WHERE t.TABLENAME = '{name}' AND s.SCHEMANAME = '{schema}'"
         ),
     },
-    # reference statements, near-verbatim (schema clause omitted: the
-    # engine's SourceSpec URL already pins the database/schema):
-    # exists/is_table = MonetDBUtil.java:41-88; list = CopyTool.java:562-565
+    # the reference's statements, verbatim subselect (MonetDBUtil.java:48,73)
     "monetdb": {
-        "exists": "SELECT name FROM sys.tables WHERE name = '{name}'",
+        "exists": (
+            "SELECT name FROM sys.tables WHERE name = '{name}' AND schema_id = "
+            "(SELECT id FROM sys.schemas WHERE LOWER(name) = LOWER('{schema}'))"
+        ),
         "is_table": (
-            "SELECT name FROM sys.tables WHERE name = '{name}' AND query IS NULL"
+            "SELECT name FROM sys.tables WHERE name = '{name}' AND query IS NULL "
+            "AND schema_id = "
+            "(SELECT id FROM sys.schemas WHERE LOWER(name) = LOWER('{schema}'))"
         ),
         "list_versions": (
             "SELECT name FROM sys.tables WHERE name LIKE '{prefix}20%' "
-            "AND query IS NULL ORDER BY name DESC"
+            "AND query IS NULL AND schema_id = "
+            "(SELECT id FROM sys.schemas WHERE LOWER(name) = LOWER('{schema}')) "
+            "ORDER BY name DESC"
         ),
-        "view_definition": "SELECT query FROM sys.tables WHERE name = '{name}'",
+        "view_definition": (
+            "SELECT query FROM sys.tables WHERE name = '{name}' AND schema_id = "
+            "(SELECT id FROM sys.schemas WHERE LOWER(name) = LOWER('{schema}'))"
+        ),
     },
     "postgresql": {
         "exists": (
             "SELECT table_name FROM information_schema.tables "
-            "WHERE table_name = '{name}'"
+            "WHERE table_name = '{name}' AND table_schema = '{schema}'"
         ),
         "is_table": (
             "SELECT table_name FROM information_schema.tables "
-            "WHERE table_name = '{name}' AND table_type = 'BASE TABLE'"
+            "WHERE table_name = '{name}' AND table_type = 'BASE TABLE' "
+            "AND table_schema = '{schema}'"
         ),
         "list_versions": (
             "SELECT table_name FROM information_schema.tables "
             "WHERE table_name LIKE '{prefix}20%' AND table_type = 'BASE TABLE' "
-            "ORDER BY table_name DESC"
+            "AND table_schema = '{schema}' ORDER BY table_name DESC"
         ),
         "view_definition": (
             "SELECT view_definition FROM information_schema.views "
-            "WHERE table_name = '{name}'"
+            "WHERE table_name = '{name}' AND table_schema = '{schema}'"
         ),
     },
+}
+
+#: schema-existence probe per dialect ({schema} store-cased)
+SCHEMA_EXISTS_SQL = {
+    "derby": "SELECT SCHEMANAME FROM SYS.SYSSCHEMAS WHERE SCHEMANAME = '{schema}'",
+    "monetdb": "SELECT name FROM sys.schemas WHERE LOWER(name) = LOWER('{schema}')",
+    "postgresql": (
+        "SELECT schema_name FROM information_schema.schemata "
+        "WHERE schema_name = '{schema}'"
+    ),
+}
+
+#: the connection's current (default) schema — where unqualified DDL lands
+CURRENT_SCHEMA_SQL = {
+    "derby": "VALUES CURRENT SCHEMA",
+    "monetdb": "SELECT current_schema",
+    "postgresql": "SELECT current_schema",
 }
 
 
@@ -151,26 +191,67 @@ class JdbcWarehouse:
         upper-cases, MonetDB/PostgreSQL lower-case."""
         return name.upper() if self.dialect == "derby" else name.lower()
 
+    @staticmethod
+    def _qualify(name: str, schema: str | None) -> str:
+        """Schema-qualified identifier for DDL/DML — the reference's
+        ``getToTableSql`` shape (``MonetDBTable.java:45-49``); unqualified
+        (the connection's default schema) when no schema is given."""
+        return f"{schema}.{name}" if schema else name
+
     def _connect(self):
         from ..sources.jdbc import driver_connection
 
         return driver_connection(self.spark, self.source.options)
 
-    def _probe_on(self, st, kind: str, **subst: str) -> list[str]:
+    def _current_schema(self) -> str:
+        """The connection's current schema (cached — fixed connection
+        options mean it cannot change): Derby's default is the user name
+        (APP when none), MonetDB/PostgreSQL report ``current_schema``.
+        Unqualified DDL lands here, so probes for unqualified targets
+        scope to exactly this namespace."""
+        cached = self.__dict__.get("_cur_schema")
+        if cached is None:
+            conn = self._connect()
+            try:
+                st = conn.createStatement()
+                try:
+                    rs = st.executeQuery(CURRENT_SCHEMA_SQL[self.dialect])
+                    rs.next()
+                    cached = rs.getString(1)
+                finally:
+                    st.close()
+            finally:
+                conn.close()
+            self.__dict__["_cur_schema"] = cached
+        return cached
+
+    def _resolve_schema(self, schema: str | None) -> str:
+        """Store-cased probe scope: the declared schema, else the
+        connection's current schema (idempotent under _store_name —
+        the stores report it already case-normalized)."""
+        return self._store_name(schema) if schema else self._current_schema()
+
+    def _probe_on(self, st, kind: str, *, schema: str | None = None, **subst: str) -> list[str]:
         """Run a catalog probe on an EXISTING statement — inside the view
-        switch this sees the transaction's own uncommitted drops."""
-        rs = st.executeQuery(CATALOG_SQL[self.dialect][kind].format(**subst))
+        switch this sees the transaction's own uncommitted drops. Always
+        schema-scoped (the reference's sys.schemas subselect,
+        ``MonetDBUtil.java:41-88``): to the declared schema, else to the
+        connection's current schema, where unqualified DDL lands."""
+        sql = CATALOG_SQL[self.dialect][kind].format(
+            schema=self._resolve_schema(schema), **subst
+        )
+        rs = st.executeQuery(sql)
         out = []
         while rs.next():
             out.append(rs.getString(1))
         return out
 
-    def _probe(self, kind: str, **subst: str) -> list[str]:
+    def _probe(self, kind: str, *, schema: str | None = None, **subst: str) -> list[str]:
         conn = self._connect()
         try:
             st = conn.createStatement()
             try:
-                return self._probe_on(st, kind, **subst)
+                return self._probe_on(st, kind, schema=schema, **subst)
             finally:
                 st.close()
         finally:
@@ -203,31 +284,59 @@ class JdbcWarehouse:
             conn.close()
 
     # -- catalog probes (ops #15-16, MonetDBUtil.java:41-88) --------------
-    def exists(self, name: str) -> bool:
-        return bool(self._probe("exists", name=self._store_name(name)))
+    def exists(self, name: str, *, schema: str | None = None) -> bool:
+        return bool(self._probe("exists", name=self._store_name(name), schema=schema))
 
-    def is_table(self, name: str) -> bool:
-        return bool(self._probe("is_table", name=self._store_name(name)))
+    def is_table(self, name: str, *, schema: str | None = None) -> bool:
+        return bool(
+            self._probe("is_table", name=self._store_name(name), schema=schema)
+        )
 
-    def table_versions(self, table: str) -> list[str]:
+    def schema_exists(self, schema: str) -> bool:
+        conn = self._connect()
+        try:
+            st = conn.createStatement()
+            try:
+                rs = st.executeQuery(
+                    SCHEMA_EXISTS_SQL[self.dialect].format(
+                        schema=self._store_name(schema)
+                    )
+                )
+                return bool(rs.next())
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
+    def ensure_schema(self, schema: str) -> None:
+        """Create the warehouse schema if absent (idempotent). The
+        reference assumes its configured schemas pre-exist on MonetDB;
+        creating lazily keeps the first load of a new schema-qualified
+        target from failing on a missing namespace."""
+        if not self.schema_exists(schema):
+            self._execute(f"CREATE SCHEMA {schema}")
+
+    def table_versions(self, table: str, *, schema: str | None = None) -> list[str]:
         """All physical versions, newest first (CopyTool.java:562-565 —
         client-side regex confirms the version suffix, same as the parquet
         catalog's listing filter)."""
         store = self._store_name(table)
         out = []
-        for name in self._probe("list_versions", prefix=f"{store}_"):
+        for name in self._probe("list_versions", prefix=f"{store}_", schema=schema):
             if VERSION_RE.search(name) and name[:-20] == store:
                 out.append(name)
         return out
 
-    def current_version(self, table: str) -> str | None:
+    def current_version(self, table: str, *, schema: str | None = None) -> str | None:
         """The physical table the public view points at, parsed from the
         stored view definition (``... FROM <physical>``). The pattern
         tolerates the stores' rendering differences: optional schema
         qualification (``"sys"."t_2024_..."``), quoting, a trailing
         semicolon, and full create-statement text (MonetDB keeps the
         whole ``create view ... as select ...`` in sys.tables.query)."""
-        rows = self._probe("view_definition", name=self._store_name(table))
+        rows = self._probe(
+            "view_definition", name=self._store_name(table), schema=schema
+        )
         return parse_view_target(rows[0]) if rows else None
 
     # -- PHASE 2: load ----------------------------------------------------
@@ -241,33 +350,37 @@ class JdbcWarehouse:
         table_ddl: str | None = None,
         staging_dir: str | None = None,
         expected_count: int | None = None,
+        schema: str | None = None,
     ) -> str:
         """Land the frame in a NEW versioned physical table; returns the
-        physical name. ``method="copy"`` is the staged-CSV server-side
-        import with its own INSERT degradation (``jdbc_bulk_loader``);
-        ``method="insert"`` forces the distributed batched writer against
-        a mapper-derived DDL.
+        physical name (bare — qualification is per-statement).
+        ``method="copy"`` is the staged-CSV server-side import with its
+        own INSERT degradation (``jdbc_bulk_loader``); ``method="insert"``
+        forces the distributed batched writer against a mapper-derived DDL.
 
         Crash-retry: a colliding physical name that is NOT the live view's
         target is an unpublished corpse from a crashed attempt — it is
         dropped and rebuilt (the same-name reclaim the parquet catalog does
         with ``mode("overwrite")``). A collision WITH the live target
         raises: rebuilding a table readers are on is never safe."""
+        if schema:
+            self.ensure_schema(schema)
         physical = physical_name(table, load_date)
-        if self.exists(physical):
-            current = self.current_version(table)
+        qualified = self._qualify(physical, schema)
+        if self.exists(physical, schema=schema):
+            current = self.current_version(table, schema=schema)
             if current and current.lower() == physical.lower():
                 raise RuntimeError(
-                    f"{physical} is the live published version; refusing to "
+                    f"{qualified} is the live published version; refusing to "
                     "rebuild it in place — pick a later load_date"
                 )
-            self._execute(f"DROP TABLE {physical}")
+            self._execute(f"DROP TABLE {qualified}")
         if method == "copy":
             jdbc_bulk_loader(
                 self.spark,
                 df,
                 self.source,
-                physical,
+                qualified,
                 table_ddl=table_ddl,
                 staging_dir=staging_dir,
                 expected_count=expected_count,
@@ -276,14 +389,14 @@ class JdbcWarehouse:
             from ..schema.mapper import spark_schema_to_derby_ddl
 
             ddl = table_ddl if table_ddl is not None else spark_schema_to_derby_ddl(df.schema)
-            self._execute(f"CREATE TABLE {physical} ({ddl})")
-            jdbc_writer(df, self.source, physical, mode="append")
+            self._execute(f"CREATE TABLE {qualified} ({ddl})")
+            jdbc_writer(df, self.source, qualified, mode="append")
         else:
             raise ValueError(f"method must be copy|insert, got {method!r}")
         return physical
 
     # -- PHASE 3: transactional view switch (MonetDBUtil.java:442-529) ----
-    def publish(self, table: str, physical: str) -> None:
+    def publish(self, table: str, physical: str, *, schema: str | None = None) -> None:
         """Drop the public name (view OR stale table) and recreate the view
         pointing at ``physical`` — one transaction, so readers see either
         the old version or the new one, never an absent name.
@@ -292,9 +405,14 @@ class JdbcWarehouse:
         duplicate-view bug (``MonetDBUtil.java:462-498``); kept with the
         same bound of 10.
         """
-        if not self.exists(physical):
-            raise FileNotFoundError(f"physical table {physical} does not exist")
+        if not self.exists(physical, schema=schema):
+            raise FileNotFoundError(
+                f"physical table {self._qualify(physical, schema)} does not exist"
+            )
         store = self._store_name(table)
+        q_table = self._qualify(table, schema)
+        q_physical = self._qualify(physical, schema)
+        self._resolve_schema(schema)  # warm the current-schema cache OUTSIDE the txn
         conn = self._connect()
         committed = False
         try:
@@ -302,17 +420,17 @@ class JdbcWarehouse:
             st = conn.createStatement()
             try:
                 for i in range(10):
-                    if not self._probe_on(st, "exists", name=store):
+                    if not self._probe_on(st, "exists", name=store, schema=schema):
                         break
                     if i > 0:
-                        log.warning("%s still exists despite previous DROP", table)
+                        log.warning("%s still exists despite previous DROP", q_table)
                     kind = (
                         "TABLE"
-                        if self._probe_on(st, "is_table", name=store)
+                        if self._probe_on(st, "is_table", name=store, schema=schema)
                         else "VIEW"
                     )
-                    st.execute(f"DROP {kind} {table}")
-                st.execute(f"CREATE VIEW {table} AS SELECT * FROM {physical}")
+                    st.execute(f"DROP {kind} {q_table}")
+                st.execute(f"CREATE VIEW {q_table} AS SELECT * FROM {q_physical}")
             finally:
                 st.close()
             conn.commit()
@@ -329,26 +447,27 @@ class JdbcWarehouse:
             conn.close()
 
     # -- PHASE 4: retention (CopyTool.java:554-602) ------------------------
-    def cleanup(self, table: str, *, retain: int = RETAIN_VERSIONS) -> list[str]:
+    def cleanup(
+        self, table: str, *, retain: int = RETAIN_VERSIONS, schema: str | None = None
+    ) -> list[str]:
         """Drop versions beyond the newest ``retain`` (current + backup),
         never the one the live view references."""
-        current = self.current_version(table)
+        current = self.current_version(table, schema=schema)
         dropped = []
-        for physical in self.table_versions(table)[retain:]:
+        for physical in self.table_versions(table, schema=schema)[retain:]:
             if current and physical.lower() == current.lower():
                 continue
-            self._execute(f"DROP TABLE {physical}")
+            self._execute(f"DROP TABLE {self._qualify(physical, schema)}")
             dropped.append(physical)
         return dropped
 
-    def drop_table(self, table: str) -> None:
+    def drop_table(self, table: str, *, schema: str | None = None) -> None:
         """Drop the public name and ALL versions (op #15)."""
-        if self.exists(table):
-            self._execute(
-                f"DROP {'TABLE' if self.is_table(table) else 'VIEW'} {table}"
-            )
-        for physical in self.table_versions(table):
-            self._execute(f"DROP TABLE {physical}")
+        if self.exists(table, schema=schema):
+            kind = "TABLE" if self.is_table(table, schema=schema) else "VIEW"
+            self._execute(f"DROP {kind} {self._qualify(table, schema)}")
+        for physical in self.table_versions(table, schema=schema):
+            self._execute(f"DROP TABLE {self._qualify(physical, schema)}")
 
     # -- one-call export ---------------------------------------------------
     def export(
@@ -361,6 +480,7 @@ class JdbcWarehouse:
         table_ddl: str | None = None,
         staging_dir: str | None = None,
         expected_count: int | None = None,
+        schema: str | None = None,
     ) -> str:
         """PHASES 2-4 in one call: load a new version, switch the view,
         reap old versions. Returns the physical name published."""
@@ -372,7 +492,8 @@ class JdbcWarehouse:
             table_ddl=table_ddl,
             staging_dir=staging_dir,
             expected_count=expected_count,
+            schema=schema,
         )
-        self.publish(table, physical)
-        self.cleanup(table)
+        self.publish(table, physical, schema=schema)
+        self.cleanup(table, schema=schema)
         return physical

@@ -216,9 +216,16 @@ def server_bulk_import_sql(
     dialect = bulk_dialect(url)
     esc = path.replace("'", "''")
     if dialect == "derby":
+        # the import proc takes schema and table as SEPARATE case-sensitive
+        # arguments (NULL schema = the connection's default); a qualified
+        # name is split here while MonetDB/PG COPY take it verbatim
+        schema, _, bare = table.rpartition(".")
+        call = "CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(?, ?, ?, NULL, NULL, 'UTF-8', 0)"
+        if schema:
+            return (call, [schema.upper(), bare.upper(), path])
         return (
             "CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(NULL, ?, ?, NULL, NULL, 'UTF-8', 0)",
-            [table.upper(), path],
+            [bare.upper(), path],
         )
     if dialect == "monetdb":
         sql = (

@@ -137,16 +137,26 @@ def test_drop_table_removes_view_and_all_versions(spark, wh):
 
 def test_monetdb_catalog_statement_shapes():
     """Reference-parity pin for the untestable dialect: the MonetDB probes
-    are the sys.tables queries the reference issues (MonetDBUtil.java:41-88
-    existence/is-table via query IS NULL; CopyTool.java:562-565 version
-    listing ordered DESC)."""
+    are the schema-scoped sys.tables queries the reference issues
+    (MonetDBUtil.java:41-88 existence/is-table via query IS NULL and the
+    sys.schemas subselect verbatim; CopyTool.java:562-565 version listing
+    ordered DESC)."""
     m = CATALOG_SQL["monetdb"]
-    assert m["exists"] == "SELECT name FROM sys.tables WHERE name = '{name}'"
-    assert "query IS NULL" in m["is_table"]
+    subselect = (
+        "schema_id = (SELECT id FROM sys.schemas WHERE LOWER(name) = "
+        "LOWER('{schema}'))"
+    )
+    assert m["exists"] == (
+        "SELECT name FROM sys.tables WHERE name = '{name}' AND " + subselect
+    )
+    assert "query IS NULL" in m["is_table"] and subselect in m["is_table"]
     assert "LIKE '{prefix}20%'" in m["list_versions"]
     assert "query IS NULL" in m["list_versions"]
+    assert subselect in m["list_versions"]
     assert m["list_versions"].endswith("ORDER BY name DESC")
-    assert m["view_definition"] == "SELECT query FROM sys.tables WHERE name = '{name}'"
+    assert m["view_definition"] == (
+        "SELECT query FROM sys.tables WHERE name = '{name}' AND " + subselect
+    )
 
 
 # -- CopyEngine with a JDBC sink (the reference's full topology) ------------
@@ -309,6 +319,61 @@ def test_sink_spec_validation():
         load_spec({**base, "sink": {"format": "jdbc"}, "tables": {"t": {"source": "src", "from_table": "x"}}})
 
 
+def test_copy_engine_jdbc_sink_two_schemas_end_to_end(spark, tmp_path, nation_src):
+    """The verdict-10 'done' gate: two jobs with the SAME to_table in two
+    different schemas publish independently through the full engine path
+    (bulk COPY via the schema-split SYSCS_IMPORT_TABLE call, scoped
+    probes, qualified view switch)."""
+    from mssql2monetdb_spark.config.spec import load_spec
+    from mssql2monetdb_spark.engine.copy import CopyEngine
+
+    spec = load_spec(
+        {
+            "warehouse_dir": str(tmp_path / "wh_unused"),
+            "state_dir": str(tmp_path / "state"),
+            "sources": {"src": {"format": "parquet", "path": str(nation_src)}},
+            "sink": {
+                "format": "jdbc",
+                "options": {
+                    "url": f"jdbc:derby:{tmp_path}/twoschema;create=true",
+                    "driver": DERBY_DRIVER,
+                },
+            },
+            "tables": {
+                "job_s1": {
+                    "source": "src",
+                    "from_query": "SELECT * FROM nation WHERE n_regionkey < 2",
+                    "count_query": "SELECT COUNT(*) FROM nation WHERE n_regionkey < 2",
+                    "to_table": "nation_wh",
+                    "schema": "mart_a",
+                },
+                "job_s2": {
+                    "source": "src",
+                    "from_table": "nation",
+                    "to_table": "nation_wh",
+                    "schema": "mart_b",
+                },
+            },
+        }
+    )
+    engine = CopyEngine(spark, spec)
+    published = engine.do_copy(load_date=datetime(2024, 6, 1))
+    assert set(published) == {"job_s1", "job_s2"}
+
+    wh = engine.warehouse
+    assert wh.exists("nation_wh", schema="mart_a")
+    assert wh.exists("nation_wh", schema="mart_b")
+    assert not wh.exists("nation_wh")  # nothing in the default namespace
+    n_a = engine.table("nation_wh", schema="mart_a").count()
+    n_b = engine.table("nation_wh", schema="mart_b").count()
+    assert n_b == 25 and 0 < n_a < 25  # filtered vs full copy
+
+    # second tick: versions and retention stay per-schema
+    engine.do_copy(load_date=datetime(2024, 6, 2))
+    assert len(wh.table_versions("nation_wh", schema="mart_a")) == 2
+    assert len(wh.table_versions("nation_wh", schema="mart_b")) == 2
+
+
 def test_load_version_reclaims_unpublished_corpse(spark, wh):
     """Crash-retry: a colliding physical that is NOT the live view target
     is dropped and rebuilt; colliding with the live target raises."""
@@ -356,6 +421,8 @@ def test_postgresql_catalog_statement_shapes_and_dialect_gate(spark):
     assert "table_type = 'BASE TABLE'" in pg["is_table"]
     assert pg["list_versions"].endswith("ORDER BY table_name DESC")
     assert "information_schema.views" in pg["view_definition"]
+    for sql in pg.values():
+        assert "table_schema = '{schema}'" in sql  # probes are schema-scoped
 
     wh_pg = JdbcWarehouse(
         spark, SourceSpec(name="pg", format="jdbc", options={"url": "jdbc:postgresql://h/db"})
@@ -390,22 +457,79 @@ def test_parse_view_target_tolerates_store_renderings():
     assert parse_view_target("not a view definition") is None
 
 
-def test_sink_rejects_schema_qualified_jobs():
-    """Two same-named tables in different schemas would compute the SAME
-    physical warehouse name — refused loudly at spec time."""
+def test_sink_rejects_duplicate_schema_table_targets():
+    """Schema-qualified sink targets are supported (round 10), but two jobs
+    writing the SAME (schema, table) would race the view switch — refused
+    loudly at spec time."""
     from mssql2monetdb_spark.config.spec import SpecError, load_spec
 
-    with pytest.raises(SpecError, match="schema-qualified jdbc-sink"):
+    base = {
+        "warehouse_dir": "/tmp/x",
+        "sources": {"src": {"format": "parquet", "path": "/tmp/src"}},
+        "sink": {"format": "jdbc", "options": {"url": "jdbc:derby:/tmp/d"}},
+    }
+    # same to_table in DIFFERENT schemas: fine now (scoped probes + DDL)
+    spec = load_spec(
+        {
+            **base,
+            "tables": {
+                "a": {"source": "src", "from_table": "x", "to_table": "t", "schema": "s1"},
+                "b": {"source": "src", "from_table": "x", "to_table": "t", "schema": "s2"},
+            },
+        }
+    )
+    assert spec.jobs["a"].schema_name == "s1"
+    # same (schema, table) twice: refused
+    with pytest.raises(SpecError, match="unique per \\(schema, table\\)"):
         load_spec(
             {
-                "warehouse_dir": "/tmp/x",
-                "sources": {"src": {"format": "parquet", "path": "/tmp/src"}},
-                "sink": {"format": "jdbc", "options": {"url": "jdbc:derby:/tmp/d"}},
+                **base,
                 "tables": {
-                    "t": {"source": "src", "from_table": "x", "schema": "s1"}
+                    "a": {"source": "src", "from_table": "x", "to_table": "t", "schema": "s1"},
+                    "b": {"source": "src", "from_table": "y", "to_table": "T", "schema": "s1"},
                 },
             }
         )
+
+
+def test_schema_qualified_publish_independent(spark, wh):
+    """Two same-named tables in two schemas publish INDEPENDENTLY: scoped
+    catalog probes (the reference's sys.schemas subselect,
+    MonetDBUtil.java:41-88), schema-qualified DDL and view switch
+    (MonetDBTable.java:12-25), scoped retention — and the default-schema
+    namespace is untouched by either."""
+    nation = load_table(spark, SF, "nation")
+
+    wh.export(nation.limit(3), "nation", datetime(2024, 6, 1))  # default ns
+    p1 = wh.export(nation.limit(5), "nation", datetime(2024, 6, 1), schema="s1")
+    p2 = wh.export(nation.limit(10), "nation", datetime(2024, 6, 1), schema="s2")
+
+    # same bare physical name in both schemas — no collision
+    assert p1.lower() == p2.lower()
+    assert wh.current_version("nation", schema="s1").lower() == p1.lower()
+    assert wh.current_version("nation", schema="s2").lower() == p2.lower()
+    assert _view_count(spark, wh, "s1.nation") == 5
+    assert _view_count(spark, wh, "s2.nation") == 10
+    assert _view_count(spark, wh, "nation") == 3  # default ns untouched
+
+    # probes are scoped: s1's listing never sees s2's versions
+    assert len(wh.table_versions("nation", schema="s1")) == 1
+    assert len(wh.table_versions("nation", schema="s2")) == 1
+    assert len(wh.table_versions("nation")) == 1  # default ns sees only its own
+
+    # retention reaps per schema
+    wh.export(nation.limit(6), "nation", datetime(2024, 6, 2), schema="s1")
+    wh.export(nation.limit(7), "nation", datetime(2024, 6, 3), schema="s1")
+    assert len(wh.table_versions("nation", schema="s1")) == 2  # keep-2
+    assert len(wh.table_versions("nation", schema="s2")) == 1  # untouched
+    assert _view_count(spark, wh, "s1.nation") == 7
+    assert _view_count(spark, wh, "s2.nation") == 10
+
+    # drop_table is scoped too
+    wh.drop_table("nation", schema="s2")
+    assert not wh.exists("nation", schema="s2")
+    assert wh.exists("nation", schema="s1")
+    assert wh.exists("nation")
 
 
 def test_trigger_probe_falls_back_on_case_mismatch(spark, tmp_path):
