@@ -24,97 +24,30 @@ from . import llm_prep  # noqa: E402,F401
 from . import tpch_full  # noqa: E402,F401
 from . import lifecycle  # noqa: E402,F401
 
-# ROTATION — round 9 (the round-8 verdict's #1 directive: drain the 13
-# r3-aged TPC-H driver verdicts): slot 0 is this round's never-verified
-# addition (the multi-table all-or-nothing run gate — verdict item 6);
-# slots 1-5 are the changed-code re-verifies (the bulk loader gained
-# count-verification + INSERT fallback, the partitioned sync gained the
-# bucket-modulus guard + carry modes, publish/compact meta handling
-# changed, and CopyEngine's trigger probe now dispatches to the JDBC
-# pushdown form); slots 6-49 are canaries, least-recently-verified
-# first (verdict age computed from CORRECTNESS_r01-r08, ties by
-# registration order) — this window drains ALL 13 r3-aged TPC-H shapes
-# and the oldest r4 tail, leaving no verdict older than r4.
+# ROTATION — round 10 (the round-9 verdict's directive 2: roll the window
+# from NEXT_WINDOW_QUEUE): slot 0 is this round's never-verified addition
+# (the schema-qualified two-schema publish gate — verdict item 1);
+# slots 1-7 are the changed-code re-verifies (the bulk loader's MonetDB
+# staging serializer + import-concurrency knob, JdbcWarehouse's
+# always-scoped catalog probes + schema qualification + transactional
+# rollback, the watermark probe's identifier-case ladder, and CopyEngine's
+# schema plumbing touch every lifecycle gate); slots 8-49 are canaries,
+# least-recently-verified first (verdict age computed from
+# CORRECTNESS_r01-r09, ties by registration order) — this window drains
+# ALL 10 r4-aged rows and the oldest 32 of the r6 block, leaving no
+# verdict older than r6.
 #
 # Vacuity audit (round 5, sf0.01): every window oracle returns >0 rows —
 # checked by test_window_oracles_non_vacuous on every commit.
 GATE_PRIORITY = [
-    # --- slots 0-3: round-9 additions (never verified) ---
-    "copy_multi_table_guard",
-    "fn_variant_json",
-    "jdbc_warehouse_publish",
-    "join_lateral_topn",
-    # --- slots 4-8: changed building code this round ---
+    "jdbc_schema_publish",
     "jdbc_roundtrip_lineitem",
     "jdbc_roundtrip_typelattice",
-    "stream_lifecycle_partitioned",
-    "stream_lifecycle_publish",
+    "jdbc_warehouse_publish",
     "copy_incremental_watermark",
-    # --- slots 9-49: canaries, least-recently-verified first (the 13
-    # r3-aged TPC-H shapes lead; the displaced r4 canaries head the r10
-    # queue) ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_orders",
-    "tpch_q22_sales_opportunity",
-    "join_salted_skew",
-    "asof_join_forward",
-    "window_count_distinct",
-    "agg_grouping_flags",
-    "fn_try_arithmetic",
-    "asof_join_cogroup",
-    "fn_pandas_udf",
-    "fn_url_parse",
-    "fn_map",
-    "fn_lambda_hof",
-    "multimodal_image_resize",
-    "embed_pq_encode",
-    "ann_pq_adc_topk",
-    "ann_ivfadc_topk",
-    "events_sessionize",
-    "events_transition_matrix",
-    "merge_scd2_history",
-    "dedup_chunk_substring",
-    "dedup_semantic_cells",
-    "report_key_skew",
-    "sketch_count_min",
-    "sketch_bloom_membership",
-    "sketch_hll_distinct",
-    "sketch_cms_join_size",
-    "events_anomaly_mad",
-    "text_ngram_novelty",
-    "sample_semantic_coverage",
-    "mix_sqrt_temperature",
-]
-
-GATE_WINDOW = 50
-
-# STEADY-STATE ROTATION POLICY (round-5 VERDICT item 7) — with the
-# registry closed out, each round's window is composed in this order:
-#   1. any never-verified additions (new queries land HERE, inside the
-#      window, the same round they are registered — growth stays gated
-#      on the per-round budget);
-#   2. a re-verify slot for every query whose building code changed this
-#      round (even when the output is identical by construction);
-#   3. canaries, least-recently-verified first (ties broken by
-#      registration order), filling the window to 50.
-# With 202 queries and ~41 canary slots per round, every query's verdict
-# age stays <= ~4 rounds; the per-family representation guarantee is
-# enforced structurally by test_every_capability_family_verified_or_
-# inside_window. NEXT_WINDOW_QUEUE below pre-stages round 10 under this
-# policy: every query NOT in the r9 window, ordered by verdict age
-# (computed from CORRECTNESS_r01-r08 — the displaced r4 canaries first,
-# then the r6 block), ties by registration order.
-NEXT_WINDOW_QUEUE = [
+    "copy_multi_table_guard",
+    "stream_lifecycle_publish",
+    "stream_lifecycle_partitioned",
     "vocab_token_freq_stats",
     "quality_unigram_rarity",
     "quality_lm_bigram",
@@ -157,6 +90,27 @@ NEXT_WINDOW_QUEUE = [
     "tpch_q5_local_supplier",
     "tpch_q18_large_orders",
     "agg_grouping_sets",
+]
+
+GATE_WINDOW = 50
+
+# STEADY-STATE ROTATION POLICY (round-5 VERDICT item 7) — with the
+# registry closed out, each round's window is composed in this order:
+#   1. any never-verified additions (new queries land HERE, inside the
+#      window, the same round they are registered — growth stays gated
+#      on the per-round budget);
+#   2. a re-verify slot for every query whose building code changed this
+#      round (even when the output is identical by construction);
+#   3. canaries, least-recently-verified first (ties broken by
+#      registration order), filling the window to 50.
+# With 203 queries and ~42 canary slots per round, every query's verdict
+# age stays <= ~4 rounds; the per-family representation guarantee is
+# enforced structurally by test_every_capability_family_verified_or_
+# inside_window. NEXT_WINDOW_QUEUE below pre-stages round 11 under this
+# policy: every query NOT in the r10 window, ordered by verdict age
+# (computed from CORRECTNESS_r01-r09 — the remaining r6 block first,
+# then the r7 tail), ties by registration order.
+NEXT_WINDOW_QUEUE = [
     "subquery_not_in_nulls",
     "cte_with_clause",
     "subquery_correlated_min",
@@ -169,6 +123,54 @@ NEXT_WINDOW_QUEUE = [
     "rollup_time_buckets",
     "events_sessionize_bounded",
     "sketch_quantile_histogram",
+    "dedup_setsim_exact",
+    "rank_bm25",
+    "text_tfidf_topk",
+    "prep_chunk_overlap",
+    "join_anti",
+    "agg_tpch_q1",
+    "agg_approx_count_distinct",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q10_returned_items",
+    "tpch_q12_conditional_agg",
+    "tpch_q14_promo_ratio",
+    "window_percent_cume",
+    "window_moving_avg",
+    "agg_string_agg",
+    "agg_pivot",
+    "agg_percentiles",
+    "sample_deterministic_hash",
+    "asof_join_events",
+    "agg_variance_exact",
+    "agg_array_collect",
+    "agg_mode_deterministic",
+    "window_range_frame",
+    "agg_approx_quantile",
+    "agg_corr_regression",
+    "join_range_bucketed",
+    "fn_string",
+    "fn_datetime",
+    "fn_math",
+    "fn_json",
+    "fn_array",
+    "fn_explode_posexplode",
+    "fn_null_semantics",
+    "fn_array_setops",
+    "fn_try_cast",
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "text_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "multimodal_binary_meta",
+    "stream_tumbling_hourly",
+    "stream_sliding_windows",
+    "stream_session_windows",
+    "stream_watermark_recent",
 ]
 
 

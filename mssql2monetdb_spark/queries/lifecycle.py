@@ -811,3 +811,97 @@ def jdbc_warehouse_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderpriority",
     ).orderBy("o_orderkey")
+
+
+@query(
+    "jdbc_schema_publish",
+    oracle=f"""
+        WITH subset AS (
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey % {RT_FILTER_MOD} = 0
+        ),
+        mid AS (
+            SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS m FROM subset
+        )
+        SELECT 'mart_a' AS mart, o_orderkey, o_custkey, o_totalprice
+        FROM subset WHERE o_orderkey <= (SELECT m FROM mid)
+        UNION ALL
+        SELECT 'mart_b' AS mart, o_orderkey, o_custkey, o_totalprice
+        FROM subset
+        ORDER BY mart, o_orderkey
+    """,
+)
+def jdbc_schema_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-qualified warehouse publish (round 10): the SAME public table
+    name lands in TWO warehouse schemas with the SAME load_date — identical
+    bare physical names, the exact collision that forced the pre-round-10
+    spec rejection — and each schema's view must follow its own load.
+    Parity target: the reference's two-schema topology
+    (``MonetDBTable.java:12-25`` schema-carrying tables;
+    ``MonetDBUtil.java:41-88`` schema-scoped catalog probes;
+    ``MonetDBUtil.java:301-333`` schema-qualified identifiers). mart_a gets
+    the lower key half (range midpoint), mart_b the full subset; the gate
+    reads BOTH schemas back through the ``jar:`` snapshot and hashes the
+    union against the parquet oracle. In-query assertions turn protocol
+    violations (cross-schema probe bleed, a view bound to the other
+    schema's physical, anything visible in the default namespace) into
+    gate ERRORs.
+    """
+    from datetime import datetime
+
+    from ..engine.export import JdbcWarehouse
+
+    t = Tables(spark, sf_dir)
+    subset = t.orders.filter(F.col("o_orderkey") % RT_FILTER_MOD == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lo_hi = subset.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    if lo_hi[0] is None:
+        half = subset  # empty subset (hostile corpora): both loads empty
+    else:
+        half = subset.filter(F.col("o_orderkey") <= (int(lo_hi[0]) + int(lo_hi[1])) // 2)
+
+    db_path = os.path.join(tempfile.mkdtemp(prefix="jdbc_sp_"), "db")
+    wh = JdbcWarehouse(
+        spark,
+        SourceSpec(
+            name="derby_wh",
+            format="jdbc",
+            options={
+                "url": f"jdbc:derby:{db_path};create=true",
+                "driver": DERBY_DRIVER,
+            },
+        ),
+    )
+    load_date = datetime(2024, 6, 1)  # SAME date: identical bare physical names
+    pa = wh.export(half.coalesce(1), "orders_shared", load_date, schema="mart_a")
+    pb = wh.export(subset.coalesce(1), "orders_shared", load_date, schema="mart_b")
+    if pa.lower() != pb.lower():
+        raise RuntimeError(f"expected colliding bare physical names, got {pa}/{pb}")
+    for schema, expect in (("mart_a", pa), ("mart_b", pb)):
+        cur = wh.current_version("orders_shared", schema=schema)
+        if cur is None or cur.lower() != expect.lower():
+            raise RuntimeError(f"{schema} view must follow its own load: {cur}")
+        if len(wh.table_versions("orders_shared", schema=schema)) != 1:
+            raise RuntimeError(f"{schema} must see exactly its own version")
+    if wh.exists("orders_shared"):
+        raise RuntimeError("default namespace must not see schema-qualified loads")
+
+    ro = SourceSpec(
+        name="derby_wh_ro",
+        format="jdbc",
+        options={"url": derby_snapshot_jar(spark, db_path), "driver": DERBY_DRIVER},
+    )
+    parts = []
+    for schema in ("mart_a", "mart_b"):
+        back = jdbc_reader(
+            spark,
+            ro,
+            CopyJob(
+                job_id=f"sp_rb_{schema}",
+                source="derby_wh_ro",
+                from_table=f"{schema}.orders_shared",
+            ),
+        )
+        parts.append(back.select(F.lit(schema).alias("mart"), "o_orderkey", "o_custkey", "o_totalprice"))
+    return parts[0].unionAll(parts[1]).orderBy("mart", "o_orderkey")
