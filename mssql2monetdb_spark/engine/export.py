@@ -339,6 +339,55 @@ class JdbcWarehouse:
         )
         return parse_view_target(rows[0]) if rows else None
 
+    # -- schema verify + evolve (op #14, MonetDBUtil.java:339-394) ---------
+    def table_schema(self, table: str, *, schema: str | None = None):
+        """The warehouse table's Spark schema from a zero-row metadata
+        query (``SELECT * WHERE 1=0`` — the reference reads
+        ResultSetMetaData off ``SELECT * ... LIMIT 1``,
+        ``MonetDBUtil.java:346-349``); no data crosses the wire."""
+        opts = {
+            k: v for k, v in self.source.options.items() if k not in ("dbtable", "query")
+        }
+        opts["query"] = f"SELECT * FROM {self._qualify(table, schema)} WHERE 1=0"
+        return self.spark.read.format("jdbc").options(**opts).load().schema
+
+    def verify_columns(self, table: str, incoming, *, schema: str | None = None) -> list[str]:
+        """The reference's verify-and-ALTER for a PRE-EXISTING warehouse
+        table (temp-table / non-versioned mode,
+        ``MonetDBUtil.java:339-394``): every incoming column missing from
+        the table is added with ``ALTER TABLE ... ADD COLUMN``; columns
+        only on the warehouse side are left alone (consumers never lose a
+        column). Unlike the reference's declared TODO, a retype fails
+        loudly — the same exact-match rule as the parquet side's
+        ``evolve_to_union``. Returns the added column names."""
+        from pyspark.sql import types as T
+
+        from ..schema.evolve import SchemaEvolutionError
+        from ..schema.mapper import spark_schema_to_derby_ddl
+
+        existing = {f.name.lower(): f for f in self.table_schema(table, schema=schema).fields}
+        added: list[str] = []
+        for f in incoming.fields:
+            cur = existing.get(f.name.lower())
+            if cur is not None:
+                if cur.dataType != f.dataType:
+                    raise SchemaEvolutionError(
+                        f"column {f.name!r}: warehouse type "
+                        f"{cur.dataType.simpleString()} != incoming "
+                        f"{f.dataType.simpleString()}; implicit retyping is "
+                        "not allowed"
+                    )
+                continue
+            # nullable copy: an added column must accept NULL on existing rows
+            col_ddl = spark_schema_to_derby_ddl(
+                T.StructType([T.StructField(f.name, f.dataType, True)])
+            )
+            self._execute(
+                f"ALTER TABLE {self._qualify(table, schema)} ADD COLUMN {col_ddl}"
+            )
+            added.append(f.name)
+        return added
+
     # -- PHASE 2: load ----------------------------------------------------
     def load_version(
         self,
@@ -362,9 +411,22 @@ class JdbcWarehouse:
         target is an unpublished corpse from a crashed attempt — it is
         dropped and rebuilt (the same-name reclaim the parquet catalog does
         with ``mode("overwrite")``). A collision WITH the live target
-        raises: rebuilding a table readers are on is never safe."""
+        raises: rebuilding a table readers are on is never safe.
+
+        Schema verify + evolve (op #14): when a version is already
+        published, the new version is widened to published ∪ incoming
+        (columns the incoming frame dropped arrive as typed NULLs; a
+        retype fails loudly) — the same ``evolve_to_union`` semantics as
+        the parquet catalog, so the public view never loses a column.
+        Skipped when ``table_ddl`` pins the physical schema explicitly."""
         if schema:
             self.ensure_schema(schema)
+        if table_ddl is None:
+            current = self.current_version(table, schema=schema)
+            if current is not None:
+                from ..schema.evolve import evolve_to_union
+
+                df = evolve_to_union(df, self.table_schema(current, schema=schema))
         physical = physical_name(table, load_date)
         qualified = self._qualify(physical, schema)
         if self.exists(physical, schema=schema):

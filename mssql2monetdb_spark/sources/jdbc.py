@@ -38,6 +38,14 @@ def jdbc_read_options(source: SourceSpec, job: CopyJob) -> dict[str, str]:
     identifiers (hand-built ``SELECT a, b FROM t`` strings break on
     case-normalizing databases; CopyTable.java:314-322 is the reference's
     equivalent pushdown).
+
+    A ``partitionColumn`` without declared bounds is allowed in table mode:
+    :func:`jdbc_reader` fills the bounds with one pushed
+    ``SELECT MIN(c), MAX(c)`` probe (:func:`probe_partition_bounds`) so a
+    spec can opt into a parallel scan without hand-probing — the
+    reference's single forward cursor is exactly the failure mode this
+    prevents at a 100 TB source. Query mode still requires explicit bounds
+    (Spark's partitioned read needs ``dbtable``).
     """
     opts = dict(source.options)
     mode, payload = job.select_source()
@@ -48,15 +56,75 @@ def jdbc_read_options(source: SourceSpec, job: CopyJob) -> dict[str, str]:
     # partitioned scan when the spec names a partition column
     if "partitionColumn" in opts:
         opts.setdefault("numPartitions", str(DEFAULT_NUM_PARTITIONS))
-        if "dbtable" not in opts and "partition_bounds" not in opts:
-            # Spark requires dbtable+bounds for partitioned reads
-            raise ValueError("partitionColumn requires table mode with lower/upper bounds")
+        if "dbtable" not in opts:
+            # Spark requires dbtable (+bounds) for partitioned reads
+            raise ValueError("partitionColumn requires table mode")
     opts.setdefault("fetchsize", str(DEFAULT_BATCH_SIZE))
     return opts
 
 
+def probe_partition_bounds(
+    spark: SparkSession, options: dict[str, str], table: str, column: str
+) -> tuple[object, object]:
+    """One pushed ``SELECT MIN(c), MAX(c)`` — the bounds for a
+    range-partitioned scan, computed ON the source so exactly one row
+    crosses the wire (the same probe shape as the watermark trigger;
+    Spark's V1 JDBC relation would otherwise pull the whole column for a
+    Spark-side agg). Identifier-case ladder as in ``probe_max_jdbc``:
+    quoted first (Spark-written case-exact columns), then bare
+    (store-case-normalized). Returns ``(None, None)`` only when the table
+    is empty."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    base = {
+        k: v
+        for k, v in options.items()
+        if k
+        not in (
+            "dbtable",
+            "query",
+            "partitionColumn",
+            "lowerBound",
+            "upperBound",
+            "numPartitions",
+        )
+    }
+    last_exc: Exception | None = None
+    for quoted in (True, False):
+        ident = f'"{column}"' if quoted else column
+        probe = dict(base)
+        probe["query"] = f"SELECT MIN({ident}) AS lo, MAX({ident}) AS hi FROM {table}"
+        try:
+            row = spark.read.format("jdbc").options(**probe).load().collect()[0]
+            return row[0], row[1]
+        except Exception as exc:  # noqa: BLE001 — retry with the other casing
+            last_exc = exc
+            if quoted:
+                log.warning(
+                    "quoted bounds probe failed for %s.%s — retrying with the "
+                    "store-cased unquoted identifier",
+                    table,
+                    column,
+                )
+    raise last_exc
+
+
 def jdbc_reader(spark: SparkSession, source: SourceSpec, job: CopyJob) -> DataFrame:
-    df = spark.read.format("jdbc").options(**jdbc_read_options(source, job)).load()
+    opts = jdbc_read_options(source, job)
+    if "partitionColumn" in opts and not (
+        "lowerBound" in opts and "upperBound" in opts
+    ):
+        lo, hi = probe_partition_bounds(
+            spark, source.options, opts["dbtable"], opts["partitionColumn"]
+        )
+        if lo is None:
+            # empty table: nothing to range-split — single (empty) scan
+            for k in ("partitionColumn", "lowerBound", "upperBound", "numPartitions"):
+                opts.pop(k, None)
+        else:
+            opts["lowerBound"], opts["upperBound"] = str(lo), str(hi)
+    df = spark.read.format("jdbc").options(**opts).load()
     mode, payload = job.select_source()
     if mode == "table" and payload[1]:
         # column pruning: compiled into the source-side SELECT by the JDBC

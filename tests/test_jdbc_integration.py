@@ -395,6 +395,56 @@ def test_jdbc_watermark_probe_retries_store_cased_identifier(spark, tmp_path):
     assert (wm.value, wm.type_name) == (42, "bigint")
 
 
+def test_jdbc_reader_auto_probes_partition_bounds(spark, tmp_path):
+    """A spec naming just ``partitionColumn`` (no bounds) gets a PARALLEL
+    range-partitioned scan: the engine fills the bounds with one pushed
+    SELECT MIN/MAX probe — the reference's single forward cursor is the
+    failure mode this prevents at a 100 TB source. An empty table
+    degrades to a single (empty) scan instead of erroring."""
+    from mssql2monetdb_spark.sources.jdbc import (
+        driver_connection,
+        jdbc_reader,
+        probe_partition_bounds,
+    )
+
+    db = f"{tmp_path}/boundsdb"
+    src_opts = {"url": f"jdbc:derby:{db};create=true", "driver": DERBY_DRIVER}
+    conn = driver_connection(spark, SourceSpec("d", "jdbc", options=src_opts).options)
+    try:
+        st = conn.createStatement()
+        st.execute('CREATE TABLE bt ("k" BIGINT, "v" VARCHAR(10))')
+        st.execute(
+            'INSERT INTO bt VALUES '
+            + ", ".join(f"({i}, 'r{i}')" for i in range(1, 26))
+        )
+        st.execute('CREATE TABLE empty_bt ("k" BIGINT)')
+        st.close()
+    finally:
+        conn.close()
+
+    assert probe_partition_bounds(spark, src_opts, "bt", "k") == (1, 25)
+
+    src = SourceSpec(
+        name="d",
+        format="jdbc",
+        options={**src_opts, "partitionColumn": "k", "numPartitions": "4"},
+    )
+    df = jdbc_reader(
+        spark, src, CopyJob(job_id="auto", source="d", from_table="bt")
+    )
+    assert df.rdd.getNumPartitions() == 4  # probed bounds -> parallel scan
+    assert df.count() == 25
+    ks = sorted(r["k"] for r in df.collect())
+    assert ks == list(range(1, 26))
+
+    # empty table: the probe returns NULLs and the read degrades to a
+    # single scan (no int(None) crash — the round-8 edge-corpus bug class)
+    empty = jdbc_reader(
+        spark, src, CopyJob(job_id="auto_e", source="d", from_table="empty_bt")
+    )
+    assert empty.count() == 0
+
+
 def test_copy_engine_trigger_probe_uses_jdbc_pushdown(spark, derby_source, tmp_path):
     """CopyEngine's PHASE-0 trigger probe against a JDBC source routes
     through the source-side MAX (typed watermark, correct value)."""

@@ -374,6 +374,64 @@ def test_copy_engine_jdbc_sink_two_schemas_end_to_end(spark, tmp_path, nation_sr
     assert len(wh.table_versions("nation_wh", schema="mart_b")) == 2
 
 
+def test_export_evolves_schema_across_loads(spark, wh):
+    """Schema verify + evolve on the warehouse sink (op #14,
+    MonetDBUtil.java:339-394 ported to the versioned model): a second load
+    with an ADDED column widens the new version; a third load that DROPS a
+    column still carries it as typed NULLs (consumers of the view never
+    lose a column); a retype fails loudly — stricter than the reference's
+    declared TODO."""
+    from mssql2monetdb_spark.schema.evolve import SchemaEvolutionError
+
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string")
+    wh.export(v1, "evo", datetime(2024, 6, 1))
+    assert {f.name for f in wh.table_schema(wh.current_version("evo")).fields} == {"k", "s"}
+
+    # load 2: new column appears
+    v2 = spark.createDataFrame([(3, "c", 1.5)], "k bigint, s string, x double")
+    wh.export(v2, "evo", datetime(2024, 6, 2))
+    assert _view_count(spark, wh, "evo") == 1
+    assert {f.name for f in wh.table_schema(wh.current_version("evo")).fields} == {"k", "s", "x"}
+
+    # load 3: a frame MISSING x still publishes all three columns (typed NULL)
+    v3 = spark.createDataFrame([(4, "d"), (5, "e")], "k bigint, s string")
+    wh.export(v3, "evo", datetime(2024, 6, 3))
+    rows = {
+        (r["k"], r["s"], r["x"])
+        for r in jdbc_reader(
+            spark, wh.source, CopyJob(job_id="evo_rb", source="w", from_table="evo")
+        ).collect()
+    }
+    assert rows == {(4, "d", None), (5, "e", None)}
+
+    # retype fails loudly
+    v4 = spark.createDataFrame([(6, 7, 1.0)], "k bigint, s bigint, x double")
+    with pytest.raises(SchemaEvolutionError, match="retyping"):
+        wh.export(v4, "evo", datetime(2024, 6, 4))
+
+
+def test_verify_columns_alters_preexisting_table(spark, wh):
+    """The reference's literal ALTER path for a PRE-EXISTING (non-versioned)
+    warehouse table: missing incoming columns are added nullable; warehouse-
+    only columns are left alone; retype raises."""
+    from mssql2monetdb_spark.schema.evolve import SchemaEvolutionError
+
+    wh._execute(
+        'CREATE TABLE plain ("k" BIGINT, "legacy" VARCHAR(5))',
+        'INSERT INTO plain VALUES (1, \'old\')',
+    )
+    incoming = spark.createDataFrame([(1, "x", 2.5)], "k bigint, s string, x double").schema
+    added = wh.verify_columns("plain", incoming)
+    assert added == ["s", "x"]
+    cols = {f.name for f in wh.table_schema("plain").fields}
+    assert cols == {"k", "legacy", "s", "x"}  # legacy survives
+    assert wh.verify_columns("plain", incoming) == []  # idempotent
+
+    bad = spark.createDataFrame([(1.0,)], "k double").schema
+    with pytest.raises(SchemaEvolutionError):
+        wh.verify_columns("plain", bad)
+
+
 def test_load_version_reclaims_unpublished_corpse(spark, wh):
     """Crash-retry: a colliding physical that is NOT the live view target
     is dropped and rebuilt; colliding with the live target raises."""
