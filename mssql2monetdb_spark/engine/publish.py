@@ -20,11 +20,12 @@ from __future__ import annotations
 import json
 import os
 import re
-import shutil
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .fs import LocalFS
 
 LOAD_DATE_FORMAT = "%Y_%m_%d_%H_%M_%S"  # yyyy_MM_dd_HH_mm_ss (CopyTool.java:216-218)
 #: version suffix regex — parity with CopyTool.java:64 (_20%...)
@@ -47,10 +48,18 @@ class VersionedCatalog:
 
     Layout: ``<warehouse>/<schema>/<table>_<version>/`` (Parquet) plus
     ``<warehouse>/<schema>/.<table>.current`` manifest naming the published
-    version. The manifest write is ``os.replace`` — atomic publish.
+    version. The manifest write is an atomic single-object publish
+    (``os.replace`` on POSIX; see ``engine/fs.py`` for the store contract).
+
+    ``fs`` routes ALL control-plane I/O (listing, manifest swap, carry,
+    retention deletes) through a store interface — ``LocalFS`` (default)
+    for POSIX paths, ``HadoopFS`` for HDFS/S3A/any Hadoop URI; the data
+    plane (parquet read/write) already goes through Spark's own Hadoop
+    layer, so a non-POSIX ``warehouse_dir`` needs only the matching ``fs``.
     """
 
     warehouse_dir: str
+    fs: object = field(default_factory=LocalFS)
 
     # -- paths -----------------------------------------------------------
     def schema_dir(self, schema: str) -> str:
@@ -66,26 +75,25 @@ class VersionedCatalog:
     def table_versions(self, schema: str, table: str) -> list[str]:
         """All physical versions, newest first (op #20, CopyTool.java:513-548)."""
         sdir = self.schema_dir(schema)
-        if not os.path.isdir(sdir):
+        if not self.fs.isdir(sdir):
             return []
         out = []
         prefix = f"{table}_"
-        for name in os.listdir(sdir):
+        for name in self.fs.listdir(sdir):
             if name.startswith(prefix) and VERSION_RE.search(name) and name[: -20] == table:
                 out.append(name)
         return sorted(out, reverse=True)
 
     def exists(self, schema: str, table: str) -> bool:
-        return os.path.exists(self._manifest(schema, table)) or bool(
+        return self.fs.exists(self._manifest(schema, table)) or bool(
             self.table_versions(schema, table)
         )
 
     def current_version(self, schema: str, table: str) -> str | None:
         path = self._manifest(schema, table)
-        if not os.path.exists(path):
+        if not self.fs.exists(path):
             return None
-        with open(path) as fh:
-            return json.load(fh)["physical"]
+        return json.loads(self.fs.read_text(path))["physical"]
 
     def manifest_info(self, schema: str, table: str) -> dict:
         """Full manifest record (``{}`` when unpublished) — includes any
@@ -93,10 +101,9 @@ class VersionedCatalog:
         id), which is what lets replay guards compare provenance instead of
         just the version name."""
         path = self._manifest(schema, table)
-        if not os.path.exists(path):
+        if not self.fs.exists(path):
             return {}
-        with open(path) as fh:
-            return json.load(fh)
+        return json.loads(self.fs.read_text(path))
 
     # -- write / publish / retention ------------------------------------
     def write_version(
@@ -192,23 +199,23 @@ class VersionedCatalog:
             )
         physical = physical_name(table, load_date)
         out_dir = self.version_dir(schema, physical)
-        shutil.rmtree(out_dir, ignore_errors=True)
+        self.fs.rmtree_quiet(out_dir)
         df_touched.write.mode("overwrite").partitionBy(partition_col).parquet(out_dir)
         if carry_mode == "manifest":
             refs: dict[str, dict] = {}
             if base_physical:
                 base_dir = self.version_dir(schema, base_physical)
                 prefix = f"{partition_col}="
-                for entry in os.listdir(base_dir):
+                for entry in self.fs.listdir(base_dir):
                     if not entry.startswith(prefix):
                         continue
-                    if os.path.exists(os.path.join(out_dir, entry)):
+                    if self.fs.exists(os.path.join(out_dir, entry)):
                         continue  # touched: freshly rewritten above
                     src = os.path.join(base_dir, entry)
                     refs[entry] = {
                         "version": base_physical,
                         "files": [
-                            f for f in os.listdir(src) if not f.startswith(("_", "."))
+                            f for f in self.fs.listdir(src) if not f.startswith(("_", "."))
                         ],
                     }
                 # partitions the base itself carried by reference: copy the
@@ -216,43 +223,43 @@ class VersionedCatalog:
                 # a ref never points at another ref (no transitive walks at
                 # read or retention time)
                 for entry, ref in self._carried_refs(schema, base_physical).items():
-                    if entry not in refs and not os.path.exists(
+                    if entry not in refs and not self.fs.exists(
                         os.path.join(out_dir, entry)
                     ):
                         refs[entry] = ref
-            tmp = os.path.join(out_dir, "_CARRIED.json.tmp")
-            with open(tmp, "w") as fh:
-                json.dump({"partition_col": partition_col, "refs": refs}, fh)
-            os.replace(tmp, os.path.join(out_dir, "_CARRIED.json"))
+            self.fs.write_atomic(
+                os.path.join(out_dir, "_CARRIED.json"),
+                json.dumps({"partition_col": partition_col, "refs": refs}),
+            )
             return physical
         use_copy = carry_mode == "copy"
 
         def carry_dir(src: str, dst: str) -> None:
             nonlocal use_copy
-            os.makedirs(dst)
-            for fname in os.listdir(src):
+            self.fs.makedirs(dst)
+            for fname in self.fs.listdir(src):
                 if fname.startswith(("_", ".")):
                     continue  # write markers, not data
                 s, d = os.path.join(src, fname), os.path.join(dst, fname)
                 if use_copy:
-                    shutil.copy2(s, d)
+                    self.fs.copy(s, d)
                     continue
                 try:
-                    os.link(s, d)
+                    self.fs.link(s, d)
                 except OSError:
                     if carry_mode == "link":
                         raise
                     use_copy = True  # store has no links: copy from here on
-                    shutil.copy2(s, d)
+                    self.fs.copy(s, d)
 
         if base_physical:
             base_dir = self.version_dir(schema, base_physical)
             prefix = f"{partition_col}="
-            for entry in os.listdir(base_dir):
+            for entry in self.fs.listdir(base_dir):
                 if not entry.startswith(prefix):
                     continue
                 dst = os.path.join(out_dir, entry)
-                if os.path.exists(dst):
+                if self.fs.exists(dst):
                     continue  # touched: freshly rewritten above
                 carry_dir(os.path.join(base_dir, entry), dst)
             # a manifest-mode base owns only its touched partitions; the
@@ -260,7 +267,7 @@ class VersionedCatalog:
             # here (mode switch manifest -> link/copy must not lose them)
             for entry, ref in self._carried_refs(schema, base_physical).items():
                 dst = os.path.join(out_dir, entry)
-                if os.path.exists(dst):
+                if self.fs.exists(dst):
                     continue
                 carry_dir(
                     os.path.join(self.version_dir(schema, ref["version"]), entry), dst
@@ -273,10 +280,9 @@ class VersionedCatalog:
         if not physical:
             return {}
         path = os.path.join(self.version_dir(schema, physical), "_CARRIED.json")
-        if not os.path.exists(path):
+        if not self.fs.exists(path):
             return {}
-        with open(path) as fh:
-            return json.load(fh)["refs"]
+        return json.loads(self.fs.read_text(path))["refs"]
 
     def read_version(self, spark: SparkSession, schema: str, physical: str) -> DataFrame:
         """Read one physical version, stitching in carried-by-reference
@@ -294,7 +300,7 @@ class VersionedCatalog:
         out = own
         for host, entries in sorted(by_host.items()):
             host_dir = self.version_dir(schema, host)
-            missing = [e for e in entries if not os.path.isdir(os.path.join(host_dir, e))]
+            missing = [e for e in entries if not self.fs.isdir(os.path.join(host_dir, e))]
             if missing:
                 # a host this version references was reaped: versions kept
                 # by retention are always protected (cleanup's ref count),
@@ -322,17 +328,16 @@ class VersionedCatalog:
         if not physical:
             return False
         d = self.version_dir(schema, physical)
-        if not os.path.isdir(d):
+        if not self.fs.isdir(d):
             return False
         prefix = f"{partition_col}="
-        if any(e.startswith(prefix) for e in os.listdir(d)):
+        if any(e.startswith(prefix) for e in self.fs.listdir(d)):
             return True
         # manifest-carried versions may own few/no partition dirs but are
         # fully partitioned through their refs
         path = os.path.join(d, "_CARRIED.json")
-        if os.path.exists(path):
-            with open(path) as fh:
-                return json.load(fh)["partition_col"] == partition_col
+        if self.fs.exists(path):
+            return json.loads(self.fs.read_text(path))["partition_col"] == partition_col
         return False
 
     def publish(
@@ -354,7 +359,6 @@ class VersionedCatalog:
         ``manifest_info``.
         """
         manifest = self._manifest(schema, table)
-        tmp = manifest + ".tmp"
         record = dict(meta or {})
         # Record the outgoing version as ``previous``: the manifest then
         # names the full published lineage the keep-2 retention protects
@@ -371,9 +375,7 @@ class VersionedCatalog:
             # the existing backup rather than dropping the lineage record
             record.setdefault("previous", old["previous"])
         record.update({"physical": physical, "schema": schema, "table": table})
-        with open(tmp, "w") as fh:
-            json.dump(record, fh)
-        os.replace(tmp, manifest)
+        self.fs.write_atomic(manifest, json.dumps(record))
         self.register_view(spark, schema, table)
 
     def register_view(self, spark: SparkSession, schema: str, table: str) -> None:
@@ -411,13 +413,13 @@ class VersionedCatalog:
         """Re-register every published view in a fresh session (re-publish
         decoupled from load — the reference's --switch-only mode)."""
         registered = []
-        if not os.path.isdir(self.warehouse_dir):
+        if not self.fs.isdir(self.warehouse_dir):
             return registered
-        for schema in sorted(os.listdir(self.warehouse_dir)):
+        for schema in sorted(self.fs.listdir(self.warehouse_dir)):
             sdir = self.schema_dir(schema)
-            if not os.path.isdir(sdir):
+            if not self.fs.isdir(sdir):
                 continue
-            for name in sorted(os.listdir(sdir)):
+            for name in sorted(self.fs.listdir(sdir)):
                 if name.startswith(".") and name.endswith(".current"):
                     table = name[1 : -len(".current")]
                     self.register_view(spark, schema, table)
@@ -450,7 +452,7 @@ class VersionedCatalog:
         for physical in versions[retain:]:
             if physical == current or physical in referenced:
                 continue
-            shutil.rmtree(self.version_dir(schema, physical))
+            self.fs.rmtree(self.version_dir(schema, physical))
             dropped.append(physical)
         return dropped
 
@@ -511,10 +513,10 @@ class VersionedCatalog:
     def drop_table(self, spark: SparkSession, schema: str, table: str) -> None:
         """Drop the public name and ALL versions (op #15)."""
         manifest = self._manifest(schema, table)
-        if os.path.exists(manifest):
-            os.remove(manifest)
+        if self.fs.exists(manifest):
+            self.fs.remove(manifest)
         for physical in self.table_versions(schema, table):
-            shutil.rmtree(self.version_dir(schema, physical))
+            self.fs.rmtree(self.version_dir(schema, physical))
         spark.catalog.dropTempView(f"{schema}_{table}")
         if schema == "default":
             spark.catalog.dropTempView(table)
