@@ -147,7 +147,14 @@ def parse_view_target(text: str | None) -> str | None:
     Tolerates the stores' rendering differences: optional schema
     qualification (``"sys"."t_2024_..."``), quoting, trailing semicolon,
     and full create-statement text (MonetDB keeps the whole
-    ``create view ... as select ...`` in ``sys.tables.query``)."""
+    ``create view ... as select ...`` in ``sys.tables.query``).
+
+    CONTRACT: only valid for views THIS ENGINE created — always exactly
+    ``CREATE VIEW t AS SELECT * FROM <physical>`` (``publish()``), so the
+    pattern anchors on the LAST ``FROM`` at end-of-string. A hand-created
+    view with a trailing WHERE/JOIN clause would misparse; the protocol
+    never reads such views (``current_version`` is only consulted for
+    names the engine itself publishes)."""
     if not text:
         return None
     text = text.strip().rstrip(";").strip()
