@@ -442,6 +442,7 @@ class CopyEngine:
                 staging_dir=self.spec.sink_staging_dir,
                 expected_count=counts[job_id],
                 schema=schema,
+                import_concurrency=self.spec.sink_import_concurrency,
             )
 
         if no_switch:

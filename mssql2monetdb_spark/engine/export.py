@@ -407,6 +407,7 @@ class JdbcWarehouse:
         staging_dir: str | None = None,
         expected_count: int | None = None,
         schema: str | None = None,
+        import_concurrency: int = 1,
     ) -> str:
         """Land the frame in a NEW versioned physical table; returns the
         physical name (bare — qualification is per-statement).
@@ -453,6 +454,7 @@ class JdbcWarehouse:
                 table_ddl=table_ddl,
                 staging_dir=staging_dir,
                 expected_count=expected_count,
+                import_concurrency=import_concurrency,
             )
         elif method == "insert":
             from ..schema.mapper import spark_schema_to_derby_ddl

@@ -503,6 +503,39 @@ table.t1.to = orders
     assert spec4.sink.options["url"] == "jdbc:monetdb://warehouse.example.org:50001/analytics_db"
 
 
+def test_monetdb_sink_accepts_schema_qualified_tables():
+    """Round-10 regression: the reference's ``table.<id>.schema`` key now
+    compiles against a monetdb sink (pre-round-10 the spec layer rejected
+    any non-default schema on a jdbc sink) — the config-time lowercasing
+    matches CopyToolConfig.java:875-876, and two same-named targets in
+    different schemas are accepted while a duplicate (schema, table)
+    pair is still refused."""
+    from mssql2monetdb_spark.config.properties import load_properties_spec
+
+    text = """
+monetdb.server = wh.example.org
+monetdb.database = marts
+mssql.src.server = db.example.org
+mssql.src.database = erp
+mssql.src.user = u
+mssql.src.password = p
+table.a.source = src
+table.a.from.table = dbo.orders
+table.a.to = orders
+table.a.schema = Mart_A
+table.b.source = src
+table.b.from.table = dbo.orders_eu
+table.b.to = orders
+table.b.schema = mart_b
+"""
+    spec = load_properties_spec(text, warehouse_dir="/tmp/wh", monetdb_sink=True)
+    assert spec.jobs["a"].schema_name == "mart_a"  # lowercased at config time
+    assert spec.jobs["b"].schema_name == "mart_b"
+    dup = text.replace("table.b.schema = mart_b", "table.b.schema = MART_A")
+    with pytest.raises(SpecError, match="unique per"):
+        load_properties_spec(dup, warehouse_dir="/tmp/wh", monetdb_sink=True)
+
+
 def test_monetdb_sink_requires_block():
     import pytest
 

@@ -537,6 +537,25 @@ def test_sink_rejects_duplicate_schema_table_targets():
         }
     )
     assert spec.jobs["a"].schema_name == "s1"
+    # the per-part import fan-out knob rides in the sink block (default 1)
+    assert spec.sink_import_concurrency == 1
+    spec_c = load_spec(
+        {
+            **base,
+            "sink": {**base["sink"], "import_concurrency": 4},
+            "tables": {"a": {"source": "src", "from_table": "x", "to_table": "t"}},
+        }
+    )
+    assert spec_c.sink_import_concurrency == 4
+    with pytest.raises(SpecError, match="import_concurrency"):
+        load_spec(
+            {
+                **base,
+                "sink": {**base["sink"], "import_concurrency": 0},
+                "tables": {"a": {"source": "src", "from_table": "x", "to_table": "t"}},
+            }
+        )
+
     # same (schema, table) twice: refused
     with pytest.raises(SpecError, match="unique per \\(schema, table\\)"):
         load_spec(
