@@ -478,3 +478,107 @@ def sessionize_bounded(
             "duration_us",
         )
     )
+
+
+# -- time-series gap fill (hourly grid + LOCF) ------------------------------
+
+
+def gap_fill_hourly(events: DataFrame) -> DataFrame:
+    """Dense hourly series per event type with last-observation-carried-
+    forward for silent hours — the time-series normalization every
+    downstream rollup/anomaly job assumes (a gap read as "0" instead of
+    "no sample" poisons rate baselines).
+
+    Shape: one hash aggregate to (type, hour); the full grid is
+    types × hours built from ONE min/max row crossed with the distinct
+    type set (both broadcast — the grid is metadata-sized at any event
+    volume); LOCF is the portable two-window trick (running non-null
+    COUNT names the carry group, MAX over the group materializes the
+    carried value — no IGNORE NULLS dependence, identical semantics on
+    both engines). Windows partition by event type and span only the
+    hour grid, so state is bounded by the time range, never by event
+    count. Sums go through DECIMAL(30,8) (exact for 2-decimal values,
+    headroom to 1e22 — the hostile edge corpus carries 1e18 values).
+    """
+    hourly = (
+        parallelized(events)
+        .groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("sum_value_dec"),
+        )
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        events.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr"),
+        )
+    )
+    joined = grid.join(hourly, ["event_type", "hr"], "left")
+    w_ord = Window.partitionBy("event_type").orderBy("hr")
+    grp = F.count("sum_value_dec").over(w_ord)  # running non-null count
+    w_grp = Window.partitionBy("event_type", grp)
+    carried = F.max("sum_value_dec").over(w_grp)
+    return (
+        joined.select(
+            "event_type",
+            "hr",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("sum_value_dec").isNull().alias("filled"),
+            F.coalesce(carried, F.lit(0).cast("decimal(30,8)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+def gap_fill_hourly_sql(table: str) -> str:
+    """DuckDB query matching :func:`gap_fill_hourly` step-for-step."""
+    return f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   SUM(CAST(value AS DECIMAL(30,8))) AS sum_value_dec
+            FROM {table} GROUP BY event_type, date_trunc('hour', ts)
+        ), bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi
+            FROM {table}
+        ), grid AS (
+            SELECT t.event_type, g.hr
+            FROM (SELECT DISTINCT event_type FROM {table}) t
+            CROSS JOIN (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+                FROM bounds
+            ) g
+        ), joined AS (
+            SELECT g.event_type, g.hr, h.n_events, h.sum_value_dec
+            FROM grid g LEFT JOIN hourly h
+              ON g.event_type = h.event_type AND g.hr = h.hr
+        ), grouped AS (
+            SELECT *,
+                   COUNT(sum_value_dec) OVER (
+                       PARTITION BY event_type ORDER BY hr
+                   ) AS grp
+            FROM joined
+        )
+        SELECT event_type, hr,
+               CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+               sum_value_dec IS NULL AS filled,
+               CAST(COALESCE(
+                   MAX(sum_value_dec) OVER (PARTITION BY event_type, grp),
+                   0
+               ) AS DOUBLE) AS sum_value
+        FROM grouped
+        ORDER BY event_type, hr
+    """

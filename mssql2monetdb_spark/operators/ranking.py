@@ -873,3 +873,126 @@ def tfidf_top_terms_sql(
         WHERE rank <= {k}
         ORDER BY doc_id, rank
     """
+
+
+# -- hybrid retrieval: reciprocal rank fusion ------------------------------
+
+RRF_K = 60  # the canonical RRF constant (Cormack et al.)
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_vec_id: int,
+    *,
+    depth: int = 50,
+    top: int = 20,
+    k0: int = RRF_K,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion:
+    ``rrf(d) = Σ_source 1/(k0 + rank_source(d))`` over a BM25 rank list
+    and an embedding-cosine rank list (query = the corpus vector
+    ``query_vec_id``), full-outer-joined on doc id so a document ranked by
+    only one retriever still scores.
+
+    Every arithmetic step is cross-engine exact: ranks are ints from
+    deterministic (score DESC, id) orderings, each term is one IEEE
+    division, and the fusion sum is a two-term fixed-order add — no
+    float-sum reordering anywhere.
+
+    Plan shape at scale: each retriever is independently bounded (top
+    ``depth``), so the fusion join is depth×depth at most — driver-light,
+    broadcast-size by construction; the expensive parts are the retrievers
+    themselves (BM25: one shuffle; cosine: broadcast query, map-side score,
+    one top-k window over a single partition of ``depth`` candidates).
+    """
+    from ..functions import vectors
+
+    lex = (
+        bm25_scores(docs, terms, top=depth)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .alias("rank_lex"),
+        )
+    )
+    qv = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    sem = (
+        parallelized(emb)
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            vectors.cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(depth)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos_sim").desc(), "doc_id"))
+            .alias("rank_sem"),
+        )
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("rank_lex").cast("int").alias("rank_lex"),
+        F.col("rank_sem").cast("int").alias("rank_sem"),
+        (
+            F.coalesce(1.0 / (F.lit(k0) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k0) + F.col("rank_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(top)
+
+
+def hybrid_rrf_sql(
+    docs_table: str,
+    emb_table: str,
+    terms: list[str],
+    query_vec_id: int,
+    *,
+    depth: int = 50,
+    top: int = 20,
+    k0: int = RRF_K,
+) -> str:
+    """DuckDB query matching :func:`hybrid_rrf` step-for-step."""
+    from ..functions import vectors
+
+    bm25 = bm25_scores_sql(docs_table, terms, top=depth)
+    cos = vectors.cosine_sql("q.q_emb", "e.embedding")
+    return f"""
+        WITH lex_scored AS ({bm25}),
+        lex AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+                   AS rank_lex
+            FROM lex_scored
+        ),
+        q AS (
+            SELECT embedding AS q_emb FROM {emb_table}
+            WHERE vec_id = {query_vec_id}
+        ),
+        sem_scored AS (
+            SELECT e.vec_id AS doc_id, {cos} AS cos_sim
+            FROM {emb_table} e CROSS JOIN q
+            WHERE e.vec_id <> {query_vec_id}
+            ORDER BY cos_sim DESC, doc_id LIMIT {depth}
+        ),
+        sem AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS INTEGER)
+                   AS rank_sem
+            FROM sem_scored
+        )
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               rank_lex, rank_sem,
+               COALESCE(1.0 / ({k0} + rank_lex), 0.0)
+               + COALESCE(1.0 / ({k0} + rank_sem), 0.0) AS rrf
+        FROM lex FULL OUTER JOIN sem USING (doc_id)
+        ORDER BY rrf DESC, doc_id LIMIT {top}
+    """

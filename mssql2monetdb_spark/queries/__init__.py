@@ -25,22 +25,28 @@ from . import tpch_full  # noqa: E402,F401
 from . import lifecycle  # noqa: E402,F401
 
 # ROTATION — round 10 (the round-9 verdict's directive 2: roll the window
-# from NEXT_WINDOW_QUEUE): slot 0 is this round's never-verified addition
-# (the schema-qualified two-schema publish gate — verdict item 1);
-# slots 1-7 are the changed-code re-verifies (the bulk loader's MonetDB
-# staging serializer + import-concurrency knob, JdbcWarehouse's
-# always-scoped catalog probes + schema qualification + transactional
-# rollback, the watermark probe's identifier-case ladder, and CopyEngine's
-# schema plumbing touch every lifecycle gate); slots 8-49 are canaries,
+# from NEXT_WINDOW_QUEUE): slots 0-4 are this round's never-verified
+# additions (the schema-qualified two-schema publish gate — verdict item
+# 1 — plus hybrid RRF retrieval, hourly LOCF gap fill, UNPIVOT, and
+# PageRank power iteration); slots 5-11 are the changed-code re-verifies
+# (the bulk loader's MonetDB staging serializer + import-concurrency
+# knob, JdbcWarehouse's always-scoped catalog probes + schema
+# qualification + warehouse-side evolve + transactional rollback, the
+# watermark probe's identifier-case ladder, and CopyEngine's schema
+# plumbing touch every lifecycle gate); slots 12-49 are canaries,
 # least-recently-verified first (verdict age computed from
 # CORRECTNESS_r01-r09, ties by registration order) — this window drains
-# ALL 10 r4-aged rows and the oldest 32 of the r6 block, leaving no
+# ALL 10 r4-aged rows and the oldest 28 of the r6 block, leaving no
 # verdict older than r6.
 #
 # Vacuity audit (round 5, sf0.01): every window oracle returns >0 rows —
 # checked by test_window_oracles_non_vacuous on every commit.
 GATE_PRIORITY = [
     "jdbc_schema_publish",
+    "rank_hybrid_rrf",
+    "events_gap_fill",
+    "fn_unpivot",
+    "graph_pagerank",
     "jdbc_roundtrip_lineitem",
     "jdbc_roundtrip_typelattice",
     "jdbc_warehouse_publish",
@@ -86,10 +92,6 @@ GATE_PRIORITY = [
     "set_union_distinct",
     "set_intersect",
     "set_except",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q18_large_orders",
-    "agg_grouping_sets",
 ]
 
 GATE_WINDOW = 50
@@ -111,6 +113,10 @@ GATE_WINDOW = 50
 # (computed from CORRECTNESS_r01-r09 — the remaining r6 block first,
 # then the r7 tail), ties by registration order.
 NEXT_WINDOW_QUEUE = [
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q18_large_orders",
+    "agg_grouping_sets",
     "subquery_not_in_nulls",
     "cte_with_clause",
     "subquery_correlated_min",

@@ -14,6 +14,7 @@ from ..catalog import Tables
 from ..functions import hashing, text, vectors
 from ..operators import dedup, multimodal, similarity, textstats
 from ..operators import events as events_ops
+from ..operators import graph as graph_ops
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -1813,3 +1814,36 @@ def dedup_setsim_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEXT_WINDOW_QUEUE slot for the round-5 gate."""
     t = Tables(spark, sf_dir)
     return dedup.setsim_prefix_pairs(t.documents)
+
+
+@query(
+    "events_gap_fill",
+    oracle=events_ops.gap_fill_hourly_sql("events"),
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time series per event type with LOCF gap filling: the
+    full hour grid is built from one broadcast min/max row × the distinct
+    type set (metadata-sized at any event volume), missing hours carry the
+    last observed hourly sum forward via the portable two-window trick
+    (running non-null COUNT names the carry group, MAX over the group
+    materializes the value — no IGNORE NULLS dependence). Sums are exact
+    through DECIMAL(30,8) (edge-corpus 1e18 values fit)."""
+    t = Tables(spark, sf_dir)
+    return events_ops.gap_fill_hourly(t.events)
+
+
+@query(
+    "graph_pagerank",
+    oracle=graph_ops.pagerank_sql(graph_ops.user_transition_edges_sql("events")),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the user-transition graph (consecutive
+    same-type events link their users), 4 rounds of power iteration from a
+    uniform start — the iterative-analytics shape SQL alone can't express
+    unboundedly, pinned here at fixed depth so the DuckDB oracle unrolls
+    to chained CTEs. Per-node incoming sums are FIXED-ORDER folds on both
+    engines (float addition is not associative — a plain SUM would hash
+    differently); each round is two shuffles (edges ⋈ ranks, then a
+    dst-keyed aggregate), state bounded by |V|+|E|."""
+    t = Tables(spark, sf_dir)
+    return graph_ops.pagerank(graph_ops.user_transition_edges(t.events))

@@ -805,3 +805,36 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "int").alias("k_int"),
         F.try_variant_get(v, "$.missing", "bigint").alias("absent"),
     ).orderBy("event_id")
+
+
+@query(
+    "fn_unpivot",
+    oracle="""
+        WITH per_src AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY source
+        )
+        SELECT source, metric, metric_value
+        FROM per_src
+        UNPIVOT (metric_value FOR metric IN (n_docs, sum_chars, max_chars))
+        ORDER BY source, metric
+    """,
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (the melt/stack relational shape): per-source
+    document stats rotated into (source, metric, value) rows —
+    ``DataFrame.unpivot`` (Spark's ANSI UNPIVOT, compiled to an Expand
+    node: each input row fans out map-side, no shuffle) against DuckDB's
+    standard UNPIVOT clause."""
+    t = Tables(spark, sf_dir)
+    per_src = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+    return per_src.unpivot(
+        ["source"], ["n_docs", "sum_chars", "max_chars"], "metric", "metric_value"
+    ).orderBy("source", "metric")

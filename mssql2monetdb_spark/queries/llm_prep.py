@@ -894,3 +894,23 @@ def prep_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot for the round-5 gate."""
     t = Tables(spark, sf_dir)
     return corpus_prep.chunk_overlap(t.documents)
+
+
+RRF_TERMS = ["shuffle", "partition", "broadcast"]
+RRF_QUERY_VEC = 7
+
+
+@query(
+    "rank_hybrid_rrf",
+    oracle=ranking.hybrid_rrf_sql("documents", "embeddings", RRF_TERMS, RRF_QUERY_VEC),
+)
+def rank_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) and embedding-cosine (semantic)
+    rank lists fused by Reciprocal Rank Fusion — the standard two-tower
+    retrieval shape for RAG/training-data curation. Ranks are ints from
+    deterministic orderings and the fusion is a two-term fixed-order IEEE
+    sum, so the score hashes identically cross-engine. Both retrievers are
+    depth-bounded before the full-outer fusion join (depth x depth max),
+    which keeps fusion broadcast-sized at any corpus scale."""
+    t = Tables(spark, sf_dir)
+    return ranking.hybrid_rrf(t.documents, t.embeddings, RRF_TERMS, RRF_QUERY_VEC)
