@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Tables
 from ..config.spec import CopyJob, JobSpec, SourceSpec
-from ..engine.publish import VersionedCatalog
+from ..engine.publish import VersionedCatalog, version_of
 from ..schema.mapper import jdbc_to_spark_type
 from ..sources.jdbc import (
     derby_snapshot_jar,
@@ -905,3 +905,110 @@ def jdbc_schema_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         parts.append(back.select(F.lit(schema).alias("mart"), "o_orderkey", "o_custkey", "o_totalprice"))
     return parts[0].unionAll(parts[1]).orderBy("mart", "o_orderkey")
+
+
+@query(
+    "catalog_version_diff",
+    oracle=f"""
+        WITH subset AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % {RT_FILTER_MOD} = 0
+        ),
+        mid AS (
+            SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS m FROM subset
+        ),
+        v1 AS (  -- first load: lower key half, prices as loaded
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM subset WHERE o_orderkey <= (SELECT m FROM mid)
+        ),
+        v2 AS (  -- second load: full subset, lower half re-priced (+1.0)
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey <= (SELECT m FROM mid)
+                            AND o_orderkey % 3 = 0
+                        THEN o_totalprice + 1.0 ELSE o_totalprice END
+                   AS o_totalprice
+            FROM subset
+        )
+        SELECT COALESCE(v2.o_orderkey, v1.o_orderkey) AS o_orderkey,
+               CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                    WHEN v2.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS change,
+               v1.o_totalprice AS old_price,
+               v2.o_totalprice AS new_price
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+           OR v1.o_custkey IS DISTINCT FROM v2.o_custkey
+           OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+           OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+        ORDER BY o_orderkey
+    """,
+)
+def catalog_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two RETAINED versions of a published table
+    — the audit every keep-2 deployment wants ('what did the last load
+    change?'), computed entirely from the catalog's own time travel
+    (``table_at``: current vs backup), no extra bookkeeping at load time.
+    Two loads go through the real publish lifecycle (v1 = lower key half;
+    v2 = full subset with every third lower-half row re-priced), then the
+    versions are full-outer-joined on the key and classified
+    insert/update/delete with null-safe column compares. One shuffle on
+    the key; at 100 TB the diff is the same join the SCD-2 merge already
+    pays, and retention guarantees both inputs exist."""
+    from datetime import datetime
+
+    t = Tables(spark, sf_dir)
+    subset = t.orders.filter(F.col("o_orderkey") % RT_FILTER_MOD == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    lo_hi = subset.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    if lo_hi[0] is None:
+        half = subset
+        repriced = subset
+    else:
+        mid = (int(lo_hi[0]) + int(lo_hi[1])) // 2
+        half = subset.filter(F.col("o_orderkey") <= mid)
+        repriced = subset.withColumn(
+            "o_totalprice",
+            F.when(
+                (F.col("o_orderkey") <= mid) & (F.col("o_orderkey") % 3 == 0),
+                F.col("o_totalprice") + 1.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+
+    wh_dir = tempfile.mkdtemp(prefix="vdiff_wh_")
+    catalog = VersionedCatalog(wh_dir)
+    p1 = catalog.write_version(half, "default", "orders_cdf", datetime(2024, 6, 1))
+    catalog.publish(spark, "default", "orders_cdf", p1)
+    p2 = catalog.write_version(repriced, "default", "orders_cdf", datetime(2024, 6, 2))
+    catalog.publish(spark, "default", "orders_cdf", p2)
+    catalog.cleanup("default", "orders_cdf")
+
+    backup = catalog.manifest_info("default", "orders_cdf").get("previous")
+    if backup is None:
+        raise RuntimeError("keep-2 retention must leave a backup version")
+    v1 = catalog.table_at(spark, "default", "orders_cdf", version_of(backup))
+    v2 = catalog.table_at(spark, "default", "orders_cdf")
+
+    a = v1.select(*[F.col(c).alias(f"a_{c}") for c in v1.columns])
+    b = v2.select(*[F.col(c).alias(f"b_{c}") for c in v2.columns])
+    joined = a.join(b, a["a_o_orderkey"] == b["b_o_orderkey"], "full_outer")
+    changed = (
+        a["a_o_orderkey"].isNull()
+        | b["b_o_orderkey"].isNull()
+        | ~a["a_o_custkey"].eqNullSafe(b["b_o_custkey"])
+        | ~a["a_o_orderstatus"].eqNullSafe(b["b_o_orderstatus"])
+        | ~a["a_o_totalprice"].eqNullSafe(b["b_o_totalprice"])
+    )
+    return (
+        joined.filter(changed)
+        .select(
+            F.coalesce(b["b_o_orderkey"], a["a_o_orderkey"]).alias("o_orderkey"),
+            F.when(a["a_o_orderkey"].isNull(), F.lit("insert"))
+            .when(b["b_o_orderkey"].isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change"),
+            a["a_o_totalprice"].alias("old_price"),
+            b["b_o_totalprice"].alias("new_price"),
+        )
+        .orderBy("o_orderkey")
+    )
