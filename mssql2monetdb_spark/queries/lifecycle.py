@@ -1012,3 +1012,96 @@ def catalog_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "stream_jdbc_warehouse_publish",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value FROM (
+            SELECT event_id, ts, user_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def stream_jdbc_warehouse_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL topology under the oracle gate: a real
+    readStream (three micro-batches, disjoint ``user_id % 3`` shards so
+    the SCD-1 result is arrival-order independent) drained through
+    ``jdbc_warehouse_stream_sync`` into a real Derby WAREHOUSE — each
+    batch merges latest-per-user over the previously published warehouse
+    state (read back through a per-batch ``jar:`` snapshot; a server
+    deployment reads the view directly), lands the merged state through
+    the staged-CSV bulk loader, and transactionally swaps the view
+    (``MonetDBUtil.java:442-529``) with keep-2 retention. The final
+    published VIEW is read back through a partitioned ``jar:`` snapshot
+    scan and hashed against the batch-equivalent oracle. One green row
+    pins streaming trigger + bulk COPY + view switch + retention
+    composing correctly — the exact pipeline a reference user runs, with
+    the polling scheduler upgraded to Structured Streaming."""
+    from datetime import datetime
+
+    from ..engine.export import JdbcWarehouse
+    from ..streaming.pipelines import jdbc_warehouse_stream_sync
+
+    t = Tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_jdbc_wh_")
+    src = os.path.join(base, "in")
+    for shard in range(3):
+        t.events.filter(F.col("user_id") % 3 == shard).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    db_path = os.path.join(base, "whdb")
+    wh = JdbcWarehouse(
+        spark,
+        SourceSpec(
+            name="derby_wh",
+            format="jdbc",
+            options={
+                "url": f"jdbc:derby:{db_path};create=true",
+                "driver": DERBY_DRIVER,
+            },
+        ),
+    )
+    jdbc_warehouse_stream_sync(
+        events_stream(spark, src, max_files_per_trigger=1),
+        wh,
+        "user_state",
+        os.path.join(base, "ckpt"),
+        state_url=lambda batch_id: derby_snapshot_jar(
+            spark, db_path, tag=f"b{batch_id}"
+        ),
+        base_date=datetime(2024, 6, 1),
+    )
+    if len(wh.table_versions("user_state")) != 2:  # keep-2 after 3 publishes
+        raise RuntimeError("retention must keep current + backup")
+
+    ro = SourceSpec(
+        name="derby_wh_ro",
+        format="jdbc",
+        options={
+            "url": derby_snapshot_jar(spark, db_path, tag="final"),
+            "driver": DERBY_DRIVER,
+        },
+    )
+    lo_hi = t.events.agg(F.min("user_id"), F.max("user_id")).first()
+    opts = dict(ro.options)
+    if lo_hi[0] is not None:
+        opts.update(
+            partition_bounds_options(
+                "user_id",
+                int(lo_hi[0]),
+                max(int(lo_hi[1]), int(lo_hi[0]) + 1),
+                num_partitions=4,
+            )
+        )
+    back = jdbc_reader(
+        spark,
+        SourceSpec(name="derby_wh_ro", format="jdbc", options=opts),
+        CopyJob(job_id="swp_rb", source="derby_wh_ro", from_table="user_state"),
+    )
+    return back.select("event_id", "ts", "user_id", "event_type", "value").orderBy(
+        "user_id"
+    )

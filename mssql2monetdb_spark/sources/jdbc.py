@@ -583,7 +583,7 @@ def derby_shutdown(spark: SparkSession, db_path: str) -> None:
     )
 
 
-def derby_snapshot_jar(spark: SparkSession, db_path: str) -> str:
+def derby_snapshot_jar(spark: SparkSession, db_path: str, *, tag: str | None = None) -> str:
     """Freeze an embedded-Derby database into a read-only ``jar:`` snapshot
     every JVM can open concurrently.
 
@@ -597,11 +597,18 @@ def derby_snapshot_jar(spark: SparkSession, db_path: str) -> str:
     a real deployment's server URL (multi-executor probe: SCALE.md r8).
 
     Returns the jar-subprotocol JDBC url for the snapshot.
+
+    ``tag`` makes the jar FILENAME unique: Derby identifies a jar database
+    by its full subprotocol URL and keeps it BOOTED for the JVM's
+    lifetime, so re-snapshotting to the same path silently serves the
+    FIRST snapshot's content forever (callers re-snapshotting an evolving
+    db — e.g. per micro-batch — must tag each snapshot).
     """
     derby_shutdown(spark, db_path)
     parent = os.path.dirname(db_path)
     name = os.path.basename(db_path)
-    jar_path = os.path.join(parent, f"{name}.jar")
+    fname = f"{name}-{tag}.jar" if tag else f"{name}.jar"
+    jar_path = os.path.join(parent, fname)
     with zipfile.ZipFile(jar_path, "w", zipfile.ZIP_STORED) as zf:
         for root, _dirs, files in os.walk(db_path):
             for fname in files:

@@ -489,3 +489,100 @@ def correlated_purchases_stream(
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {horizon}")),
     ).select("click_id", "click_user", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+
+
+def jdbc_warehouse_stream_sync(
+    events: DataFrame,
+    wh,
+    table: str,
+    checkpoint_dir: str,
+    *,
+    key: str = "user_id",
+    state_url: "callable | None" = None,
+    base_date: datetime | None = None,
+) -> None:
+    """Streaming SCD-1 sync into a JDBC WAREHOUSE — the reference's full
+    topology (scheduled incremental copy -> MonetDB versioned tables +
+    view switch, ``CopyTool.java:121-160,202-299``) driven by a real
+    readStream instead of the polling scheduler. Each micro-batch:
+
+    1. collapses to one row per ``key`` (latest ``(ts, event_id)`` wins);
+    2. merges last-write-wins over the PREVIOUSLY PUBLISHED warehouse
+       state (read back through ``state_url()`` — see below);
+    3. lands the merged state as a NEW versioned physical table through
+       the staged-CSV bulk loader, transactionally swaps the view, and
+       reaps beyond keep-2 (``JdbcWarehouse.export``).
+
+    foreachBatch is at-least-once; the committed-batch guard here keys on
+    the DETERMINISTIC version name (``base_date + batch_id`` seconds): a
+    replayed batch whose physical name IS the live view's target crashed
+    between publish and checkpoint-commit — it completed, so the replay
+    is skipped. (Names are pure functions of batch id, so the name-drift
+    caveat of the parquet sync's provenance guard does not arise within
+    one stream lineage; a WIPED checkpoint restarts batch numbering and
+    must target a fresh table, same contract as the reference's re-run.)
+
+    ``state_url`` exists for the embedded-Derby sandbox: executors must
+    never boot an embedded database (single-JVM lock), so the prior state
+    is read back through a fresh read-only ``jar:`` snapshot per batch
+    (the callable takes the batch id and returns the URL — the id must
+    make each snapshot's jar path UNIQUE, because Derby keeps a jar db
+    booted per URL and would serve the first snapshot forever). Against a
+    real server (MonetDB/PG) pass ``None`` — the published view is read
+    over the network like any other table and the snapshot step
+    disappears.
+    """
+    from ..config.spec import CopyJob, SourceSpec
+    from ..sources.jdbc import jdbc_reader
+
+    base = base_date or datetime(2024, 6, 1)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    def collapse(df: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(key).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        return (
+            df.select(*cols)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from datetime import timedelta
+
+        from ..engine.publish import physical_name
+
+        load_date = base + timedelta(seconds=int(batch_id))
+        physical = physical_name(table, load_date)
+        current = wh.current_version(table)
+        if current and current.lower() == physical.lower():
+            return  # completed replay: published but checkpoint uncommitted
+        merged = collapse(batch_df)
+        if current is not None:
+            url = (
+                state_url(batch_id)
+                if state_url is not None
+                else wh.source.options["url"]
+            )
+            prior_src = SourceSpec(
+                name="_wh_state",
+                format="jdbc",
+                options={**wh.source.options, "url": url},
+            )
+            prior = jdbc_reader(
+                batch_df.sparkSession,
+                prior_src,
+                CopyJob(job_id="wh_state", source="_wh_state", from_table=table),
+            ).select(*cols)
+            merged = collapse(prior.unionByName(merged))
+        wh.export(merged.coalesce(1), table, load_date)
+
+    (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
