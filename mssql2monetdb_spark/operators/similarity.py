@@ -1224,3 +1224,19 @@ def topk_ivf_adc_sql(
     SELECT query_id, vec_id, adc_dist, rnk
     FROM ranked WHERE rnk <= {k}
     """
+
+
+def ivf_incremental_assign(
+    index: IvfIndex,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Assign NEW vectors to a FROZEN index's centroids — index maintenance
+    for a growing corpus at O(new): one broadcast-argmin pass over only the
+    arriving vectors; existing assignments never reshuffle and centroids
+    never retrain inline (periodic re-clustering is a separate offline
+    job, exactly how production IVF deployments handle drift). The
+    incremental-ingest analog of ``dedup.incremental_ingest_dedup`` —
+    the corpus-side state is read-only."""
+    return _argmin_assign(parallelized(new_df), index.centroids, id_col, emb_col)

@@ -1915,3 +1915,89 @@ def report_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val"
     ).orderBy("col_name")
+
+
+def _ivf_incremental_oracle() -> str:
+    dist2 = (
+        "list_reduce(list_transform(generate_series(1, len(e.embedding)), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))), (a, b) -> a + b)"
+    )
+    # the builder's exact recurrence (seed -> one Lloyd step) over the BASE
+    # 90%, then a single frozen-centroid argmin for the NEW 10%
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 9
+    ), newv AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 9
+    ), seed AS (
+        SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cvec
+        FROM base WHERE vec_id < {similarity.IVF_K}
+    ), scored0 AS (
+        SELECT e.vec_id, e.embedding, c.cid, {dist2} AS dist2
+        FROM base e CROSS JOIN seed c
+    ), a0 AS (
+        SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+            FROM scored0
+        ) WHERE rn = 1
+    ), dims AS (
+        SELECT cell, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+        FROM a0, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ), centroids AS (
+        SELECT cell AS cid, list(mean_val ORDER BY dim) AS cvec FROM (
+            SELECT cell, dim,
+                   CAST(SUM(CAST(val AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*) AS mean_val
+            FROM dims GROUP BY cell, dim
+        ) GROUP BY cell
+    ), base_assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id ORDER BY {dist2}, c.cid) AS rn
+            FROM base e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ), new_assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id ORDER BY {dist2}, c.cid) AS rn
+            FROM newv e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    )
+    SELECT cell,
+           CAST(SUM(CASE WHEN origin = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+           CAST(SUM(CASE WHEN origin = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+    FROM (
+        SELECT cell, 'base' AS origin FROM base_assigned
+        UNION ALL SELECT cell, 'new' AS origin FROM new_assigned
+    )
+    GROUP BY cell ORDER BY cell
+    """
+
+
+@query("ann_ivf_incremental", oracle=_ivf_incremental_oracle())
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: the index (k-means-lite
+    centroids + cell assignments) is built over the BASE 90% of the
+    corpus, then the arriving 10% is folded in with ONE frozen-centroid
+    broadcast-argmin pass — O(new) per ingest tick, the existing
+    assignments never reshuffle, no inline retraining (periodic
+    re-clustering is a separate offline job, as in production IVF).
+    The gate hashes per-cell (base, new) occupancy; the deterministic
+    seed + decimal-exact Lloyd step make every assignment bit-stable
+    cross-engine."""
+    t = Tables(spark, sf_dir)
+    base = t.embeddings.filter(F.col("vec_id") % 10 != 9)
+    new = t.embeddings.filter(F.col("vec_id") % 10 == 9)
+    index = similarity.ivf_build_index(base).persist()
+    new_assigned = similarity.ivf_incremental_assign(index, new)
+    both = index.assignments.select("cell", F.lit("base").alias("origin")).unionAll(
+        new_assigned.select("cell", F.lit("new").alias("origin"))
+    )
+    return (
+        both.groupBy("cell")
+        .agg(
+            F.sum((F.col("origin") == "base").cast("bigint")).cast("bigint").alias("n_base"),
+            F.sum((F.col("origin") == "new").cast("bigint")).cast("bigint").alias("n_new"),
+        )
+        .orderBy("cell")
+    )
