@@ -80,17 +80,30 @@ def pagerank(
     uniform start: ``r'(v) = (1-d)/N + d * Σ_u r(u) * w(u,v)/outdeg(u)``
     (dangling mass deliberately not redistributed — the fixed-depth SQL
     oracle defines the same recurrence). Returns (node, rank)."""
+    # both frames are read by EVERY iteration (and nodes twice per round):
+    # localCheckpoint truncates the lineage so the 4-deep plan chain never
+    # recomputes the edge derivation (window + aggregate over the raw
+    # events) — the same loop-invariant hoisting connected_components
+    # does; measured faster than cache() here (no InMemoryTableScan in
+    # the per-round codegen path)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n = nodes.count()  # |V|: one scalar to the driver, like every bounds probe
     outdeg = edges.groupBy("src").agg(F.sum("weight").alias("outdeg"))
-    e = edges.join(outdeg, "src").select(
-        "src",
-        "dst",
-        (F.col("weight").cast("double") / F.col("outdeg").cast("double")).alias("share"),
+    e = (
+        edges.join(outdeg, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("weight").cast("double") / F.col("outdeg").cast("double")).alias(
+                "share"
+            ),
+        )
+        .localCheckpoint()
     )
     base = (F.lit(1.0) - F.lit(damping)) / F.lit(float(n))
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))

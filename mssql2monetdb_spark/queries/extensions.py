@@ -1819,6 +1819,7 @@ def dedup_setsim_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_gap_fill",
     oracle=events_ops.gap_fill_hourly_sql("events"),
+    bench=True,
 )
 def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly time series per event type with LOCF gap filling: the
@@ -1835,6 +1836,7 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_pagerank",
     oracle=graph_ops.pagerank_sql(graph_ops.user_transition_edges_sql("events")),
+    bench=True,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the user-transition graph (consecutive
