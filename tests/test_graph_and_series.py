@@ -1,0 +1,121 @@
+"""Hand-computed unit tests for the round-10 operators — independent of
+the DuckDB-oracle gates (which prove cross-engine equivalence, not
+absolute correctness): PageRank against the recurrence evaluated by hand,
+LOCF gap fill against a crafted gappy series, incremental IVF assignment
+against the nearest centroid."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from mssql2monetdb_spark.operators import events as events_ops
+from mssql2monetdb_spark.operators import graph, similarity
+
+
+def test_pagerank_matches_hand_computed_recurrence(spark):
+    """3-node weighted cycle with one double-weight edge; 1 iteration from
+    the uniform start is checkable by hand:
+      edges: a->b (w2), a->c (w1), b->c (w1), c->a (w1)
+      shares: a->b 2/3, a->c 1/3, b->c 1, c->a 1
+      r0 = 1/3 each; base = 0.15/3 = 0.05
+      r1(a) = 0.05 + 0.85*(1/3)         = 0.33333...
+      r1(b) = 0.05 + 0.85*(2/3 * 1/3)   = 0.23888...
+      r1(c) = 0.05 + 0.85*(1/3*1/3 + 1*1/3) = 0.42777...
+    """
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("a", "c", 1), ("b", "c", 1), ("c", "a", 1)],
+        "src string, dst string, weight bigint",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(edges, iterations=1, damping=0.85).collect()
+    }
+    assert abs(got["a"] - (0.05 + 0.85 * (1 / 3))) < 1e-12
+    assert abs(got["b"] - (0.05 + 0.85 * (2 / 3) * (1 / 3))) < 1e-12
+    assert abs(got["c"] - (0.05 + 0.85 * ((1 / 3) * (1 / 3) + 1 / 3))) < 1e-12
+    # ranks stay a distribution-plus-leak: total <= 1 (dangling mass not
+    # redistributed, by documented contract), > 0.9 here (only 'b'->... all
+    # nodes have out-edges, so total stays 1 up to float error)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_user_transition_edges_same_type_consecutive(spark):
+    """Edges connect CONSECUTIVE same-type events' users; same-user pairs
+    and cross-type adjacency produce nothing."""
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 10, "click"),
+        (2, datetime(2024, 1, 1, 0, 1), 20, "click"),   # 10 -> 20
+        (3, datetime(2024, 1, 1, 0, 2), 20, "click"),   # 20 -> 20 dropped
+        (4, datetime(2024, 1, 1, 0, 3), 30, "click"),   # 20 -> 30
+        (5, datetime(2024, 1, 1, 0, 4), 99, "view"),    # other type
+        (6, datetime(2024, 1, 1, 0, 5), 10, "click"),   # 30 -> 10
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in graph.user_transition_edges(events).collect()
+    }
+    assert got == {(10, 20): 1, (20, 30): 1, (30, 10): 1}
+
+
+def test_gap_fill_carries_last_observation_forward(spark):
+    """A silent middle hour gets the PRIOR hour's sum (filled=True);
+    leading hours before any observation fill with 0."""
+    rows = [
+        (1, datetime(2024, 1, 1, 1, 30), 5, "click", 10.0, None),
+        (2, datetime(2024, 1, 1, 3, 10), 6, "click", 2.5, None),
+        # hour 0 exists only for 'view': click's grid still starts at the
+        # GLOBAL min hour (0), where click has no prior value -> 0, filled
+        (3, datetime(2024, 1, 1, 0, 5), 7, "view", 1.0, None),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["event_type"], r["hr"].hour): (r["n_events"], r["filled"], r["sum_value"])
+        for r in events_ops.gap_fill_hourly(events).collect()
+    }
+    # click: hour0 empty (0.0, leading), hour1 observed 10, hour2 GAP
+    # carries 10, hour3 observed 2.5
+    assert got[("click", 0)] == (0, True, 0.0)
+    assert got[("click", 1)] == (1, False, 10.0)
+    assert got[("click", 2)] == (0, True, 10.0)   # the LOCF carry
+    assert got[("click", 3)] == (1, False, 2.5)
+    # view: observed at hour0 then carries its 1.0 through the grid
+    assert got[("view", 0)] == (1, False, 1.0)
+    assert got[("view", 3)] == (0, True, 1.0)
+    # grid is dense: every (type, hour) cell exists
+    assert len(got) == 8
+
+
+def test_ivf_incremental_assigns_to_nearest_frozen_centroid(spark):
+    """New vectors go to the argmin centroid of the FROZEN index; the
+    index's own assignments are untouched."""
+    base = spark.createDataFrame(
+        [(i, [float(i % 2) * 10.0, 0.0]) for i in range(8)]
+        + [(8, [10.0, 0.1]), (9, [0.0, 0.1])],
+        "vec_id bigint, embedding array<float>",
+    )
+    index = similarity.ivf_build_index(base, k=2).persist()
+    before = index.assignments.count()
+    new = spark.createDataFrame(
+        [(100, [9.5, 0.0]), (101, [0.2, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_incremental_assign(index, new).collect()
+    }
+    # centroids ~ [0,*] (cell of the 0-ish seeds) and [10,*]: 100 joins the
+    # 10-side cell, 101 the 0-side cell — and they differ
+    assert got[100] != got[101]
+    centroids = {r["cid"]: r["cvec"] for r in index.centroids.collect()}
+    assert abs(centroids[got[100]][0] - 10.0) < 1.0
+    assert abs(centroids[got[101]][0] - 0.0) < 1.0
+    assert index.assignments.count() == before  # corpus state untouched
