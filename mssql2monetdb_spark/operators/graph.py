@@ -75,39 +75,42 @@ def pagerank(
     *,
     iterations: int = PR_ITERATIONS,
     damping: float = PR_DAMPING,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank, ``iterations`` rounds of power iteration from a
     uniform start: ``r'(v) = (1-d)/N + d * Σ_u r(u) * w(u,v)/outdeg(u)``
     (dangling mass deliberately not redistributed — the fixed-depth SQL
-    oracle defines the same recurrence). Returns (node, rank)."""
-    # both frames are read by EVERY iteration (and nodes twice per round):
-    # localCheckpoint truncates the lineage so the 4-deep plan chain never
-    # recomputes the edge derivation (window + aggregate over the raw
-    # events) — the same loop-invariant hoisting connected_components
-    # does; measured faster than cache() here (no InMemoryTableScan in
-    # the per-round codegen path)
+    oracle defines the same recurrence). Returns (node, rank).
+
+    Fault-tolerance contract (probed with live executor SIGKILLs,
+    SCALE.md round 10): the default pure-lineage form survives executor
+    loss — every lost block recomputes, and the shared edge-derivation
+    shuffle is a ReusedExchange across iterations so lineage costs no
+    extra wall-clock at shallow depth. ``checkpoint_every`` opts deep
+    loops (tens of iterations, where plan growth dominates) into
+    ``localCheckpoint`` rank truncation — faster planning but a lost
+    executor then FAILS the job loudly (localCheckpoint blocks are not
+    recomputable, by Spark contract); rerun or use a reliable checkpoint
+    dir when preemption is routine."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     n = nodes.count()  # |V|: one scalar to the driver, like every bounds probe
     outdeg = edges.groupBy("src").agg(F.sum("weight").alias("outdeg"))
-    e = (
-        edges.join(outdeg, "src")
-        .select(
-            "src",
-            "dst",
-            (F.col("weight").cast("double") / F.col("outdeg").cast("double")).alias(
-                "share"
-            ),
-        )
-        .localCheckpoint()
+    e = edges.join(outdeg, "src").select(
+        "src",
+        "dst",
+        (F.col("weight").cast("double") / F.col("outdeg").cast("double")).alias(
+            "share"
+        ),
     )
     base = (F.lit(1.0) - F.lit(damping)) / F.lit(float(n))
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
-    for _ in range(iterations):
+    for it in range(iterations):
+        if checkpoint_every and it and it % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
         contribs = e.join(ranks, e["src"] == ranks["node"]).select(
             "dst", "src", (F.col("rank") * F.col("share")).alias("contrib")
         )

@@ -1854,69 +1854,63 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "report_column_profile",
     oracle="""
-        WITH wide AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ck,
-                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_ck,
-                   CAST(MIN(o_custkey) AS DOUBLE) AS mn_ck,
-                   CAST(MAX(o_custkey) AS DOUBLE) AS mx_ck,
-                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_tp,
-                   CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_tp,
-                   CAST(MIN(o_totalprice) AS DOUBLE) AS mn_tp,
-                   CAST(MAX(o_totalprice) AS DOUBLE) AS mx_tp,
-                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_st,
-                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_st,
-                   CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_dt,
-                   CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd_dt
+        WITH long AS (
+            SELECT 'o_custkey' AS col_name,
+                   CAST(o_custkey AS VARCHAR) AS val_str,
+                   CAST(o_custkey AS DOUBLE) AS val_num FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR), NULL FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', o_orderstatus, NULL FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR), o_totalprice
             FROM orders
         )
-        SELECT 'o_custkey' AS col_name, n_rows, nn_ck AS n_null, nd_ck AS n_distinct,
-               mn_ck AS min_val, mx_ck AS max_val FROM wide
-        UNION ALL
-        SELECT 'o_orderdate', n_rows, nn_dt, nd_dt, NULL, NULL FROM wide
-        UNION ALL
-        SELECT 'o_orderstatus', n_rows, nn_st, nd_st, NULL, NULL FROM wide
-        UNION ALL
-        SELECT 'o_totalprice', n_rows, nn_tp, nd_tp, mn_tp, mx_tp FROM wide
-        ORDER BY col_name
+        SELECT col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(val_str) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT val_str) AS BIGINT) AS n_distinct,
+               MIN(val_num) AS min_val,
+               MAX(val_num) AS max_val
+        FROM long GROUP BY col_name ORDER BY col_name
     """,
 )
 def report_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profiling (the ANALYZE/data-quality report): per-column null
-    count, exact distinct count, and numeric min/max in ONE scan — the
-    multi-COUNT(DISTINCT) compiles to Catalyst's Expand-based plan (one
-    pass, one shuffle, no per-column rescans), then the single wide stats
-    row is stacked into long form map-side. At 100 TB this is the shape a
-    profiler must have: per-column jobs would rescan the table N times."""
+    count, exact distinct count, and numeric min/max in ONE scan — each
+    row fans out map-side into (column, value) entries (an Expand node,
+    no rescan), then one aggregate keyed on the column name. Distinct
+    counting runs on a per-engine-injective string rendering, so only the
+    COUNT must agree cross-engine, never the rendering itself.
+
+    Deliberately NOT the multi-COUNT(DISTINCT)-in-one-agg form: Catalyst's
+    RewriteDistinctAggregates orders its distinct-column groups by
+    expression id — session-history-dependent, which made the physical
+    plan (not the result) unstable under the plan-fingerprint gate. The
+    long-form shape has a deterministic plan AND the better scale story:
+    per-column jobs would rescan the table N times at 100 TB."""
     t = Tables(spark, sf_dir)
-    wide = t.orders.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(F.col("o_custkey").isNull().cast("bigint")).cast("bigint").alias("nn_ck"),
-        F.countDistinct("o_custkey").cast("bigint").alias("nd_ck"),
-        F.min("o_custkey").cast("double").alias("mn_ck"),
-        F.max("o_custkey").cast("double").alias("mx_ck"),
-        F.sum(F.col("o_totalprice").isNull().cast("bigint")).cast("bigint").alias("nn_tp"),
-        F.countDistinct("o_totalprice").cast("bigint").alias("nd_tp"),
-        F.min("o_totalprice").cast("double").alias("mn_tp"),
-        F.max("o_totalprice").cast("double").alias("mx_tp"),
-        F.sum(F.col("o_orderstatus").isNull().cast("bigint")).cast("bigint").alias("nn_st"),
-        F.countDistinct("o_orderstatus").cast("bigint").alias("nd_st"),
-        F.sum(F.col("o_orderdate").isNull().cast("bigint")).cast("bigint").alias("nn_dt"),
-        F.countDistinct("o_orderdate").cast("bigint").alias("nd_dt"),
-    )
-    return wide.select(
+    long = t.orders.select(
         F.expr(
             "stack(4,"
-            " 'o_custkey', nn_ck, nd_ck, mn_ck, mx_ck,"
-            " 'o_orderdate', nn_dt, nd_dt, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
-            " 'o_orderstatus', nn_st, nd_st, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
-            " 'o_totalprice', nn_tp, nd_tp, mn_tp, mx_tp"
-            ") AS (col_name, n_null, n_distinct, min_val, max_val)"
-        ),
-        "n_rows",
-    ).select(
-        "col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val"
-    ).orderBy("col_name")
+            " 'o_custkey', CAST(o_custkey AS STRING), CAST(o_custkey AS DOUBLE),"
+            " 'o_orderdate', CAST(o_orderdate AS STRING), CAST(NULL AS DOUBLE),"
+            " 'o_orderstatus', o_orderstatus, CAST(NULL AS DOUBLE),"
+            " 'o_totalprice', CAST(o_totalprice AS STRING), o_totalprice"
+            ") AS (col_name, val_str, val_num)"
+        )
+    )
+    return (
+        long.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("val_str")).cast("bigint").alias("n_null"),
+            F.countDistinct("val_str").cast("bigint").alias("n_distinct"),
+            F.min("val_num").alias("min_val"),
+            F.max("val_num").alias("max_val"),
+        )
+        .orderBy("col_name")
+    )
 
 
 def _ivf_incremental_oracle() -> str:
