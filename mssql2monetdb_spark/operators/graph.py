@@ -183,3 +183,27 @@ def pagerank_sql(
         ",\n".join(parts)
         + f"\nSELECT node, rank FROM r{iterations} ORDER BY node"
     )
+
+
+def reachability(
+    edges: DataFrame, seeds: DataFrame, *, max_hops: int = 3
+) -> DataFrame:
+    """Min-depth BFS from a seed set, ``max_hops`` rounds: per hop one
+    hash join (frontier ⋈ edges on src), a distinct, and an anti-join
+    against the visited set — frontier and visited are both bounded by
+    |V|, so a hop never materializes path multiplicity (the recursive-CTE
+    UNION ALL blowup). Returns (node, depth) with the first-reached
+    (minimum) depth per node, seeds at depth 0."""
+    visited = seeds.select("node", F.lit(0).alias("depth"))
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("depth"))
+        )
+        visited = visited.unionAll(nxt)
+        frontier = nxt.select("node")
+    return visited.orderBy("node")

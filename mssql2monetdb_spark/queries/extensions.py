@@ -1997,3 +1997,41 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@query(
+    "graph_reachability",
+    oracle=f"""
+        WITH RECURSIVE edges AS ({graph_ops.user_transition_edges_sql("events")}),
+        seeds AS (
+            SELECT DISTINCT user_id AS node FROM events WHERE user_id % 97 = 0
+        ),
+        walk AS (
+            SELECT node, 0 AS depth FROM seeds
+            UNION
+            SELECT e.dst AS node, w.depth + 1 AS depth
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.depth < 3
+        )
+        SELECT node, CAST(MIN(depth) AS INTEGER) AS depth
+        FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth min-hop reachability over the user-transition graph
+    (BFS from the ``user_id % 97 = 0`` seed set, 3 hops). The Spark loop
+    keeps frontier and visited bounded by |V| (per-hop distinct +
+    anti-join) — the shape that survives 100 TB where the naive
+    recursive-CTE UNION ALL materializes PATH MULTIPLICITY (deg^hops
+    rows); the DuckDB oracle uses recursive UNION (set semantics) for the
+    same boundedness and takes MIN(depth) over the deduped walk — both
+    compute first-reached depth exactly."""
+    t = Tables(spark, sf_dir)
+    edges = graph_ops.user_transition_edges(t.events)
+    seeds = (
+        t.events.filter(F.col("user_id") % 97 == 0)
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    out = graph_ops.reachability(edges, seeds, max_hops=3)
+    return out.select("node", F.col("depth").cast("int").alias("depth"))

@@ -838,3 +838,33 @@ def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_src.unpivot(
         ["source"], ["n_docs", "sum_chars", "max_chars"], "metric", "metric_value"
     ).orderBy("source", "metric")
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+        SELECT l_orderkey % 7 AS grp,
+               CAST(BIT_AND(l_partkey) AS BIGINT) AS band,
+               CAST(BIT_OR(l_partkey) AS BIGINT) AS bor,
+               CAST(BIT_XOR(l_partkey) AS BIGINT) AS bxor,
+               CAST(BIT_AND(l_linenumber) AS BIGINT) AS band_ln
+        FROM lineitem
+        GROUP BY l_orderkey % 7 ORDER BY grp
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (BIT_AND / BIT_OR / BIT_XOR) — flag-mask rollups
+    and parity checks; associative+commutative, so map-side partials
+    combine in any order with exact results (the bitwise analog of SUM's
+    determinism problem NOT existing)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy((F.col("l_orderkey") % 7).alias("grp"))
+        .agg(
+            F.bit_and("l_partkey").cast("bigint").alias("band"),
+            F.bit_or("l_partkey").cast("bigint").alias("bor"),
+            F.bit_xor("l_partkey").cast("bigint").alias("bxor"),
+            F.bit_and("l_linenumber").cast("bigint").alias("band_ln"),
+        )
+        .orderBy("grp")
+    )
