@@ -119,3 +119,18 @@ def test_ivf_incremental_assigns_to_nearest_frozen_centroid(spark):
     assert abs(centroids[got[100]][0] - 10.0) < 1.0
     assert abs(centroids[got[101]][0] - 0.0) < 1.0
     assert index.assignments.count() == before  # corpus state untouched
+
+
+def test_reachability_min_depth_bfs(spark):
+    """Chain a->b->c->d plus a shortcut a->c: min-depth wins (c at 1, not
+    2); d at 2; unreachable node absent; seed at 0."""
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("a", "c", 1), ("x", "y", 1)],
+        "src string, dst string, weight bigint",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["depth"]
+        for r in graph.reachability(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
