@@ -868,3 +868,54 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "fn_struct_ops",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_partkey AS BIGINT) AS s1_v,
+               -- lexicographic struct ordering, from first principles
+               CAST(CASE WHEN l_linenumber < l_linenumber % 3
+                          OR (l_linenumber = l_linenumber % 3
+                              AND l_partkey <= l_orderkey)
+                    THEN l_linenumber ELSE l_linenumber % 3 END AS BIGINT)
+                   AS first_k,
+               CAST(CASE WHEN l_linenumber < l_linenumber % 3
+                          OR (l_linenumber = l_linenumber % 3
+                              AND l_partkey <= l_orderkey)
+                    THEN l_partkey ELSE l_orderkey END AS BIGINT) AS first_v,
+               (l_linenumber = l_linenumber % 3 AND l_partkey = l_orderkey)
+                   AS s_eq,
+               (l_linenumber < l_linenumber % 3
+                OR (l_linenumber = l_linenumber % 3 AND l_partkey < l_orderkey))
+                   AS s_lt
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, s1_v
+    """,
+)
+def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-column surface: named construction, field access, struct
+    EQUALITY and ORDERING (lexicographic by field position — what makes
+    array_sort over array<struct> deterministic), and sorting an array of
+    structs. The oracle computes every extracted value from first
+    principles (manual lexicographic compare), so the check is on the
+    SEMANTICS of Spark's struct operators, not their encoding."""
+    t = Tables(spark, sf_dir)
+    s1 = F.struct(
+        F.col("l_linenumber").cast("bigint").alias("k"),
+        F.col("l_partkey").cast("bigint").alias("v"),
+    )
+    s2 = F.struct(
+        (F.col("l_linenumber") % 3).cast("bigint").alias("k"),
+        F.col("l_orderkey").cast("bigint").alias("v"),
+    )
+    arr = F.array_sort(F.array(s1, s2))
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        s1.getField("v").alias("s1_v"),
+        arr[0].getField("k").alias("first_k"),
+        arr[0].getField("v").alias("first_v"),
+        (s1 == s2).alias("s_eq"),
+        (s1 < s2).alias("s_lt"),
+    ).orderBy("l_orderkey", "l_linenumber", "s1_v")
