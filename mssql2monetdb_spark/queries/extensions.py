@@ -2035,3 +2035,52 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = graph_ops.reachability(edges, seeds, max_hops=3)
     return out.select("node", F.col("depth").cast("int").alias("depth"))
+
+
+@query(
+    "report_freshness_lag",
+    oracle="""
+        WITH per_feed AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MAX(ts) AS last_ts
+            FROM events GROUP BY event_type
+        ), g AS (
+            SELECT MAX(last_ts) AS global_ts FROM per_feed
+        )
+        SELECT event_type, n_events, last_ts,
+               (CAST(floor(epoch(g.global_ts)) AS BIGINT)
+                - CAST(floor(epoch(last_ts)) AS BIGINT)) // 60 AS lag_minutes,
+               CAST(floor(epoch(g.global_ts)) AS BIGINT)
+                - CAST(floor(epoch(last_ts)) AS BIGINT) >= 3600 AS stale
+        FROM per_feed CROSS JOIN g
+        ORDER BY event_type
+    """,
+)
+def report_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed data-freshness report (the ops dashboard behind every
+    watermark-triggered pipeline): each feed's last event time, its lag in
+    whole minutes behind the freshest feed, and a staleness flag at the
+    1-hour threshold. One aggregate + a broadcast one-row global max —
+    O(feeds) output at any event volume; lag computed on FLOORED integer
+    epoch seconds on both sides (Spark's unix_timestamp truncates
+    sub-second fractions; DuckDB's epoch() keeps them — the raw diff is
+    off by one minute whenever the fractions straddle a boundary)."""
+    t = Tables(spark, sf_dir)
+    per_feed = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    g = per_feed.agg(F.max("last_ts").alias("global_ts"))
+    lag_s = F.unix_timestamp("global_ts") - F.unix_timestamp("last_ts")
+    return (
+        per_feed.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            "last_ts",
+            F.floor(lag_s / 60).cast("bigint").alias("lag_minutes"),
+            (lag_s >= 3600).alias("stale"),
+        )
+        .orderBy("event_type")
+    )
