@@ -25,23 +25,23 @@ from . import tpch_full  # noqa: E402,F401
 from . import lifecycle  # noqa: E402,F401
 
 # ROTATION — round 10 (the round-9 verdict's directive 2: roll the window
-# from NEXT_WINDOW_QUEUE): slots 0-12 are this round's never-verified
+# from NEXT_WINDOW_QUEUE): slots 0-13 are this round's never-verified
 # additions (the schema-qualified two-schema publish gate — verdict item
 # 1 — plus hybrid RRF retrieval, hourly LOCF gap fill, UNPIVOT,
 # PageRank power iteration, the version-diff change feed, and the
 # one-scan column profiler, the readStream->JdbcWarehouse sync gate,
 # incremental IVF maintenance, bounded-BFS reachability, and bitwise
-# aggregates, the struct-ops corpus, and the freshness-lag report);
-# slots 13-19 are the changed-code
+# aggregates, the struct-ops corpus, the freshness-lag report, and
+# funnel time-to-convert); slots 14-20 are the changed-code
 # re-verifies
 # (the bulk loader's MonetDB staging serializer + import-concurrency
 # knob, JdbcWarehouse's always-scoped catalog probes + schema
 # qualification + warehouse-side evolve + transactional rollback, the
 # watermark probe's identifier-case ladder, and CopyEngine's schema
-# plumbing touch every lifecycle gate); slots 20-49 are canaries,
+# plumbing touch every lifecycle gate); slots 21-49 are canaries,
 # least-recently-verified first (verdict age computed from
 # CORRECTNESS_r01-r09, ties by registration order) — this window drains
-# ALL 10 r4-aged rows and the oldest 19 of the r6 block, leaving no
+# ALL 10 r4-aged rows and the oldest 18 of the r6 block, leaving no
 # verdict older than r6.
 #
 # Vacuity audit (round 5, sf0.01): every window oracle returns >0 rows —
@@ -60,6 +60,7 @@ GATE_PRIORITY = [
     "agg_bitwise",
     "fn_struct_ops",
     "report_freshness_lag",
+    "events_funnel_timing",
     "jdbc_roundtrip_lineitem",
     "jdbc_roundtrip_typelattice",
     "jdbc_warehouse_publish",
@@ -96,7 +97,6 @@ GATE_PRIORITY = [
     "subquery_scalar",
     "subquery_correlated",
     "window_row_number",
-    "window_lag_lead",
 ]
 
 GATE_WINDOW = 50
@@ -118,6 +118,7 @@ GATE_WINDOW = 50
 # (computed from CORRECTNESS_r01-r09 — the remaining r6 block first,
 # then the r7 tail), ties by registration order.
 NEXT_WINDOW_QUEUE = [
+    "window_lag_lead",
     "window_running_sum",
     "window_ntile",
     "sort_multi_key",

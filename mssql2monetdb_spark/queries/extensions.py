@@ -2084,3 +2084,73 @@ def report_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_funnel_timing",
+    oracle=f"""
+        WITH f AS ({events_ops.funnel_stages_sql("events")}),
+        deltas AS (
+            SELECT 'step1_to_2' AS transition,
+                   epoch_us(t_step2) - epoch_us(t_step1) AS delta_us
+            FROM f WHERE t_step2 IS NOT NULL
+            UNION ALL
+            SELECT 'step2_to_3',
+                   epoch_us(t_step3) - epoch_us(t_step2)
+            FROM f WHERE t_step3 IS NOT NULL
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY transition
+                                      ORDER BY delta_us) AS rn,
+                   COUNT(*) OVER (PARTITION BY transition) AS n
+            FROM deltas
+        )
+        SELECT transition,
+               CAST(MAX(n) AS BIGINT) AS n_converted,
+               CAST(MIN(delta_us) AS BIGINT) AS min_us,
+               CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN delta_us END)
+                    AS BIGINT) AS median_us,
+               CAST(MAX(delta_us) AS BIGINT) AS max_us
+        FROM ranked GROUP BY transition ORDER BY transition
+    """,
+)
+def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per funnel transition: count, min,
+    lower-median, max of the step1→2 and step2→3 latencies. Deltas are
+    exact integer MICROSECONDS (``unix_micros`` / ``epoch_us`` — no
+    truncation ambiguity) and the median is rank-based order-statistic
+    selection (row_number at (n+1)//2) — the portable form; interpolated
+    percentiles differ in the last ulp cross-engine. Cost on top of the
+    funnel itself: one union of per-user deltas + one window over each
+    transition's converts."""
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    f = events_ops.funnel_stages(t.events)
+    d12 = f.filter(F.col("t_step2").isNotNull()).select(
+        F.lit("step1_to_2").alias("transition"),
+        (F.unix_micros("t_step2") - F.unix_micros("t_step1")).alias("delta_us"),
+    )
+    d23 = f.filter(F.col("t_step3").isNotNull()).select(
+        F.lit("step2_to_3").alias("transition"),
+        (F.unix_micros("t_step3") - F.unix_micros("t_step2")).alias("delta_us"),
+    )
+    u = d12.unionAll(d23)
+    w = Window.partitionBy("transition").orderBy("delta_us")
+    wc = Window.partitionBy("transition")
+    ranked = u.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    return (
+        ranked.groupBy("transition")
+        .agg(
+            F.max("n").cast("bigint").alias("n_converted"),
+            F.min("delta_us").cast("bigint").alias("min_us"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("delta_us"))
+            ).cast("bigint").alias("median_us"),
+            F.max("delta_us").cast("bigint").alias("max_us"),
+        )
+        .orderBy("transition")
+    )
