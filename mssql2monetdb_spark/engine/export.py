@@ -370,14 +370,18 @@ class JdbcWarehouse:
         from pyspark.sql import types as T
 
         from ..schema.evolve import SchemaEvolutionError
-        from ..schema.mapper import spark_schema_to_derby_ddl
+        from ..schema.mapper import equivalent_in_derby, spark_schema_to_derby_ddl
 
         existing = {f.name.lower(): f for f in self.table_schema(table, schema=schema).fields}
         added: list[str] = []
         for f in incoming.fields:
             cur = existing.get(f.name.lower())
             if cur is not None:
-                if cur.dataType != f.dataType:
+                # compare through the sink's type-lattice round-trip:
+                # the read-back side is already widened (SMALLINT -> int),
+                # so exact equality would flag every short/byte column as
+                # a retype on the SECOND export of the same frame.
+                if not equivalent_in_derby(cur.dataType, f.dataType):
                     raise SchemaEvolutionError(
                         f"column {f.name!r}: warehouse type "
                         f"{cur.dataType.simpleString()} != incoming "
@@ -432,9 +436,34 @@ class JdbcWarehouse:
         if table_ddl is None:
             current = self.current_version(table, schema=schema)
             if current is not None:
-                from ..schema.evolve import evolve_to_union
+                from pyspark.sql import types as T
 
-                df = evolve_to_union(df, self.table_schema(current, schema=schema))
+                from ..schema.evolve import evolve_to_union
+                from ..schema.mapper import equivalent_in_derby
+
+                published = self.table_schema(current, schema=schema)
+                # The JDBC read-back schema is post-round-trip (SMALLINT
+                # reads as int), so exact comparison inside evolve_to_union
+                # would reject every re-export of a short/byte column.
+                # Substitute the incoming type wherever the pair is merely
+                # the sink's lossy lattice round-trip — this also keeps the
+                # NEW physical version on the narrow DDL (SMALLINT) instead
+                # of silently widening it on every publish.
+                incoming_types = {f.name: f.dataType for f in df.schema.fields}
+                published = T.StructType(
+                    [
+                        T.StructField(
+                            f.name,
+                            incoming_types[f.name]
+                            if f.name in incoming_types
+                            and equivalent_in_derby(f.dataType, incoming_types[f.name])
+                            else f.dataType,
+                            f.nullable,
+                        )
+                        for f in published.fields
+                    ]
+                )
+                df = evolve_to_union(df, published)
         physical = physical_name(table, load_date)
         qualified = self._qualify(physical, schema)
         if self.exists(physical, schema=schema):

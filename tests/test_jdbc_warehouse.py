@@ -410,6 +410,72 @@ def test_export_evolves_schema_across_loads(spark, wh):
         wh.export(v4, "evo", datetime(2024, 6, 4))
 
 
+def test_export_survives_sink_widened_integrals(spark, wh):
+    """Regression (ADVICE r10, high): sink DDL types don't round-trip —
+    ShortType/ByteType render as SMALLINT, which Spark's JDBC reader
+    surfaces as IntegerType. Before the ``equivalent_in_derby``
+    normalization, the FIRST publish of a smallint column poisoned every
+    subsequent export with a false SchemaEvolutionError, breaking the
+    incremental copy/stream lifecycle for common MSSQL types."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("sm", T.ShortType()),
+            T.StructField("by", T.ByteType()),
+        ]
+    )
+    v1 = spark.createDataFrame([(1, 10, 2), (2, 20, 3)], schema)
+    wh.export(v1, "smalls", datetime(2024, 6, 1))
+    # read-back is widened by the sink lattice — that's the trap
+    rb = {f.name: f.dataType for f in wh.table_schema(wh.current_version("smalls")).fields}
+    assert rb["sm"] == T.IntegerType() and rb["by"] == T.IntegerType()
+
+    # the second export of the SAME frame must not be a "retype"
+    v2 = spark.createDataFrame([(3, 30, 4)], schema)
+    wh.export(v2, "smalls", datetime(2024, 6, 2))
+    assert _view_count(spark, wh, "smalls") == 1
+
+    # and the new physical stays on the NARROW DDL (SMALLINT), not silently
+    # widened to INTEGER on every publish (DatabaseMetaData sees the true
+    # column type; the Spark read-back can't)
+    cur = wh.current_version("smalls")
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(wh.source.options["url"])
+    try:
+        rs = conn.getMetaData().getColumns(None, "APP", cur.upper(), "sm")
+        assert rs.next() and rs.getString("TYPE_NAME") == "SMALLINT"
+    finally:
+        conn.close()
+
+    # a GENUINE retype still fails loudly
+    from mssql2monetdb_spark.schema.evolve import SchemaEvolutionError
+
+    v3 = spark.createDataFrame([("x", 1, 1)], "k string, sm smallint, by tinyint")
+    with pytest.raises(SchemaEvolutionError, match="retyping"):
+        wh.export(v3, "smalls", datetime(2024, 6, 3))
+
+
+def test_verify_columns_accepts_sink_equivalent_types(spark, wh):
+    """Regression (ADVICE r10, medium): verify_columns on a PRE-EXISTING
+    SMALLINT warehouse column fed by a ShortType frame must not raise a
+    false 'implicit retyping' error in temp-table/non-versioned mode."""
+    from pyspark.sql import types as T
+
+    wh._execute('CREATE TABLE pre_sm ("k" BIGINT, "sm" SMALLINT)')
+    incoming = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("sm", T.ShortType())]
+    )
+    assert wh.verify_columns("pre_sm", incoming) == []  # no ALTER, no error
+
+    from mssql2monetdb_spark.schema.evolve import SchemaEvolutionError
+
+    bad = T.StructType([T.StructField("sm", T.StringType())])
+    with pytest.raises(SchemaEvolutionError):
+        wh.verify_columns("pre_sm", bad)
+
+
 def test_verify_columns_alters_preexisting_table(spark, wh):
     """The reference's literal ALTER path for a PRE-EXISTING (non-versioned)
     warehouse table: missing incoming columns are added nullable; warehouse-

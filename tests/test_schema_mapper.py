@@ -164,3 +164,29 @@ def test_spark_schema_to_derby_ddl_unmapped_type_is_loud():
     schema = T.StructType([T.StructField("a", T.ArrayType(T.LongType()))])
     with pytest.raises(UnknownSqlTypeError, match="no Derby DDL mapping"):
         spark_schema_to_derby_ddl(schema)
+
+
+def test_derby_readback_lattice_and_equivalence():
+    """The sink DDL lattice is lossy on read-back (SMALLINT -> int per
+    Spark's JdbcUtils); equivalent_in_derby must accept exactly the pairs
+    the round-trip produces and nothing else (ADVICE r10 regression)."""
+    from mssql2monetdb_spark.schema.mapper import (
+        derby_readback_type,
+        equivalent_in_derby,
+    )
+
+    assert derby_readback_type(T.ShortType()) == T.IntegerType()
+    assert derby_readback_type(T.ByteType()) == T.IntegerType()
+    assert derby_readback_type(T.IntegerType()) == T.IntegerType()
+    assert derby_readback_type(T.DecimalType(12, 3)) == T.DecimalType(12, 3)
+
+    # round-trip pairs: accepted
+    assert equivalent_in_derby(T.IntegerType(), T.ShortType())
+    assert equivalent_in_derby(T.IntegerType(), T.ByteType())
+    assert equivalent_in_derby(T.StringType(), T.StringType())
+    # genuine retypes: rejected
+    assert not equivalent_in_derby(T.IntegerType(), T.StringType())
+    assert not equivalent_in_derby(T.LongType(), T.ShortType())
+    assert not equivalent_in_derby(T.IntegerType(), T.LongType())
+    # unmappable incoming types are a rejection, not a crash
+    assert not equivalent_in_derby(T.IntegerType(), T.ArrayType(T.LongType()))
