@@ -24,100 +24,27 @@ from . import llm_prep  # noqa: E402,F401
 from . import tpch_full  # noqa: E402,F401
 from . import lifecycle  # noqa: E402,F401
 
-# ROTATION — round 10 (the round-9 verdict's directive 2: roll the window
-# from NEXT_WINDOW_QUEUE): slots 0-13 are this round's never-verified
-# additions (the schema-qualified two-schema publish gate — verdict item
-# 1 — plus hybrid RRF retrieval, hourly LOCF gap fill, UNPIVOT,
-# PageRank power iteration, the version-diff change feed, and the
-# one-scan column profiler, the readStream->JdbcWarehouse sync gate,
-# incremental IVF maintenance, bounded-BFS reachability, and bitwise
-# aggregates, the struct-ops corpus, the freshness-lag report, and
-# funnel time-to-convert); slots 14-20 are the changed-code
-# re-verifies
-# (the bulk loader's MonetDB staging serializer + import-concurrency
-# knob, JdbcWarehouse's always-scoped catalog probes + schema
-# qualification + warehouse-side evolve + transactional rollback, the
-# watermark probe's identifier-case ladder, and CopyEngine's schema
-# plumbing touch every lifecycle gate); slots 21-49 are canaries,
-# least-recently-verified first (verdict age computed from
-# CORRECTNESS_r01-r09, ties by registration order) — this window drains
-# ALL 10 r4-aged rows and the oldest 18 of the r6 block, leaving no
-# verdict older than r6.
+# ROTATION — round 11 (the round-10 verdict's directive 2: burn down the
+# verdict-staleness backlog from the age ladder): slot 0 is this round's
+# never-verified addition (the date-partitioned publish gate with
+# in-builder partition-pruning assertions — verdict item 4); slots 1-4
+# are the changed-code re-verifies (graph_pagerank's hub-skew-safe
+# two-level fold — verdict item 1 — and the three warehouse-publish
+# gates riding engine/export.py's sink-type-lattice schema comparison,
+# ADVICE items 1-2); slots 5-49 are canaries, least-recently-verified
+# first (verdict age computed from CORRECTNESS_r01-r10, ties by
+# registration order) — this window drains ALL 29 r6-aged rows and the
+# oldest 16 of the r7 block, leaving 31 r7 rows for round 12 (after
+# which no verdict is older than r8 — the directive's target).
 #
 # Vacuity audit (round 5, sf0.01): every window oracle returns >0 rows —
 # checked by test_window_oracles_non_vacuous on every commit.
 GATE_PRIORITY = [
-    "jdbc_schema_publish",
-    "rank_hybrid_rrf",
-    "events_gap_fill",
-    "fn_unpivot",
+    "copy_partitioned_publish",
     "graph_pagerank",
-    "catalog_version_diff",
-    "report_column_profile",
-    "stream_jdbc_warehouse_publish",
-    "ann_ivf_incremental",
-    "graph_reachability",
-    "agg_bitwise",
-    "fn_struct_ops",
-    "report_freshness_lag",
-    "events_funnel_timing",
-    "jdbc_roundtrip_lineitem",
-    "jdbc_roundtrip_typelattice",
+    "jdbc_schema_publish",
     "jdbc_warehouse_publish",
-    "copy_incremental_watermark",
-    "copy_multi_table_guard",
-    "stream_lifecycle_publish",
-    "stream_lifecycle_partitioned",
-    "vocab_token_freq_stats",
-    "quality_unigram_rarity",
-    "quality_lm_bigram",
-    "index_inverted_postings",
-    "filter_gopher_rules",
-    "dedup_url_normalized",
-    "vocab_bpe_pair_counts",
-    "report_packing_efficiency",
-    "report_dedup_by_source",
-    "order_curriculum_stages",
-    "scan_lineitem",
-    "projection",
-    "filter_predicates",
-    "filter_like_null",
-    "join_inner",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_broadcast_dims",
-    "join_theta_range",
-    "join_cross",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_having",
-    "agg_minmax",
-    "subquery_scalar",
-    "subquery_correlated",
-    "window_row_number",
-]
-
-GATE_WINDOW = 50
-
-# STEADY-STATE ROTATION POLICY (round-5 VERDICT item 7) — with the
-# registry closed out, each round's window is composed in this order:
-#   1. any never-verified additions (new queries land HERE, inside the
-#      window, the same round they are registered — growth stays gated
-#      on the per-round budget);
-#   2. a re-verify slot for every query whose building code changed this
-#      round (even when the output is identical by construction);
-#   3. canaries, least-recently-verified first (ties broken by
-#      registration order), filling the window to 50.
-# With 203 queries and ~42 canary slots per round, every query's verdict
-# age stays <= ~4 rounds; the per-family representation guarantee is
-# enforced structurally by test_every_capability_family_verified_or_
-# inside_window. NEXT_WINDOW_QUEUE below pre-stages round 11 under this
-# policy: every query NOT in the r10 window, ordered by verdict age
-# (computed from CORRECTNESS_r01-r09 — the remaining r6 block first,
-# then the r7 tail), ties by registration order.
-NEXT_WINDOW_QUEUE = [
+    "stream_jdbc_warehouse_publish",
     "window_lag_lead",
     "window_running_sum",
     "window_ntile",
@@ -163,6 +90,27 @@ NEXT_WINDOW_QUEUE = [
     "sample_deterministic_hash",
     "asof_join_events",
     "agg_variance_exact",
+]
+
+GATE_WINDOW = 50
+
+# STEADY-STATE ROTATION POLICY (round-5 VERDICT item 7) — with the
+# registry closed out, each round's window is composed in this order:
+#   1. any never-verified additions (new queries land HERE, inside the
+#      window, the same round they are registered — growth stays gated
+#      on the per-round budget);
+#   2. a re-verify slot for every query whose building code changed this
+#      round (even when the output is identical by construction);
+#   3. canaries, least-recently-verified first (ties broken by
+#      registration order), filling the window to 50.
+# With 217 queries and ~45 canary slots per round, every query's verdict
+# age stays <= ~4 rounds; the per-family representation guarantee is
+# enforced structurally by test_every_capability_family_verified_or_
+# inside_window. NEXT_WINDOW_QUEUE below pre-stages round 12 under this
+# policy: every query NOT in the r11 window, ordered by verdict age
+# (computed from CORRECTNESS_r01-r10 — the remaining r7 block first,
+# then the oldest r8 rows), ties by registration order.
+NEXT_WINDOW_QUEUE = [
     "agg_array_collect",
     "agg_mode_deterministic",
     "window_range_frame",
@@ -191,6 +139,51 @@ NEXT_WINDOW_QUEUE = [
     "stream_sliding_windows",
     "stream_session_windows",
     "stream_watermark_recent",
+    "stream_static_enrich",
+    "mix_epoch_repeat",
+    "vocab_bpe_merge_apply",
+    "agg_histogram_bins",
+    "window_first_last_nth",
+    "agg_boolean",
+    "agg_unpivot",
+    "fn_conditional",
+    "fn_string2",
+    "fn_bitwise",
+    "fn_datetime2",
+    "join_nullsafe",
+    "fn_greatest_least",
+    "fn_levenshtein",
+    "fn_format",
+    "multimodal_image_decode",
+    "ann_ivf_topk",
+    "funnel_stages",
+    "retention_cohorts",
+    "dedup_keep_best_in_cluster",
+    "dedup_connected_components",
+    "pipeline_clean_corpus",
+    "multimodal_audio_decode",
+    "multimodal_video_frames",
+    "dedup_incremental_ingest",
+    "embed_random_projection",
+    "rollup_approx_users_daily",
+    "merge_scd1_upsert",
+    "stream_dedup_first",
+    "text_pii_scrub",
+    "pack_sequences",
+    "split_train_val_test",
+    "ngram_topk",
+    "embed_quantize_int8",
+    "mix_domain_weights",
+    "sample_stratified",
+    "decontaminate_test_split",
+    "text_repetition",
+    "vocab_oov_rate",
+    "filter_length_outliers",
+    "decontaminate_ngram_overlap",
+    "pack_sequences_text",
+    "boilerplate_span_removal",
+    "sample_quality_weighted",
+    "corpus_pretraining_pipeline",
 ]
 
 

@@ -1843,10 +1843,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-type events link their users), 4 rounds of power iteration from a
     uniform start — the iterative-analytics shape SQL alone can't express
     unboundedly, pinned here at fixed depth so the DuckDB oracle unrolls
-    to chained CTEs. Per-node incoming sums are FIXED-ORDER folds on both
-    engines (float addition is not associative — a plain SUM would hash
-    differently); each round is two shuffles (edges ⋈ ranks, then a
-    dst-keyed aggregate), state bounded by |V|+|E|."""
+    to chained CTEs. Per-node incoming sums are TWO-LEVEL fixed-order
+    folds on both engines (float addition is not associative — a plain
+    SUM would hash differently; bucketing by md5(src) mod 1024 bounds the
+    largest collected array at O(max_indeg/1024), so a power-law hub
+    can't OOM an executor — round-11 de-skew, probed by
+    ``capacity_check.py --hub``); each round is one edges ⋈ ranks join
+    plus the two-stage aggregate, state bounded by |V|+|E|. Production
+    deployments that don't need cross-engine hashes pass
+    ``exact_hashes=False`` for plain partial-aggregatable sums."""
     t = Tables(spark, sf_dir)
     return graph_ops.pagerank(graph_ops.user_transition_edges(t.events))
 

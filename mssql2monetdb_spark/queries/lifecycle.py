@@ -1105,3 +1105,92 @@ def stream_jdbc_warehouse_publish(spark: SparkSession, sf_dir: str) -> DataFrame
     return back.select("event_id", "ts", "user_id", "event_type", "value").orderBy(
         "user_id"
     )
+
+
+@query(
+    "copy_partitioned_publish",
+    oracle="""
+        WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events)
+        SELECT CAST(ts AS DATE) AS event_date,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(ROUND(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(30,8))), 2)
+                    AS DOUBLE) AS sum_value
+        FROM events, b
+        WHERE CAST(ts AS DATE) BETWEEN b.d0 + 1 AND b.d0 + 3
+        GROUP BY 1 ORDER BY 1
+    """,
+    bench=True,
+)
+def copy_partitioned_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned publish as a first-class gate (round-11 verdict
+    item 4): a 100 TB events table is date-partitioned before it is
+    anything else. The events fixture is published through
+    ``VersionedCatalog.write_version(partition_by=["event_date"])``
+    (hive-style day directories), read back through the catalog, and a
+    literal 3-of-30-day range query is hashed against the parquet-direct
+    oracle. The builder FAILS unless the read-side scan actually pruned:
+    every ``inputFiles()`` path must carry an in-range ``event_date=``
+    directory (directories outside the range are never listed — the
+    coarsest and cheapest skip level), and the physical plan must push
+    the range into ``PartitionFilters``; a regression to a full scan
+    turns this gate red even though the VALUES would still match.
+
+    Reference analog: the versioned publish lifecycle (PHASES 2-4 of
+    ``CopyTool.doCopy``) with the partitioning the reference delegates to
+    MonetDB's storage layer expressed as parquet partition directories.
+    """
+    from datetime import timedelta
+
+    t = Tables(spark, sf_dir)
+    events = t.events.withColumn("event_date", F.to_date("ts"))
+    base = tempfile.mkdtemp(prefix="copy_partpub_")
+    catalog = VersionedCatalog(os.path.join(base, "wh"))
+    from datetime import datetime
+
+    physical = catalog.write_version(
+        events,
+        "main",
+        "events_by_day",
+        datetime(2024, 6, 1),
+        partition_by=["event_date"],
+    )
+    catalog.publish(spark, "main", "events_by_day", physical)
+
+    published = catalog.table_at(spark, "main", "events_by_day")
+    d0 = t.events.agg(F.min(F.to_date("ts"))).first()[0]
+    if d0 is None:  # hostile empty corpus: range over nothing, oracle empty too
+        lo = hi = None
+        ranged = published.filter(F.lit(False))
+    else:
+        lo, hi = d0 + timedelta(days=1), d0 + timedelta(days=3)
+        ranged = published.filter(F.col("event_date").between(F.lit(lo), F.lit(hi)))
+
+        # -- pruning assertions: a full scan is a gate ERROR --------------
+        plan = ranged._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters: []" in plan or "PartitionFilters" not in plan:
+            raise RuntimeError(
+                "date range did not reach PartitionFilters — partition "
+                "pruning regressed to a full scan:\n" + plan[:2000]
+            )
+        # runtime proof (inputFiles() reports the UNPRUNED base relation):
+        # the executed scan must only ever open in-range day directories
+        files = [
+            r[0]
+            for r in ranged.select(F.input_file_name()).distinct().collect()
+        ]
+        for f in files:
+            part = [s for s in f.split("/") if s.startswith("event_date=")]
+            if not part or not (str(lo) <= part[0][len("event_date="):] <= str(hi)):
+                raise RuntimeError(f"scan read an out-of-range partition file: {f}")
+
+    dec = F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(30,8)")
+    return (
+        ranged.groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum(dec), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_date")
+    )

@@ -340,6 +340,57 @@ def main() -> int:
         print(json.dumps(report))
         return 0
 
+    if "--hub" in sys.argv:
+        # Hub-skew axis for the PageRank fold (round-11 verdict item 1):
+        # the replica-based 10x/312x probes multiply NODE COUNT while
+        # holding max in-degree constant, so they structurally cannot see
+        # the cost of one node absorbing a power-law in-neighborhood.
+        # Build a synthetic hub — ONE dst with `indeg` in-edges plus a
+        # small back-ring so every node has out-degree — and price one
+        # power-iteration round for three arms:
+        #   B=1      — degenerates to the old single-level fold: the hub's
+        #              ENTIRE in-neighborhood is ONE collect_list array in
+        #              one row (the r10 `weak`);
+        #   B=1024   — the shipped two-level fold: largest array indeg/B;
+        #   prod     — exact_hashes=False (plain partial-aggregatable SUM,
+        #              no arrays): the determinism-tax baseline.
+        from mssql2monetdb_spark.operators import graph
+
+        report = {"mode": "hub", "iterations": 1}
+        for indeg in (100_000, 1_000_000):
+            spokes = spark.range(indeg).select(
+                (F.col("id") + 10).alias("src"),
+                F.lit(0).cast("bigint").alias("dst"),
+                F.lit(1).cast("bigint").alias("weight"),
+            )
+            ring = spark.range(9).select(
+                F.lit(0).cast("bigint").alias("src"),
+                (F.col("id") + 1).alias("dst"),
+                F.lit(1).cast("bigint").alias("weight"),
+            )
+            edges = spokes.unionAll(ring)
+            # warmup: JIT + codegen caches, so arm order doesn't bias
+            graph.pagerank(edges.limit(1000), iterations=1).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            arms = {}
+            for label, kwargs in (
+                ("single_level_B1", {"fold_buckets": 1}),
+                ("two_level_B1024", {"fold_buckets": 1024}),
+                ("production_sum", {"exact_hashes": False}),
+            ):
+                start = time.perf_counter()
+                graph.pagerank(edges, iterations=1, **kwargs).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                arms[label] = round(time.perf_counter() - start, 3)
+            arms["two_level_speedup_vs_B1"] = round(
+                arms["single_level_B1"] / arms["two_level_B1024"], 2
+            )
+            report[f"indeg_{indeg}"] = arms
+        print(json.dumps(report))
+        return 0
+
     if "--join-skew" in sys.argv:
         # Big-big equi-join with HALF the fact rows on ONE key — the join
         # analogue of --skew-bounded. Three arms, identical output

@@ -41,6 +41,48 @@ def test_pagerank_matches_hand_computed_recurrence(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_production_mode_matches_exact_within_tolerance(spark):
+    """``exact_hashes=False`` (plain partial-aggregatable SUM, the
+    production plan) must agree with the exact two-level fold up to float
+    reassociation — same recurrence, different association order."""
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7, 1 + i % 3) for i in range(40) if i % 7 != (i * 3) % 7],
+        "src bigint, dst bigint, weight bigint",
+    ).groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    exact = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(edges, iterations=4).collect()
+    }
+    prod = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(edges, iterations=4, exact_hashes=False).collect()
+    }
+    assert exact.keys() == prod.keys()
+    for node, rank in exact.items():
+        assert abs(rank - prod[node]) < 1e-9
+
+
+def test_pagerank_two_level_fold_bucket_invariance(spark):
+    """The two-level fold's RESULT must not depend on the bucket count in
+    any way beyond float reassociation — B=1 degenerates to the old
+    single-level fold, B=8 splits hubs; hand-computed round-1 values hold
+    for both (guards the de-skew refactor against semantic drift)."""
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("a", "c", 1), ("b", "c", 1), ("c", "a", 1)],
+        "src string, dst string, weight bigint",
+    )
+    for b in (1, 8, 1024):
+        got = {
+            r["node"]: r["rank"]
+            for r in graph.pagerank(
+                edges, iterations=1, damping=0.85, fold_buckets=b
+            ).collect()
+        }
+        assert abs(got["a"] - (0.05 + 0.85 * (1 / 3))) < 1e-12
+        assert abs(got["b"] - (0.05 + 0.85 * (2 / 3) * (1 / 3))) < 1e-12
+        assert abs(got["c"] - (0.05 + 0.85 * ((1 / 3) * (1 / 3) + 1 / 3))) < 1e-12
+
+
 def test_user_transition_edges_same_type_consecutive(spark):
     """Edges connect CONSECUTIVE same-type events' users; same-user pairs
     and cross-type adjacency produce nothing."""
