@@ -172,6 +172,20 @@ class JdbcWarehouse:
 
     spark: SparkSession
     source: SourceSpec
+    #: Fault-injection seam for the crash drill
+    #: (``scripts/warehouse_crash_probe.py``): called with a label at the
+    #: two crash windows the reference's bounded re-probe loop guards
+    #: (``MonetDBUtil.java:462-498``) — "between_load_and_switch" (new
+    #: physical fully loaded, view still on the old version) and
+    #: "mid_switch" (inside the switch transaction, after DROP VIEW and
+    #: before CREATE VIEW). Production value is a no-op; the probe arms it
+    #: with ``os._exit`` in a child driver to prove readers never see a
+    #: half-state and a rerun converges.
+    fault_hook: object = None
+
+    def _fault(self, point: str) -> None:
+        if self.fault_hook is not None:
+            self.fault_hook(point)
 
     # -- plumbing ---------------------------------------------------------
     @property
@@ -530,6 +544,7 @@ class JdbcWarehouse:
                         else "VIEW"
                     )
                     st.execute(f"DROP {kind} {q_table}")
+                self._fault("mid_switch")
                 st.execute(f"CREATE VIEW {q_table} AS SELECT * FROM {q_physical}")
             finally:
                 st.close()
@@ -594,6 +609,7 @@ class JdbcWarehouse:
             expected_count=expected_count,
             schema=schema,
         )
+        self._fault("between_load_and_switch")
         self.publish(table, physical, schema=schema)
         self.cleanup(table, schema=schema)
         return physical

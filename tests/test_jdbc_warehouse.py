@@ -711,3 +711,45 @@ def test_trigger_probe_falls_back_on_case_mismatch(spark, tmp_path):
     engine = CopyEngine(spark, spec)
     wm = engine._probe_job(spec.jobs["nation_job"])
     assert (wm.value, wm.type_name) == (24, "bigint")
+
+
+def test_fault_hook_fires_at_both_crash_windows(spark, wh):
+    """The crash-drill seam (scripts/warehouse_crash_probe.py) must fire at
+    exactly the two documented windows, in lifecycle order — if the seam
+    drifts away from the DROP/CREATE boundary the probe silently stops
+    testing the window it claims to."""
+    points: list[str] = []
+    wh.fault_hook = points.append
+    df = spark.createDataFrame([(1, 10)], "k bigint, v bigint")
+    wh.export(df, "seam", datetime(2024, 6, 1))
+    assert points == ["between_load_and_switch", "mid_switch"]
+
+
+def test_mid_switch_abort_keeps_old_view(spark, wh):
+    """An abort INSIDE the switch transaction (after DROP VIEW, before
+    CREATE VIEW) must roll back: readers keep the OLD view and content.
+    This is the exception-path twin of the probe's hard-kill drill."""
+    df1 = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint")
+    wh.export(df1, "msab", datetime(2024, 6, 1))
+    v1 = wh.current_version("msab")
+
+    class Boom(RuntimeError):
+        pass
+
+    def bomb(point):
+        if point == "mid_switch":
+            raise Boom("injected mid-switch abort")
+
+    wh.fault_hook = bomb
+    df2 = spark.createDataFrame([(3, 30)], "k bigint, v bigint")
+    with pytest.raises(Boom):
+        wh.export(df2, "msab", datetime(2024, 6, 2))
+    wh.fault_hook = None
+    # reader invariant: old view survives the rolled-back DROP
+    assert wh.exists("msab")
+    assert wh.current_version("msab") == v1
+    assert _view_count(spark, wh, "msab") == 2
+    # crash-retry converges (same load_date reclaims the corpse)
+    wh.export(df2, "msab", datetime(2024, 6, 2))
+    assert _view_count(spark, wh, "msab") == 1
+    assert len(wh.table_versions("msab")) == 2
