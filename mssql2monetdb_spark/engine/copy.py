@@ -59,8 +59,6 @@ class CopyEngine:
         self.spec = spec
         self.catalog = VersionedCatalog(spec.warehouse_dir)
         self.store = WatermarkStore(spec.state_dir)
-        # consecutive source-side-probe degradations per job (see _probe_job)
-        self._probe_degradations: dict[str, int] = {}
         self.checksum = spec_checksum(spec)
         # optional JDBC sink: publishes land in a real warehouse through the
         # reference's versioned-table + view-switch protocol (engine/export)
@@ -83,7 +81,7 @@ class CopyEngine:
 
             try:
                 wm = probe_max_jdbc(self.spark, src, table, job.trigger_column)
-                self._probe_degradations.pop(job.job_id, None)
+                self.store.save_degradations(self.checksum, job.job_id, 0)
                 return wm
             except Exception:
                 # both identifier casings failed (probe_max_jdbc's quoted ->
@@ -92,9 +90,11 @@ class CopyEngine:
                 # Spark-side probe pulls the whole trigger column across the
                 # wire, so REPEATED degradation (same job, consecutive runs)
                 # escalates to ERROR: at a 100 TB source that is a standing
-                # scale regression, not a transient.
-                n = self._probe_degradations.get(job.job_id, 0) + 1
-                self._probe_degradations[job.job_id] = n
+                # scale regression, not a transient. The counter persists in
+                # the WatermarkStore so the escalation survives the normal
+                # run-per-invocation deployment (ADVICE r10).
+                n = self.store.load_degradations(self.checksum, job.job_id) + 1
+                self.store.save_degradations(self.checksum, job.job_id, n)
                 msg = (
                     "source-side MAX probe failed for %s — degrading to the "
                     "Spark-side full-column probe (run %d)"

@@ -22,8 +22,11 @@ Required store primitives (the contract, also documented in SCALE.md):
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
+
+log = logging.getLogger(__name__)
 
 
 class LocalFS:
@@ -119,16 +122,41 @@ class HadoopFS:
 
     def write_atomic(self, path: str, text: str) -> None:
         tmp = self._p(path + ".tmp")
+        dst = self._p(path)
         out = self._fs.create(tmp, True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
-        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(self._conf)
+        # FileContext must resolve against the PATH's scheme, not the
+        # default FS: schemes without an AbstractFileSystem binding —
+        # notably S3A, whose fs.AbstractFileSystem.s3a.impl is not in
+        # core-default — throw UnsupportedFileSystemException from the
+        # default-context form even though the FileSystem API used
+        # everywhere else works (ADVICE r10). Resolve per URI, and when no
+        # AbstractFileSystem is bound at all, fall back to FileSystem
+        # delete+rename — non-overwrite-atomic, but the manifest protocol
+        # tolerates it: readers treat a missing manifest as "no published
+        # version yet", the same visible state as mid-first-publish.
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                dst.toUri(), self._conf
+            )
+        except Exception:  # noqa: BLE001 — no AbstractFileSystem for scheme
+            log.warning(
+                "no AbstractFileSystem bound for %s — atomic-rename manifest "
+                "swap degrades to FileSystem delete+rename",
+                path,
+                exc_info=True,
+            )
+            self._fs.delete(dst, False)
+            if not self._fs.rename(tmp, dst):
+                raise OSError(f"rename {tmp} -> {dst} failed")
+            return
         # rename(src, dst, Options.Rename...) is varargs: ship a Java array
         opts = self._gateway.new_array(self._jvm.org.apache.hadoop.fs.Options.Rename, 1)
         opts[0] = self._jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-        fc.rename(tmp, self._p(path), opts)
+        fc.rename(tmp, dst, opts)
 
     def remove(self, path: str) -> None:
         self._fs.delete(self._p(path), False)

@@ -125,23 +125,71 @@ def jdbc_max_probe_frame(
     return spark.read.format("jdbc").options(**opts).load()
 
 
+def trigger_probe_sql(url: str, table: str, column: str) -> str | None:
+    """The reference's dialect-NATIVE trigger statements, verbatim
+    (``SourceDatabaseType.java:21-25,45-49``):
+
+    - MSSQL: ``SELECT TOP 1 [col] FROM [table] ORDER BY [col] DESC``
+      (bracket quoting, TOP-n — the T-SQL shape);
+    - PostgreSQL: ``SELECT col FROM table ORDER BY col DESC LIMIT 1``
+      (bare identifiers, exactly as the reference ships them).
+
+    ``None`` for every other URL — the ANSI ``SELECT MAX`` pushdown is the
+    engine's portable probe (same value, same one-row wire cost)."""
+    if url.startswith(("jdbc:jtds:sqlserver:", "jdbc:sqlserver:")):
+        return f"SELECT TOP 1 [{column}] FROM [{table}] ORDER BY [{column}] DESC"
+    if url.startswith("jdbc:postgresql:"):
+        return f"SELECT {column} FROM {table} ORDER BY {column} DESC LIMIT 1"
+    return None
+
+
 def probe_max_jdbc(spark, source, table: str, column: str) -> Watermark | None:
     """Typed watermark from the source-side MAX probe (see
     :func:`jdbc_max_probe_frame`).
+
+    On MSSQL/PostgreSQL URLs the probe ships the reference's verbatim
+    dialect statement (:func:`trigger_probe_sql` — TOP-1 / LIMIT-1, same
+    value and wire cost as MAX); on any failure there it degrades to the
+    portable ANSI ladder below.
 
     Identifier-case ladder: the quoted form is tried first (Spark-written
     case-exact columns), then the UNQUOTED form (store-case-normalized —
     a column created unquoted is stored upper-cased in Derby/MSSQL-style
     stores and the quoted engine-cased probe fails on EVERY run, which
     would otherwise silently trade the one-row pushdown for the caller's
-    Spark-side full-column pull at a 100 TB source). Only when both forms
-    fail does the exception reach the caller's degradation path."""
+    Spark-side full-column pull at a 100 TB source). The unquoted retry is
+    GATED on identifier-resolution SQLStates (42X04/42S22-class): a
+    transient failure of the quoted probe must surface as itself, not run
+    an unquoted form the store could case-normalize onto a DIFFERENT
+    same-named column (ADVICE r10). Only identifier failures of both
+    forms reach the caller's degradation path."""
+    from ..sources.jdbc import is_identifier_resolution_error
+
+    native = trigger_probe_sql(source.options.get("url", ""), table, column)
+    if native is not None:
+        opts = {
+            k: v for k, v in source.options.items() if k not in ("dbtable", "query")
+        }
+        opts["query"] = native
+        try:
+            rows = spark.read.format("jdbc").options(**opts).load().collect()
+            return _typed_watermark(rows[0][0] if rows else None, column)
+        except Exception:  # noqa: BLE001 — degrade to the portable ladder
+            log.warning(
+                "dialect-native trigger probe failed for %s.%s — degrading "
+                "to the ANSI MAX ladder",
+                table,
+                column,
+                exc_info=True,
+            )
     try:
         value = jdbc_max_probe_frame(spark, source, table, column).collect()[0][0]
-    except Exception:
+    except Exception as exc:
+        if not is_identifier_resolution_error(exc):
+            raise
         log.warning(
-            "quoted MAX probe failed for %s.%s — retrying with the "
-            "store-cased unquoted identifier",
+            "quoted MAX probe failed for %s.%s (identifier resolution) — "
+            "retrying with the store-cased unquoted identifier",
             table,
             column,
             exc_info=True,
@@ -184,6 +232,39 @@ class WatermarkStore:
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({**wm.to_json(), "checksum": checksum}, fh)
+        os.replace(tmp, path)
+
+    # -- probe-degradation persistence (ADVICE r10) -----------------------
+    # The escalation rule "same job, consecutive runs -> ERROR" must hold
+    # in the normal run-per-invocation deployment (cron/scheduler reboots
+    # the process every tick), so the counter lives HERE beside the
+    # watermark, not in CopyEngine's process memory.
+
+    def _degradation_path(self, checksum: str, job_id: str) -> str:
+        return os.path.join(
+            self.state_dir, f"job-{checksum}-{job_id}_probe_degradations.json"
+        )
+
+    def load_degradations(self, checksum: str, job_id: str) -> int:
+        path = self._degradation_path(checksum, job_id)
+        if not os.path.exists(path):
+            return 0
+        try:
+            with open(path) as fh:
+                return int(json.load(fh).get("n", 0))
+        except Exception:
+            log.warning("unreadable degradation state %s", path, exc_info=True)
+            return 0
+
+    def save_degradations(self, checksum: str, job_id: str, n: int) -> None:
+        path = self._degradation_path(checksum, job_id)
+        if n <= 0:
+            if os.path.exists(path):
+                os.remove(path)
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"n": int(n)}, fh)
         os.replace(tmp, path)
 
 

@@ -166,7 +166,7 @@ def hll_registers(rows: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def hll_estimate(registers: DataFrame) -> DataFrame:
+def hll_estimate(registers: DataFrame, *, exact_hashes: bool = True) -> DataFrame:
     """One-row (hll_estimate) from the registers.
 
     The harmonic sum folds in bucket order over exact dyadic terms
@@ -174,6 +174,14 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     engine; empty buckets contribute 2^0 = 1. Raw estimator only (no
     small/large-range correction): the oracle runs the identical formula,
     so the verdict pins the full pipeline, not a bias table.
+
+    ``exact_hashes=False`` is the production mode: a plain ``F.sum`` over
+    the 64 register terms (partial-aggregatable, no array). The register
+    array is fixed-width so there is no skew hazard either way — the flag
+    exists for the determinism-tax A/B and API symmetry with
+    ``graph.pagerank``; results differ from the exact fold only by float
+    reassociation in the last ulps (tolerance test in
+    ``tests/test_operators.py``).
     """
     spark = registers.sparkSession
     all_buckets = spark.range(HLL_M).select(F.col("id").cast("bigint").alias("bucket"))
@@ -186,16 +194,19 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
             " CAST(COALESCE(rho, 0) AS INT))"
         ).alias("term"),
     )
-    folded = regs.agg(
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("bucket", "term"))),
-                lambda s: s["term"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("s")
-    )
+    if exact_hashes:
+        folded = regs.agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s")
+        )
+    else:
+        folded = regs.agg(F.sum("term").alias("s"))
     return folded.select(
         (F.lit(HLL_ALPHA) * HLL_M * HLL_M / F.col("s")).alias("hll_estimate")
     )

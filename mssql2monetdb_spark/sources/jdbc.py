@@ -63,6 +63,24 @@ def jdbc_read_options(source: SourceSpec, job: CopyJob) -> dict[str, str]:
     return opts
 
 
+#: SQLStates meaning "this identifier does not resolve" — the ONLY failures
+#: where retrying a probe with the other identifier casing is sound. Derby
+#: 42X04/42X05 (column/table not found), SQL-Server-class 42S22/42S02,
+#: PostgreSQL 42703/42P01. A transient error (lock timeout, connection
+#: blip) must NOT fall through to the unquoted form: the store would
+#: case-normalize it and could silently resolve a DIFFERENT same-named
+#: column where both casings exist (ADVICE r10).
+IDENTIFIER_SQLSTATES = ("42X04", "42X05", "42S22", "42S02", "42703", "42P01")
+
+
+def is_identifier_resolution_error(exc: Exception) -> bool:
+    """True when the (possibly py4j-wrapped) SQLException is an
+    identifier-resolution failure — the exception text carries the
+    SQLState for every dialect this engine probes."""
+    text = str(exc)
+    return any(code in text for code in IDENTIFIER_SQLSTATES)
+
+
 def probe_partition_bounds(
     spark: SparkSession, options: dict[str, str], table: str, column: str
 ) -> tuple[object, object]:
@@ -98,12 +116,18 @@ def probe_partition_bounds(
         try:
             row = spark.read.format("jdbc").options(**probe).load().collect()[0]
             return row[0], row[1]
-        except Exception as exc:  # noqa: BLE001 — retry with the other casing
+        except Exception as exc:  # noqa: BLE001 — classified below
             last_exc = exc
+            if quoted and not is_identifier_resolution_error(exc):
+                # transient failure (lock timeout, connection blip): the
+                # unquoted retry could case-normalize onto a DIFFERENT
+                # same-named column — surface the real error instead
+                raise
             if quoted:
                 log.warning(
-                    "quoted bounds probe failed for %s.%s — retrying with the "
-                    "store-cased unquoted identifier",
+                    "quoted bounds probe failed for %s.%s (identifier "
+                    "resolution) — retrying with the store-cased unquoted "
+                    "identifier",
                     table,
                     column,
                 )

@@ -759,3 +759,37 @@ def test_versioned_catalog_on_hadoop_fs(spark, tmp_path):
 
     cat.drop_table(spark, "default", "t")
     assert not cat.exists("default", "t")
+
+
+def test_hadoop_fs_write_atomic_falls_back_without_abstract_fs(spark, tmp_path):
+    """ADVICE r10: schemes without an AbstractFileSystem binding (S3A's
+    fs.AbstractFileSystem.s3a.impl is not in core-default) throw from the
+    FileContext rename even though the FileSystem API works — the manifest
+    swap must degrade to FileSystem delete+rename instead of failing the
+    publish."""
+    from mssql2monetdb_spark.engine.fs import HadoopFS
+
+    uri = f"file://{tmp_path}/fbfs"
+    hfs = HadoopFS(spark, uri)
+    hfs.makedirs(uri)
+
+    class _NS:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    class _BoomFC:
+        @staticmethod
+        def getFileContext(*a):
+            raise Exception(
+                "UnsupportedFileSystemException: No AbstractFileSystem for scheme: s3a"
+            )
+
+    real_jvm = hfs._jvm
+    hfs._jvm = _NS(org=_NS(apache=_NS(hadoop=_NS(fs=_NS(FileContext=_BoomFC)))))
+    try:
+        hfs.write_atomic(f"{uri}/m.json", '{"v": 1}')
+        hfs.write_atomic(f"{uri}/m.json", '{"v": 2}')  # overwrite path too
+    finally:
+        hfs._jvm = real_jvm
+    assert hfs.read_text(f"{uri}/m.json") == '{"v": 2}'
+    assert not hfs.exists(f"{uri}/m.json.tmp")

@@ -753,3 +753,57 @@ def test_mid_switch_abort_keeps_old_view(spark, wh):
     wh.export(df2, "msab", datetime(2024, 6, 2))
     assert _view_count(spark, wh, "msab") == 1
     assert len(wh.table_versions("msab")) == 2
+
+
+def test_probe_degradation_counter_survives_process_restart(spark, tmp_path):
+    """ADVICE r10: the 'consecutive runs escalate to ERROR' rule must hold
+    in the run-per-invocation deployment — the counter persists in the
+    WatermarkStore, so a FRESH CopyEngine (new process) sees the prior
+    run's degradation; a successful pushdown resets it."""
+    from mssql2monetdb_spark.config.spec import load_spec
+    from mssql2monetdb_spark.engine.copy import CopyEngine
+    from mssql2monetdb_spark.sources.jdbc import jdbc_writer
+
+    db = f"{tmp_path}/degdb"
+    src = SourceSpec(
+        name="derby",
+        format="jdbc",
+        options={"url": f"jdbc:derby:{db};create=true", "driver": DERBY_DRIVER},
+    )
+    jdbc_writer(
+        load_table(spark, SF, "nation"), src, "nation", mode="overwrite",
+        locked_mode=False,
+    )
+    raw = {
+        "warehouse_dir": str(tmp_path / "wh"),
+        "state_dir": str(tmp_path / "state"),
+        "sources": {"derby": {"format": "jdbc", "options": dict(src.options)}},
+        "tables": {
+            "nation_job": {
+                "source": "derby",
+                "from_table": "nation",
+                # store column is quoted lowercase: both probe casings fail
+                "trigger": {"column": "N_NATIONKEY"},
+            }
+        },
+    }
+    e1 = CopyEngine(spark, load_spec(raw))
+    e1._probe_job(e1.spec.jobs["nation_job"])
+    assert e1.store.load_degradations(e1.checksum, "nation_job") == 1
+
+    e2 = CopyEngine(spark, load_spec(raw))  # "new process"
+    e2._probe_job(e2.spec.jobs["nation_job"])
+    assert e2.store.load_degradations(e2.checksum, "nation_job") == 2
+
+    # a successful pushdown resets the escalation
+    import mssql2monetdb_spark.engine.watermark as wmmod
+    from mssql2monetdb_spark.engine.watermark import Watermark
+
+    orig = wmmod.probe_max_jdbc
+    wmmod.probe_max_jdbc = lambda *a, **k: Watermark(24, "bigint")
+    try:
+        e3 = CopyEngine(spark, load_spec(raw))
+        e3._probe_job(e3.spec.jobs["nation_job"])
+    finally:
+        wmmod.probe_max_jdbc = orig
+    assert e3.store.load_degradations(e3.checksum, "nation_job") == 0

@@ -1108,6 +1108,19 @@ def test_hll_estimate_within_expected_error(spark):
         assert abs(est - true) / true < 3 * 1.04 / (sk.HLL_M ** 0.5), (key, est, true)
 
 
+def test_hll_production_mode_matches_exact_within_tolerance(spark):
+    """``exact_hashes=False`` (plain partial-aggregatable SUM over the 64
+    register terms) must agree with the fixed-order fold up to float
+    reassociation — last-ulp territory on a 64-term dyadic sum."""
+    from mssql2monetdb_spark.operators import sketch as sk
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    regs = sk.hll_registers(orders, "o_custkey")
+    exact = sk.hll_estimate(regs).collect()[0][0]
+    prod = sk.hll_estimate(regs, exact_hashes=False).collect()[0][0]
+    assert abs(exact - prod) / exact < 1e-12
+
+
 def test_hll_registers_merge_by_max(spark):
     """HLL registers are mergeable with a plain MAX — the property that
     makes the sketch distributable: sketching two halves and merging
