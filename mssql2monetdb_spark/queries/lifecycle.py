@@ -1194,3 +1194,85 @@ def copy_partitioned_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+@query(
+    "stream_stream_join_attribution",
+    oracle="""
+        SELECT c.event_id AS click_id, c.user_id AS click_user,
+               c.ts AS click_ts, p.event_id AS purchase_id,
+               p.ts AS purchase_ts, p.value AS purchase_value
+        FROM events c JOIN events p
+          ON c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.user_id = c.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        ORDER BY click_id, purchase_id
+    """,
+)
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the oracle gate (previously
+    pytest-only): clicks matched to the same user's purchases within 30
+    minutes — conversion attribution over two unbounded sides
+    (``streaming/pipelines.py:correlated_purchases_stream``), drained as a
+    REAL readStream and hashed against the batch interval-join oracle.
+
+    Staging is CHRONOLOGICAL — three consecutive 10-day shards with
+    monotone file mtimes, so the oldest-first FileStreamSource order makes
+    event time monotone across micro-batches and no row is ever late: the
+    watermark(1h)+horizon(30m) state-retention bound then provably emits
+    every cross-batch match (a boundary click is still buffered when its
+    next-shard purchase arrives, because horizon < watermark), making the
+    streaming result EQUAL to the batch join rather than a subset. That
+    equality — inner interval join + watermark state eviction = batch
+    semantics under in-order arrival — is the 100 TB contract this gate
+    pins; per-side state stays bounded by watermark + horizon regardless
+    of stream length.
+    """
+    import glob as _glob
+
+    from ..streaming.pipelines import correlated_purchases_stream
+
+    t = Tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_ssj_")
+    src = os.path.join(base, "in")
+    bounds = t.events.agg(F.min("ts")).first()
+    d0 = bounds[0]
+    if d0 is None:  # hostile empty corpus: one empty shard, empty oracle
+        t.events.coalesce(1).write.mode("append").parquet(src)
+    else:
+        from datetime import timedelta
+
+        cut1 = d0 + timedelta(days=10)
+        cut2 = d0 + timedelta(days=20)
+        shards = [
+            t.events.filter(F.col("ts") < F.lit(cut1)),
+            t.events.filter((F.col("ts") >= F.lit(cut1)) & (F.col("ts") < F.lit(cut2))),
+            t.events.filter(F.col("ts") >= F.lit(cut2)),
+        ]
+        seen: set[str] = set()
+        for i, shard in enumerate(shards):
+            shard.coalesce(1).write.mode("append").parquet(src)
+            for f in set(_glob.glob(os.path.join(src, "*.parquet"))) - seen:
+                os.utime(f, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+                seen.add(f)
+
+    out_dir = os.path.join(base, "out")
+    joined = correlated_purchases_stream(
+        events_stream(spark, src, max_files_per_trigger=1)
+    )
+    out_schema = joined.schema
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.schema(out_schema)
+        .parquet(out_dir)
+        .orderBy("click_id", "purchase_id")
+    )
