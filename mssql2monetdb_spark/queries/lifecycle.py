@@ -1331,3 +1331,80 @@ def catalog_compact_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("fragmented version must survive as the keep-2 backup")
 
     return catalog.table_at(spark, "main", "ev").orderBy("event_id")
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+        SELECT o.o_custkey AS custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+                   AS total_spend,
+               MAX(c.c_name) AS c_name
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey ORDER BY custkey
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join under the oracle gate — previously
+    pytest-only. Both sides are written as catalog tables bucketed 8-way
+    on the join key (``engine/bucketing.py``); the join must then plan
+    WITHOUT any Exchange — no shuffle on either side, no broadcast (the
+    threshold is disabled for the probe, since gate-scale fixtures would
+    otherwise broadcast and bypass the bucketed path entirely). The
+    builder executes the join, asserts the final adaptive plan is
+    exchange-free (and a SortMergeJoin whenever both sides are
+    non-empty), restores the session conf, and hashes the staged result
+    against the plain-join oracle.
+
+    This is the repeated-big-join contract at 100 TB: two fact tables
+    joined on the same key every run pay the shuffle ONCE at write time
+    (bucket layout) instead of every query."""
+    from datetime import datetime as _dt
+
+    from ..engine.bucketing import bucketed_join, write_bucketed
+
+    t = Tables(spark, sf_dir)
+    tag = os.path.basename(tempfile.mkdtemp(prefix="bk_")).replace("bk_", "")
+    lt, rt = f"bk_orders_{tag}", f"bk_customer_{tag}"
+    write_bucketed(
+        t.orders.select(F.col("o_custkey").alias("custkey"), "o_totalprice"),
+        lt,
+        bucket_col="custkey",
+        n_buckets=8,
+    )
+    write_bucketed(
+        t.customer.select(F.col("c_custkey").alias("custkey"), "c_name"),
+        rt,
+        bucket_col="custkey",
+        n_buckets=8,
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="bkout_"), "out")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        dec = F.col("o_totalprice").cast("decimal(30,8)")
+        joined = (
+            bucketed_join(spark, lt, rt, "custkey")
+            .groupBy("custkey")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(dec).cast("double").alias("total_spend"),
+                F.max("c_name").alias("c_name"),
+            )
+        )
+        joined.write.mode("overwrite").parquet(out_dir)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange hashpartitioning" in plan or "BroadcastExchange" in plan:
+            raise RuntimeError(
+                "bucketed join shuffled — the co-location contract "
+                "regressed:\n" + plan[:2000]
+            )
+        both = spark.table(lt).limit(1).count() and spark.table(rt).limit(1).count()
+        if both and "SortMergeJoin" not in plan:
+            raise RuntimeError("expected the bucketed SortMergeJoin:\n" + plan[:2000])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in (lt, rt):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+    return spark.read.parquet(out_dir).orderBy("custkey")
