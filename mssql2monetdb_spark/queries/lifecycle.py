@@ -1408,3 +1408,100 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name in (lt, rt):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
     return spark.read.parquet(out_dir).orderBy("custkey")
+
+
+@query(
+    "catalog_zorder_publish",
+    oracle="""
+        WITH probe AS (
+            SELECT user_id FROM events GROUP BY user_id
+            ORDER BY COUNT(*) DESC, user_id LIMIT 1
+        )
+        SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value
+        FROM events e, probe p WHERE e.user_id = p.user_id
+        ORDER BY e.event_id
+    """,
+)
+def catalog_zorder_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering under the oracle gate — previously
+    pytest/probe-only (``engine/zorder.py``, ``zorder_skip_probe.py``).
+    Events are published twice at 16 files each: once range-clustered on
+    ``ts`` (the layout a time-ordered ingest naturally produces) and once
+    Z-ORDERED on (user_id, value bits interleaved). The gate then reads
+    the hottest user's rows back from the z-ordered version (hashed
+    against the parquet oracle) and asserts the LOCALITY contract
+    in-builder: the z-ordered layout must concentrate that user into
+    strictly fewer files than the time-ordered layout spreads it across
+    (measured from the executed scan's ``input_file_name`` set). File
+    locality is what parquet footer min/max stats turn into skipped I/O
+    at 100 TB — a clustering regression turns this gate red even though
+    the VALUES would still match.
+    """
+    from datetime import datetime as _dt
+
+    from ..engine.zorder import ZCol, cluster_by_zorder
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_id", "ts", "user_id", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="catalog_zorder_")
+    catalog = VersionedCatalog(os.path.join(base, "wh"))
+
+    bounds = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value"),
+        F.count(F.lit(1)),
+    ).first()
+    n_rows = bounds[4]
+    if bounds[0] is None or bounds[2] is None:
+        # hostile empty/degenerate corpus: publish raw, skip locality proof
+        pz = catalog.write_version(ev, "main", "ev_z", _dt(2024, 6, 1))
+        catalog.publish(spark, "main", "ev_z", pz)
+        probe_user = None
+    else:
+        specs = [
+            ZCol("user_id", float(bounds[0]), float(bounds[1])),
+            ZCol("value", float(bounds[2]), float(bounds[3])),
+        ]
+        pz = catalog.write_version(
+            cluster_by_zorder(ev, specs, num_files=16), "main", "ev_z", _dt(2024, 6, 1)
+        )
+        catalog.publish(spark, "main", "ev_z", pz)
+        pt = catalog.write_version(
+            ev.repartitionByRange(16, "ts"), "main", "ev_ts", _dt(2024, 6, 1)
+        )
+        catalog.publish(spark, "main", "ev_ts", pt)
+        probe_user = (
+            ev.groupBy("user_id")
+            .count()
+            .orderBy(F.col("count").desc(), "user_id")
+            .first()["user_id"]
+        )
+
+        def _files_with_user(table: str) -> int:
+            return (
+                catalog.table_at(spark, "main", table)
+                .filter(F.col("user_id") == F.lit(probe_user))
+                .select(F.input_file_name())
+                .distinct()
+                .count()
+            )
+
+        # locality proof only when the corpus can express it: a tiny
+        # hostile fixture can't fill 16 files on either layout
+        if n_rows >= 2000:
+            z_files = _files_with_user("ev_z")
+            ts_files = _files_with_user("ev_ts")
+            if not z_files < ts_files:
+                raise RuntimeError(
+                    "z-order locality regressed: hottest user in "
+                    f"{z_files} z-ordered files vs {ts_files} time-ordered"
+                )
+
+    out = catalog.table_at(spark, "main", "ev_z")
+    if probe_user is not None:
+        out = out.filter(F.col("user_id") == F.lit(probe_user))
+    else:
+        # empty corpus: oracle's probe CTE yields no user, result empty
+        out = out.filter(F.lit(False))
+    return out.select("event_id", "ts", "user_id", "event_type", "value").orderBy(
+        "event_id"
+    )
