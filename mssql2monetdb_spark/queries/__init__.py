@@ -25,19 +25,19 @@ from . import tpch_full  # noqa: E402,F401
 from . import lifecycle  # noqa: E402,F401
 
 # ROTATION — round 11 (the round-10 verdict's directive 2: burn down the
-# verdict-staleness backlog from the age ladder): slots 0-4 are this round's
+# verdict-staleness backlog from the age ladder): slots 0-5 are this round's
 # never-verified additions (the date-partitioned publish gate with
 # in-builder partition-pruning assertions — verdict item 4 — plus the
 # stream-stream interval-join attribution, small-file compaction,
-# exchange-free bucketed-join, and z-order locality gates, all
-# previously pytest/probe-only); slots 5-8 are the changed-code
-# re-verifies (graph_pagerank's hub-skew-safe
+# exchange-free bucketed-join, z-order locality, and dynamic-partition-
+# pruning gates, all previously pytest/probe-only); slots 6-9 are the
+# changed-code re-verifies (graph_pagerank's hub-skew-safe
 # two-level fold — verdict item 1 — and the three warehouse-publish
 # gates riding engine/export.py's sink-type-lattice schema comparison,
-# ADVICE items 1-2); slots 9-49 are canaries, least-recently-verified
+# ADVICE items 1-2); slots 10-49 are canaries, least-recently-verified
 # first (verdict age computed from CORRECTNESS_r01-r10, ties by
 # registration order) — this window drains ALL 29 r6-aged rows and the
-# oldest 12 of the r7 block, leaving 35 r7 rows for round 12 (after
+# oldest 11 of the r7 block, leaving 36 r7 rows for round 12 (after
 # which no verdict is older than r8 — the directive's target).
 #
 # Vacuity audit (round 5, sf0.01): every window oracle returns >0 rows —
@@ -48,6 +48,7 @@ GATE_PRIORITY = [
     "catalog_compact_publish",
     "join_bucketed_colocated",
     "catalog_zorder_publish",
+    "join_dpp_partition_pruned",
     "graph_pagerank",
     "jdbc_schema_publish",
     "jdbc_warehouse_publish",
@@ -92,7 +93,6 @@ GATE_PRIORITY = [
     "window_percent_cume",
     "window_moving_avg",
     "agg_string_agg",
-    "agg_pivot",
 ]
 
 GATE_WINDOW = 50
@@ -106,7 +106,7 @@ GATE_WINDOW = 50
 #      round (even when the output is identical by construction);
 #   3. canaries, least-recently-verified first (ties broken by
 #      registration order), filling the window to 50.
-# With 221 queries and ~41 canary slots per round, every query's verdict
+# With 222 queries and ~40 canary slots per round, every query's verdict
 # age stays <= ~4 rounds; the per-family representation guarantee is
 # enforced structurally by test_every_capability_family_verified_or_
 # inside_window. NEXT_WINDOW_QUEUE below pre-stages round 12 under this
@@ -114,6 +114,7 @@ GATE_WINDOW = 50
 # (computed from CORRECTNESS_r01-r10 — the remaining r7 block first,
 # then the oldest r8 rows), ties by registration order.
 NEXT_WINDOW_QUEUE = [
+    "agg_pivot",
     "agg_percentiles",
     "sample_deterministic_hash",
     "asof_join_events",

@@ -1505,3 +1505,75 @@ def catalog_zorder_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "ts", "user_id", "event_type", "value").orderBy(
         "event_id"
     )
+
+
+@query(
+    "join_dpp_partition_pruned",
+    oracle="""
+        WITH f AS (
+            SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year, o_totalprice
+            FROM orders
+        ),
+        target AS (
+            SELECT DISTINCT o_year FROM f WHERE o_year % 3 = 0
+        )
+        SELECT f.o_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(f.o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+                   AS total_spend
+        FROM f JOIN target USING (o_year)
+        GROUP BY f.o_year ORDER BY f.o_year
+    """,
+)
+def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning under the oracle gate — previously
+    pytest-only (``test_runtime_filters.py``). Orders are published
+    year-partitioned through the versioned catalog, then joined to a
+    selective dimension (every third year) that only becomes known at
+    RUNTIME: the planner must inject a ``dynamicpruning`` subquery on the
+    fact scan's partition column, so at 100 TB the join scans 1/3 of the
+    years instead of all of them — runtime's answer to the literal-range
+    pruning `copy_partitioned_publish` pins statically. The builder
+    raises if the mechanism doesn't engage (fact non-empty), and the join
+    result hashes against the plain-SQL oracle.
+    """
+    from datetime import datetime as _dt
+
+    t = Tables(spark, sf_dir)
+    fact_src = t.orders.select(
+        F.year("o_orderdate").alias("o_year"), "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="dpp_gate_")
+    catalog = VersionedCatalog(os.path.join(base, "wh"))
+    p = catalog.write_version(
+        fact_src, "main", "orders_by_year", _dt(2024, 6, 1), partition_by=["o_year"]
+    )
+    catalog.publish(spark, "main", "orders_by_year", p)
+
+    fact = catalog.table_at(spark, "main", "orders_by_year")
+    dim = fact.select("o_year").distinct().filter(F.col("o_year") % 3 == 0)
+    joined = (
+        fact.join(dim, "o_year")
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+        .orderBy("o_year")
+    )
+    if not fact.limit(1).isEmpty():
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        if "dynamicpruning" not in plan.lower():
+            raise RuntimeError(
+                "dynamic partition pruning did not engage on the "
+                "year-partitioned fact scan:\n" + plan[:2000]
+            )
+    return joined
