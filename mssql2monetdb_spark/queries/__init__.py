@@ -25,24 +25,28 @@ from . import tpch_full  # noqa: E402,F401
 from . import lifecycle  # noqa: E402,F401
 
 # ROTATION — round 11 (the round-10 verdict's directive 2: burn down the
-# verdict-staleness backlog from the age ladder): slots 0-5 are this round's
-# never-verified additions (the date-partitioned publish gate with
-# in-builder partition-pruning assertions — verdict item 4 — plus the
+# verdict-staleness backlog from the age ladder): the head slots are this
+# round's never-verified additions — the continuation session's new
+# operators first (each displaces the youngest remaining tail canary
+# into NEXT_WINDOW_QUEUE head), then the date-partitioned publish gate
+# with in-builder partition-pruning assertions (verdict item 4) plus the
 # stream-stream interval-join attribution, small-file compaction,
 # exchange-free bucketed-join, z-order locality, and dynamic-partition-
-# pruning gates, all previously pytest/probe-only); slots 6-9 are the
+# pruning gates, all previously pytest/probe-only; next the
 # changed-code re-verifies (graph_pagerank's hub-skew-safe
 # two-level fold — verdict item 1 — and the three warehouse-publish
 # gates riding engine/export.py's sink-type-lattice schema comparison,
-# ADVICE items 1-2); slots 10-49 are canaries, least-recently-verified
-# first (verdict age computed from CORRECTNESS_r01-r10, ties by
-# registration order) — this window drains ALL 29 r6-aged rows and the
-# oldest 11 of the r7 block, leaving 36 r7 rows for round 12 (after
-# which no verdict is older than r8 — the directive's target).
+# ADVICE items 1-2); the remaining slots are canaries,
+# least-recently-verified first (verdict age computed from
+# CORRECTNESS_r01-r10, ties by registration order) — this window drains
+# ALL 29 r6-aged rows plus the oldest r7 rows that still fit; displaced
+# r7 canaries head NEXT_WINDOW_QUEUE for round 12 (after which no
+# verdict is older than r8 — the directive's target).
 #
 # Vacuity audit (round 5, sf0.01): every window oracle returns >0 rows —
 # checked by test_window_oracles_non_vacuous on every commit.
 GATE_PRIORITY = [
+    "graph_triangle_count",
     "copy_partitioned_publish",
     "stream_stream_join_attribution",
     "catalog_compact_publish",
@@ -92,7 +96,6 @@ GATE_PRIORITY = [
     "tpch_q14_promo_ratio",
     "window_percent_cume",
     "window_moving_avg",
-    "agg_string_agg",
 ]
 
 GATE_WINDOW = 50
@@ -114,6 +117,7 @@ GATE_WINDOW = 50
 # (computed from CORRECTNESS_r01-r10 — the remaining r7 block first,
 # then the oldest r8 rows), ties by registration order.
 NEXT_WINDOW_QUEUE = [
+    "agg_string_agg",
     "agg_pivot",
     "agg_percentiles",
     "sample_deterministic_hash",

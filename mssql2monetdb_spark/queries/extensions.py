@@ -2043,6 +2043,31 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_triangle_count",
+    oracle=f"""
+        WITH e AS ({graph_ops.user_transition_edges_sql("events")}),
+        {graph_ops.triangle_counts_sql("e")}
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM tri_members GROUP BY node ORDER BY node
+    """,
+    bench=True,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the user-transition graph — the
+    clustering-coefficient numerator behind community/spam detection on
+    interaction graphs. Degree-ordered edge orientation
+    (``operators/graph.py:triangle_counts``) caps every node's oriented
+    out-degree at O(√m), so the wedge join is bounded at O(m^1.5) total
+    work no matter how skewed the hubs — the naive shared-endpoint join
+    materializes indeg² wedges on a hub and dies at 100 TB. All-BIGINT
+    counts; each triangle counted exactly once via the rank-ordered
+    x→y→z canonical form."""
+    t = Tables(spark, sf_dir)
+    edges = graph_ops.user_transition_edges(t.events)
+    return graph_ops.triangle_counts(edges).orderBy("node")
+
+
+@query(
     "report_freshness_lag",
     oracle="""
         WITH per_feed AS (

@@ -176,3 +176,24 @@ def test_reachability_min_depth_bfs(spark):
         for r in graph.reachability(edges, seeds, max_hops=3).collect()
     }
     assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    """K4 on {1,2,3,4} has 4 triangles, each node in exactly 3; a pendant
+    node 5 hung off node 1 joins none. Directed duplicates (both
+    directions, repeated) must collapse to one undirected edge each."""
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b]
+    edges = spark.createDataFrame(
+        [(s, d, 1) for s, d in k4] + [(1, 5, 1), (5, 1, 1)],
+        "src bigint, dst bigint, weight bigint",
+    )
+    got = {r["node"]: r["n_triangles"] for r in graph.triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_no_triangles_is_empty(spark):
+    """A path graph (1-2-3-4) has wedges but no closing edges."""
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1)], "src bigint, dst bigint, weight bigint"
+    )
+    assert graph.triangle_counts(edges).count() == 0
