@@ -47,6 +47,7 @@ from . import lifecycle  # noqa: E402,F401
 # checked by test_window_oracles_non_vacuous on every commit.
 GATE_PRIORITY = [
     "graph_triangle_count",
+    "join_runtime_bloom_pruned",
     "copy_partitioned_publish",
     "stream_stream_join_attribution",
     "catalog_compact_publish",
@@ -95,7 +96,6 @@ GATE_PRIORITY = [
     "tpch_q12_conditional_agg",
     "tpch_q14_promo_ratio",
     "window_percent_cume",
-    "window_moving_avg",
 ]
 
 GATE_WINDOW = 50
@@ -117,6 +117,7 @@ GATE_WINDOW = 50
 # (computed from CORRECTNESS_r01-r10 — the remaining r7 block first,
 # then the oldest r8 rows), ties by registration order.
 NEXT_WINDOW_QUEUE = [
+    "window_moving_avg",
     "agg_string_agg",
     "agg_pivot",
     "agg_percentiles",

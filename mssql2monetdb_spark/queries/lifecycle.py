@@ -1577,3 +1577,85 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "year-partitioned fact scan:\n" + plan[:2000]
             )
     return joined
+
+
+@query(
+    "join_runtime_bloom_pruned",
+    oracle="""
+        SELECT l.l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def join_runtime_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — the row-level counterpart of
+    ``join_dpp_partition_pruned``: when the probe side is NOT partitioned
+    on the join key, the planner can still build a bloom filter from the
+    selective creation side (urgent orders, 1/5 of the table) and inject
+    a ``might_contain`` predicate on the fact scan, so at 100 TB the
+    shuffle receives ~1/5 of lineitem instead of all of it. The builder
+    pins the engaging confs (shuffle join forced — a broadcast join
+    already prunes at the hash table and the planner rightly skips the
+    bloom; application-side size floor lowered for the sf0.01 fixture),
+    asserts both ``might_contain`` and ``bloom_filter_agg`` appear in the
+    compiled plan, then RESTORES every conf so the driver's collect and
+    all later queries replan under vanilla settings — the bloom is
+    semantically transparent, which is exactly what the oracle hash
+    verifies."""
+    t = Tables(spark, sf_dir)
+    pinned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved: dict[str, str | None] = {}
+    for k in pinned:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    joined = (
+        t.lineitem.join(urgent, t.lineitem["l_orderkey"] == urgent["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,8)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+    try:
+        for k, v in pinned.items():
+            spark.conf.set(k, v)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        if "might_contain" not in plan or "bloom_filter_agg" not in plan:
+            raise RuntimeError(
+                "runtime bloom filter did not engage on the fact scan:\n"
+                + plan[:2000]
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return joined
