@@ -1282,3 +1282,141 @@ def chunk_overlap_sql(
         FROM starts
         ORDER BY doc_id, chunk_id
     """
+
+
+# --- DSIR-style importance resampling ---------------------------------------
+
+DSIR_BUCKETS = 4096  # hashed-ngram feature width (Xie et al. use 10k-ish)
+DSIR_SALT = "dsir1"
+DSIR_SCALE = 1000  # acceptance threshold resolution
+
+
+def importance_resample(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023) —
+    the hashed-ngram importance-weighting shape: each document is scored
+    by the log-likelihood RATIO of a target-domain model vs the raw-corpus
+    model over hashed unigram features, then resampled with probability
+    proportional to its (min-max normalized) importance.
+
+    Both "models" here are deterministic per-bucket integer scores derived
+    from md5 of the bucket id (a production run drops in the two trained
+    hashed-ngram bigram models — O(buckets) integers, broadcast-sized or
+    inlined, identical plan); the per-occurrence contribution
+    ``t(b) - s(b)`` stands in for ``log p_target(b) - log p_source(b)``,
+    keeping every sum BIGINT so the oracle matches bit-for-bit. The
+    acceptance draw is a salted md5 of the doc id — reproducible across
+    runs, engines, and retries, unlike ``rand()``.
+
+    Scale shape: importance is ONE map-side projection with a per-row
+    fold (zero shuffles); normalization needs the global (min, max) — a
+    single 1-row aggregate broadcast back; acceptance is a pure filter.
+    Nothing here grows with corpus size except the scan itself.
+    """
+    tok = text.tokens(F.col(text_col))
+    contribs = F.transform(
+        tok,
+        lambda x: (
+            F.pmod(
+                hashing.md5_int32(
+                    F.concat(
+                        F.pmod(
+                            hashing.md5_int32(F.concat(x, F.lit("|" + DSIR_SALT))),
+                            F.lit(DSIR_BUCKETS),
+                        ).cast("string"),
+                        F.lit("|t" + DSIR_SALT),
+                    )
+                ),
+                F.lit(7),
+            )
+            - F.pmod(
+                hashing.md5_int32(
+                    F.concat(
+                        F.pmod(
+                            hashing.md5_int32(F.concat(x, F.lit("|" + DSIR_SALT))),
+                            F.lit(DSIR_BUCKETS),
+                        ).cast("string"),
+                        F.lit("|s" + DSIR_SALT),
+                    )
+                ),
+                F.lit(7),
+            )
+        ).cast("bigint"),
+    )
+    importance = F.aggregate(
+        contribs, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    scored = parallelized(docs).select(
+        F.col(id_col).alias("doc_id"), importance.alias("importance")
+    )
+    bounds = scored.agg(
+        F.min("importance").alias("min_imp"), F.max("importance").alias("max_imp")
+    )
+    accept = F.when(
+        F.col("max_imp") > F.col("min_imp"),
+        F.expr(
+            f"(importance - min_imp) * {DSIR_SCALE} div (max_imp - min_imp)"
+        ),
+    ).otherwise(F.lit(DSIR_SCALE // 2)).cast("bigint")
+    draw = F.pmod(
+        hashing.md5_int32(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|u" + DSIR_SALT))
+        ),
+        F.lit(DSIR_SCALE + 1),
+    )
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "importance",
+            accept.alias("accept_scaled"),
+        )
+        .filter(draw <= F.col("accept_scaled"))
+    )
+
+
+def importance_resample_sql(
+    table: str, *, text_expr: str = "text", id_expr: str = "doc_id"
+) -> str:
+    """DuckDB query matching :func:`importance_resample`."""
+    tok = text.tokens_sql(text_expr)
+    bucket = (
+        hashing.md5_int32_sql(f"x || '|{DSIR_SALT}'") + f" % {DSIR_BUCKETS}"
+    )
+    t_m = (
+        hashing.md5_int32_sql(f"CAST(({bucket}) AS VARCHAR) || '|t{DSIR_SALT}'")
+        + " % 7"
+    )
+    s_m = (
+        hashing.md5_int32_sql(f"CAST(({bucket}) AS VARCHAR) || '|s{DSIR_SALT}'")
+        + " % 7"
+    )
+    draw = (
+        hashing.md5_int32_sql(f"CAST(doc_id AS VARCHAR) || '|u{DSIR_SALT}'")
+        + f" % {DSIR_SCALE + 1}"
+    )
+    return f"""
+        WITH scored AS (
+            SELECT {id_expr} AS doc_id,
+                   CAST(list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform({tok},
+                               x -> CAST(({t_m}) - ({s_m}) AS BIGINT))),
+                       (acc, v) -> acc + v) AS BIGINT) AS importance
+            FROM {table}
+        ), bounds AS (
+            SELECT MIN(importance) AS min_imp, MAX(importance) AS max_imp
+            FROM scored
+        )
+        SELECT doc_id, importance,
+               CAST(CASE WHEN max_imp > min_imp
+                         THEN (importance - min_imp) * {DSIR_SCALE}
+                              // (max_imp - min_imp)
+                         ELSE {DSIR_SCALE // 2} END AS BIGINT) AS accept_scaled
+        FROM scored CROSS JOIN bounds
+        WHERE ({draw}) <= CASE WHEN max_imp > min_imp
+                               THEN (importance - min_imp) * {DSIR_SCALE}
+                                    // (max_imp - min_imp)
+                               ELSE {DSIR_SCALE // 2} END
+    """

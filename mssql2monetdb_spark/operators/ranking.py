@@ -17,13 +17,13 @@ broadcasts; nothing pairwise exists anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import parallelized
 from ..engine import caches
-from ..functions import text
+from ..functions import hashing, text
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -995,4 +995,100 @@ def hybrid_rrf_sql(
                + COALESCE(1.0 / ({k0} + rank_sem), 0.0) AS rrf
         FROM lex FULL OUTER JOIN sem USING (doc_id)
         ORDER BY rrf DESC, doc_id LIMIT {top}
+    """
+
+
+# --- hashed linear quality classifier ---------------------------------------
+
+CLS_BUCKETS = 4096  # feature-hashing width (the fastText default ballpark)
+CLS_WEIGHT_SPAN = 1000  # pseudo-weights live in [-1000, 1000]
+CLS_SALT = "qclf1"
+
+
+def _cls_bucket(feat: Column) -> Column:
+    return F.pmod(
+        hashing.md5_int32(F.concat(feat, F.lit("|" + CLS_SALT))), F.lit(CLS_BUCKETS)
+    )
+
+
+def _cls_weight(bucket: Column) -> Column:
+    return (
+        F.pmod(
+            hashing.md5_int32(F.concat(bucket.cast("string"), F.lit("|w" + CLS_SALT))),
+            F.lit(2 * CLS_WEIGHT_SPAN + 1),
+        )
+        - CLS_WEIGHT_SPAN
+    )
+
+
+def linear_classifier_scores(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hashed bag-of-ngrams linear classifier inference — the fastText /
+    CCNet quality-filter shape every pretraining pipeline runs: word
+    unigram + bigram features hashed into ``CLS_BUCKETS`` buckets, a
+    per-bucket weight, a per-document linear sum, a keep decision at the
+    zero threshold.
+
+    The weights here are derived deterministically from the bucket id
+    (md5 → [-span, span]) so the DuckDB oracle reproduces every score
+    bit-for-bit; a production deployment swaps ``_cls_weight`` for a
+    TRAINED weight table joined via broadcast (O(buckets) rows — tiny) or,
+    better, compiled into the same inline expression. Either way the
+    scale shape is identical and is the whole point: features, buckets,
+    weights, and the document sum are ONE map-side projection with a
+    per-row higher-order fold — zero shuffles, zero joins, all-BIGINT
+    arithmetic. At 100 TB this is embarrassingly parallel and
+    whole-stage-codegen'd end to end.
+    """
+    tok = text.tokens(F.col(text_col))
+    cnt = F.size(tok) - 1
+    bigrams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat(F.element_at(tok, i), F.lit(" "), F.element_at(tok, i + 1)),
+    )
+    feats = F.concat(
+        tok, F.when(cnt >= 1, bigrams).otherwise(F.array().cast("array<string>"))
+    )
+    score = F.aggregate(
+        feats,
+        F.lit(0).cast("bigint"),
+        lambda acc, f: acc + _cls_weight(_cls_bucket(f)).cast("bigint"),
+    )
+    return parallelized(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(feats).cast("bigint").alias("n_features"),
+        score.alias("score_sum"),
+        (score > 0).alias("keep"),
+    )
+
+
+def linear_classifier_scores_sql(
+    table: str, *, text_expr: str = "text", id_expr: str = "doc_id"
+) -> str:
+    """DuckDB query matching :func:`linear_classifier_scores`."""
+    tok = text.tokens_sql(text_expr)
+    bigrams = (
+        f"CASE WHEN len({tok}) - 1 >= 1 THEN "
+        f"list_transform(generate_series(1, len({tok}) - 1), "
+        f"i -> {tok}[i] || ' ' || {tok}[i + 1]) ELSE [] END"
+    )
+    feats = f"list_concat({tok}, {bigrams})"
+    bucket = hashing.md5_int32_sql(f"f || '|{CLS_SALT}'") + f" % {CLS_BUCKETS}"
+    weight = (
+        hashing.md5_int32_sql(f"CAST(({bucket}) AS VARCHAR) || '|w{CLS_SALT}'")
+        + f" % {2 * CLS_WEIGHT_SPAN + 1} - {CLS_WEIGHT_SPAN}"
+    )
+    return f"""
+        SELECT {id_expr} AS doc_id,
+               CAST(len({feats}) AS BIGINT) AS n_features,
+               CAST(list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform({feats}, f -> CAST({weight} AS BIGINT))),
+                   (acc, x) -> acc + x) AS BIGINT) AS score_sum,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform({feats}, f -> CAST({weight} AS BIGINT))),
+                   (acc, x) -> acc + x) > 0 AS keep
+        FROM {table}
     """

@@ -301,6 +301,27 @@ def quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking.bigram_conditional_rarity(t.documents).orderBy("doc_id")
 
 
+# Hash-derived weights split the sf0.01 fixture 241 keep / 259 reject
+# (measured) — both decision outcomes carry real rows.
+@query(
+    "quality_classifier_linear",
+    oracle=ranking.linear_classifier_scores_sql("documents") + " ORDER BY doc_id",
+)
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-ngrams linear classifier inference — the
+    fastText/CCNet-style TRAINED-quality-filter shape (vs the heuristic
+    text_quality_score and the self-trained LM surrogates): unigram +
+    bigram features hashed into 4096 buckets, per-bucket weight,
+    per-document linear sum, keep decision at zero. Weights derive
+    deterministically from the bucket id so the oracle reproduces every
+    score bit-for-bit; production swaps in a trained weight table
+    (broadcast-sized) with the identical plan shape. ONE map-side
+    projection with a per-row fold — zero shuffles, zero joins
+    (operators/ranking.py:linear_classifier_scores)."""
+    t = Tables(spark, sf_dir)
+    return ranking.linear_classifier_scores(t.documents).orderBy("doc_id")
+
+
 # df_cap=20 against the sf0.01 fixture's 916 distinct bigrams (df 1..46)
 # materializes 80 posting lists and leaves 836 df-only rows — both tiers
 # of the index carry real rows.
@@ -422,6 +443,28 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     a third of the corpus, so the verdict exercises both outcomes."""
     t = Tables(spark, sf_dir)
     return corpus_prep.sample_quality_weighted(t.documents).orderBy("doc_id")
+
+
+# 264/500 docs survive the sf0.01 resample (measured) — acceptance spans
+# the full threshold range, so both outcomes carry real rows.
+@query(
+    "sample_importance_dsir",
+    oracle=corpus_prep.importance_resample_sql("documents") + " ORDER BY doc_id",
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023): documents are
+    scored by a hashed-unigram target-vs-source log-likelihood-ratio
+    surrogate, min-max normalized against the GLOBAL importance bounds
+    (one 1-row aggregate, broadcast back), and kept with probability
+    proportional to normalized importance via a salted-md5 acceptance
+    draw — reproducible across runs/engines/retries, unlike rand().
+    Distinct from sample_quality_weighted (per-doc heuristic probability,
+    no global pass): this is the published importance-resampling shape
+    with feature-model scoring + corpus-level normalization. Map-side
+    fold + broadcast bounds + pure filter — zero data-sized shuffles
+    (operators/corpus_prep.py:importance_resample)."""
+    t = Tables(spark, sf_dir)
+    return corpus_prep.importance_resample(t.documents).orderBy("doc_id")
 
 
 def _pretraining_pipeline_oracle() -> str:

@@ -1481,3 +1481,76 @@ def test_setsim_broadcast_guard_paths_agree(spark):
         assert a == b
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _md5_int32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_linear_classifier_hand_computed(spark):
+    """Single doc 'aa bb' -> features [aa, bb, 'aa bb']; weights derived
+    via an independent hashlib reimplementation of the md5 recipe."""
+    from mssql2monetdb_spark.operators import ranking
+
+    docs = spark.createDataFrame([(1, "aa bb")], "doc_id bigint, text string")
+    row = ranking.linear_classifier_scores(docs).collect()[0]
+
+    def w(feat: str) -> int:
+        b = _md5_int32(feat + "|" + ranking.CLS_SALT) % ranking.CLS_BUCKETS
+        return (
+            _md5_int32(str(b) + "|w" + ranking.CLS_SALT)
+            % (2 * ranking.CLS_WEIGHT_SPAN + 1)
+            - ranking.CLS_WEIGHT_SPAN
+        )
+
+    expected = w("aa") + w("bb") + w("aa bb")
+    assert row["n_features"] == 3
+    assert row["score_sum"] == expected
+    assert row["keep"] == (expected > 0)
+
+
+def test_importance_resample_single_doc_midpoint(spark):
+    """Degenerate corpus (one doc): min == max, acceptance threshold falls
+    back to the midpoint; the doc survives iff its salted draw <= 500."""
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    docs = spark.createDataFrame([(7, "xx yy zz")], "doc_id bigint, text string")
+    rows = corpus_prep.importance_resample(docs).collect()
+    draw = _md5_int32("7|u" + corpus_prep.DSIR_SALT) % (corpus_prep.DSIR_SCALE + 1)
+    if draw <= corpus_prep.DSIR_SCALE // 2:
+        assert len(rows) == 1 and rows[0]["accept_scaled"] == 500
+    else:
+        assert rows == []
+
+
+def test_importance_resample_extremes_kept_and_dropped(spark):
+    """With two docs the min-importance doc gets accept_scaled 0 (kept only
+    on draw 0) and the max doc gets 1000 (always kept)."""
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    def imp(tokens):
+        total = 0
+        for x in tokens:
+            b = _md5_int32(x + "|" + corpus_prep.DSIR_SALT) % corpus_prep.DSIR_BUCKETS
+            t = _md5_int32(str(b) + "|t" + corpus_prep.DSIR_SALT) % 7
+            s = _md5_int32(str(b) + "|s" + corpus_prep.DSIR_SALT) % 7
+            total += t - s
+        return total
+
+    # find two single-token docs with different importance
+    cands = [f"tok{i}" for i in range(50)]
+    lo = min(cands, key=lambda c: imp([c]))
+    hi = max(cands, key=lambda c: imp([c]))
+    assert imp([lo]) < imp([hi])
+    docs = spark.createDataFrame(
+        [(1, lo), (2, hi)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in corpus_prep.importance_resample(docs).collect()}
+    draw1 = _md5_int32("1|u" + corpus_prep.DSIR_SALT) % 1001
+    draw2 = _md5_int32("2|u" + corpus_prep.DSIR_SALT) % 1001
+    assert (1 in out) == (draw1 == 0)
+    assert 2 in out and out[2]["accept_scaled"] == corpus_prep.DSIR_SCALE
+    if 1 in out:
+        assert out[1]["accept_scaled"] == 0
