@@ -1240,3 +1240,158 @@ def ivf_incremental_assign(
     incremental-ingest analog of ``dedup.incremental_ingest_dedup`` —
     the corpus-side state is read-only."""
     return _argmin_assign(parallelized(new_df), index.centroids, id_col, emb_col)
+
+
+# --- MMR diverse re-ranking --------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_CANDIDATES = 12
+MMR_K = 3
+
+
+def mmr_rerank(
+    emb_df: DataFrame,
+    *,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_candidates: int = MMR_CANDIDATES,
+    k: int = MMR_K,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    — the diversity pass every retrieval stack runs after top-N: greedily
+    pick the item maximizing ``λ·rel(i) − (1−λ)·max_{s∈S} sim(i, s)`` so
+    the final k answers are relevant AND mutually diverse (a dedup of the
+    result page, not the corpus).
+
+    Scale shape: the expensive part is the top-N relevance scan —
+    broadcast 1-row query, corpus never shuffles, WindowGroupLimit top-N
+    (exactly ann_bruteforce's plan). The greedy loop then runs k-1
+    bounded rounds over the ≤N-row candidate set (anti-join, broadcast
+    pairwise sim, argmax via TakeOrdered LIMIT 1) — every per-round
+    relation is O(N·k) cells, independent of corpus size, and no row
+    ever reaches the driver. Determinism: cosine is the fixed-order
+    fold from ``functions.vectors``; λ-arithmetic is identical IEEE
+    mult/sub in both engines; every argmax breaks ties by id.
+    """
+    q = (
+        emb_df.filter(F.col(id_col) == query_id)
+        .select(F.col(emb_col).alias("q_emb"))
+    )
+    scored = (
+        parallelized(emb_df)
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(emb_col).alias("emb"),
+            vectors.cosine(F.col(emb_col), F.col("q_emb")).alias("rel"),
+        )
+    )
+    w = Window.orderBy(F.col("rel").desc(), F.col("vec_id"))
+    cand = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n_candidates)
+        .select("vec_id", "emb", "rel")
+    )
+    sel = cand.orderBy(F.col("rel").desc(), F.col("vec_id")).limit(1).select(
+        "vec_id",
+        "emb",
+        "rel",
+        F.lit(1).alias("mmr_rank"),
+        (F.lit(lam) * F.col("rel")).alias("mmr_score"),
+    )
+    for step in range(2, k + 1):
+        rem = cand.join(sel.select("vec_id"), "vec_id", "left_anti")
+        sims = (
+            rem.crossJoin(
+                F.broadcast(sel.select(F.col("emb").alias("s_emb")))
+            )
+            .select(
+                "vec_id",
+                vectors.cosine(F.col("emb"), F.col("s_emb")).alias("sim"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        pick = (
+            rem.join(sims, "vec_id")
+            .select(
+                "vec_id",
+                "emb",
+                "rel",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("max_sim")
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.col("mmr_score").desc(), F.col("vec_id"))
+            .limit(1)
+            .select("vec_id", "emb", "rel", F.lit(step).alias("mmr_rank"), "mmr_score")
+        )
+        sel = sel.unionAll(pick)
+    return sel.select("mmr_rank", "vec_id", "rel", "mmr_score").orderBy("mmr_rank")
+
+
+def mmr_rerank_sql(
+    table: str,
+    *,
+    query_id: int = 0,
+    n_candidates: int = MMR_CANDIDATES,
+    k: int = MMR_K,
+    lam: float = MMR_LAMBDA,
+) -> str:
+    """DuckDB query matching :func:`mmr_rerank` (k unrolled as chained
+    CTE selection stages; correlated MAX subqueries give the per-round
+    max-similarity to the already-selected set)."""
+    if k != 3:
+        raise ValueError("oracle generator unrolls exactly k=3 stages")
+    cos_q = vectors.cosine_sql("e.embedding", "q.q_emb")
+    cos_s1 = vectors.cosine_sql("c.emb", "s.emb")
+    mu = 1.0 - lam
+    return f"""
+        WITH q AS (
+            SELECT embedding AS q_emb FROM {table} WHERE vec_id = {query_id}
+        ), scored AS (
+            SELECT e.vec_id, e.embedding AS emb, {cos_q} AS rel
+            FROM {table} e CROSS JOIN q WHERE e.vec_id <> {query_id}
+        ), cand AS (
+            SELECT vec_id, emb, rel FROM (
+                SELECT vec_id, emb, rel,
+                       ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rnk
+                FROM scored
+            ) WHERE rnk <= {n_candidates}
+        ), s1 AS (
+            SELECT vec_id, emb, rel, 1 AS mmr_rank, {lam} * rel AS mmr_score
+            FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+        ), r2 AS (
+            SELECT c.vec_id, c.emb, c.rel,
+                   {lam} * c.rel - {mu} * (
+                       SELECT MAX({cos_s1}) FROM s1 s
+                   ) AS mmr_score
+            FROM cand c
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+        ), s2 AS (
+            SELECT vec_id, emb, rel, 2 AS mmr_rank, mmr_score
+            FROM r2 ORDER BY mmr_score DESC, vec_id LIMIT 1
+        ), r3 AS (
+            SELECT c.vec_id, c.emb, c.rel,
+                   {lam} * c.rel - {mu} * GREATEST(
+                       (SELECT MAX({cos_s1}) FROM s1 s),
+                       (SELECT MAX({cos_s1}) FROM s2 s)
+                   ) AS mmr_score
+            FROM cand c
+            WHERE c.vec_id NOT IN (
+                SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+            )
+        ), s3 AS (
+            SELECT vec_id, emb, rel, 3 AS mmr_rank, mmr_score
+            FROM r3 ORDER BY mmr_score DESC, vec_id LIMIT 1
+        )
+        SELECT CAST(mmr_rank AS INTEGER) AS mmr_rank, vec_id, rel, mmr_score
+        FROM (
+            SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        )
+        ORDER BY mmr_rank
+    """

@@ -50,6 +50,8 @@ GATE_PRIORITY = [
     "join_runtime_bloom_pruned",
     "quality_classifier_linear",
     "sample_importance_dsir",
+    "events_seasonal_hourly",
+    "rank_mmr_diverse",
     "copy_partitioned_publish",
     "stream_stream_join_attribution",
     "catalog_compact_publish",
@@ -94,8 +96,6 @@ GATE_PRIORITY = [
     "agg_approx_count_distinct",
     "tpch_q6_forecast_revenue",
     "tpch_q4_order_priority",
-    "tpch_q10_returned_items",
-    "tpch_q12_conditional_agg",
 ]
 
 GATE_WINDOW = 50
@@ -117,6 +117,8 @@ GATE_WINDOW = 50
 # (computed from CORRECTNESS_r01-r10 — the remaining r7 block first,
 # then the oldest r8 rows), ties by registration order.
 NEXT_WINDOW_QUEUE = [
+    "tpch_q10_returned_items",
+    "tpch_q12_conditional_agg",
     "tpch_q14_promo_ratio",
     "window_percent_cume",
     "window_moving_avg",

@@ -239,6 +239,21 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("rnk", F.col("rnk").cast("int"))
 
 
+@query("rank_mmr_diverse", oracle=similarity.mmr_rerank_sql("embeddings"))
+def rank_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
+    1998) — the post-retrieval diversity pass: greedy
+    λ·rel − (1−λ)·max-sim-to-selected selection over the brute-force
+    top-12 candidates for query vector 0, k=3, λ=0.7. The corpus-sized
+    work is exactly the ann_bruteforce plan (broadcast query, no corpus
+    shuffle, WindowGroupLimit); the greedy rounds touch only the ≤12-row
+    candidate set and never the driver. Cosines are fixed-order folds, so
+    the unrolled DuckDB CTE chain reproduces every score bit-for-bit
+    (operators/similarity.py:mmr_rerank)."""
+    t = Tables(spark, sf_dir)
+    return similarity.mmr_rerank(t.embeddings)
+
+
 def _ann_lsh_oracle() -> str:
     band_selects = "\n        UNION ALL\n        ".join(
         f"SELECT vec_id, embedding, {b} AS band, {similarity.band_key_sql('embedding', b)} AS bkey FROM embeddings"
@@ -1583,6 +1598,122 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
         .orderBy("user_id")
+    )
+
+
+@query(
+    "events_seasonal_hourly",
+    oracle="""
+        WITH slotted AS (
+            SELECT event_type,
+                   CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hod,
+                   event_id, value
+            FROM events
+        ), ranked AS (
+            SELECT event_type, hod, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, hod
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type, hod) AS n
+            FROM slotted
+        ), with_med AS (
+            SELECT event_type, hod, event_id, value, n,
+                   MAX(CASE WHEN rn = (n + 1) // 2 THEN value END)
+                       OVER (PARTITION BY event_type, hod) AS med
+            FROM ranked
+        ), devs AS (
+            SELECT event_type, hod, value, n, med, ABS(value - med) AS dev,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, hod
+                                      ORDER BY ABS(value - med), event_id) AS drn
+            FROM with_med
+        ), with_mad AS (
+            SELECT event_type, hod, value, n, med, dev,
+                   MAX(CASE WHEN drn = (n + 1) // 2 THEN dev END)
+                       OVER (PARTITION BY event_type, hod) AS mad
+            FROM devs
+        )
+        SELECT event_type, hod,
+               CAST(MAX(n) AS BIGINT) AS n_events,
+               MAX(med) AS med, MAX(mad) AS mad,
+               CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers
+        FROM with_mad
+        GROUP BY event_type, hod
+        ORDER BY event_type, hod
+    """,
+)
+def events_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) robust anomaly baseline — the
+    deseasonalized upgrade of events_anomaly_mad: a metric that is
+    normally high at 14:00 must not be flagged just for being higher
+    than the 03:00 trough, so the median/MAD baseline is computed PER
+    (event_type, hour-of-day) slot and deviations are measured against
+    the slot's own baseline. Rank-based lower medians (row_number
+    selection, no interpolation — cross-engine lerp is last-ulp
+    ambiguous); all three window passes key on the same
+    (event_type, hod) so the exchange is reused; output is
+    O(types x 24) regardless of event volume."""
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    slotted = t.events.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        "event_id",
+        "value",
+    )
+    w_rank = Window.partitionBy("event_type", "hod").orderBy("value", "event_id")
+    w_slot = Window.partitionBy("event_type", "hod")
+    ranked = slotted.select(
+        "event_type",
+        "hod",
+        "event_id",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_slot).alias("n"),
+    )
+    with_med = ranked.select(
+        "event_type",
+        "hod",
+        "event_id",
+        "value",
+        "n",
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value")))
+        .over(w_slot)
+        .alias("med"),
+    )
+    dev = F.abs(F.col("value") - F.col("med"))
+    w_dev = Window.partitionBy("event_type", "hod").orderBy(dev, "event_id")
+    devs = with_med.select(
+        "event_type",
+        "hod",
+        "value",
+        "n",
+        "med",
+        dev.alias("dev"),
+        F.row_number().over(w_dev).alias("drn"),
+    )
+    with_mad = devs.select(
+        "event_type",
+        "hod",
+        "value",
+        "n",
+        "med",
+        "dev",
+        F.max(F.when(F.col("drn") == F.expr("(n + 1) div 2"), F.col("dev")))
+        .over(w_slot)
+        .alias("mad"),
+    )
+    return (
+        with_mad.groupBy("event_type", "hod")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type", "hod")
     )
 
 

@@ -197,3 +197,69 @@ def test_triangle_counts_no_triangles_is_empty(spark):
         [(1, 2, 1), (2, 3, 1), (3, 4, 1)], "src bigint, dst bigint, weight bigint"
     )
     assert graph.triangle_counts(edges).count() == 0
+
+
+def test_seasonal_hourly_median_mad_hand_computed(spark):
+    """Hour 0 values [1,2,100]: lower median 2, deviations [1,0,98] ->
+    MAD 1, one 3*MAD outlier. Hour 1 single value: MAD 0, no outlier."""
+    from mssql2monetdb_spark.queries.extensions import events_seasonal_hourly
+    import tempfile, os
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 5), 10, "click", 1.0, None),
+        (2, datetime(2024, 1, 1, 0, 15), 11, "click", 2.0, None),
+        (3, datetime(2024, 1, 2, 0, 25), 12, "click", 100.0, None),
+        (4, datetime(2024, 1, 1, 1, 5), 13, "click", 5.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    base = tempfile.mkdtemp(prefix="seasonal_test_")
+    for name in ("events",):
+        df.write.mode("overwrite").parquet(os.path.join(base, f"{name}.parquet"))
+    out = {
+        (r["event_type"], r["hod"]): r
+        for r in events_seasonal_hourly(spark, base).collect()
+    }
+    h0 = out[("click", 0)]
+    assert h0["n_events"] == 3 and h0["med"] == 2.0 and h0["mad"] == 1.0
+    assert h0["n_outliers"] == 1
+    h1 = out[("click", 1)]
+    assert h1["n_events"] == 1 and h1["mad"] == 0.0 and h1["n_outliers"] == 0
+
+
+def test_mmr_rerank_prefers_diverse_over_neardup(spark):
+    """Rank 2 must skip the near-duplicate of the rank-1 pick in favor of
+    a less-relevant but diverse candidate; scores match an independent
+    Python MMR reimplementation."""
+    import math
+
+    q = [1.0, 0.0, 0.0]
+    a = [0.95, 0.312, 0.0]          # top relevance
+    b = [0.949, 0.315, 0.0]         # near-dup of a
+    c = [0.9, -0.436, 0.0]          # diverse
+    rows = [(0, q, 0), (1, a, 0), (2, b, 0), (3, c, 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = similarity.mmr_rerank(df, n_candidates=3, k=3)
+    got = [(r["mmr_rank"], r["vec_id"]) for r in out.collect()]
+
+    def cos(u, v):
+        # mirror the float32 storage the operator reads
+        import struct
+        u = [struct.unpack("f", struct.pack("f", x))[0] for x in u]
+        v = [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        dot = sum(x * y for x, y in zip(u, v))
+        return dot / (math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(x * x for x in v)))
+
+    rel = {1: cos(a, q), 2: cos(b, q), 3: cos(c, q)}
+    assert max(rel, key=rel.get) == 1  # a is rank 1
+    s2 = {
+        i: 0.7 * rel[i] - 0.3 * cos({2: b, 3: c}[i], a) for i in (2, 3)
+    }
+    expected_second = max(s2, key=s2.get)
+    assert expected_second == 3  # the diverse one
+    assert got == [(1, 1), (2, 3), (3, 2)]
