@@ -340,6 +340,78 @@ def main() -> int:
         print(json.dumps(report))
         return 0
 
+    if "--tri-hub" in sys.argv:
+        # Hub-skew axis for triangle counting: the degree-ordered
+        # orientation's whole reason to exist. A star hub of degree D
+        # generates D^2 wedges under the NAIVE shared-endpoint join (both
+        # directions through the hub) but ZERO oriented wedges (every hub
+        # edge points INTO the max-degree hub, so its oriented out-degree
+        # is 0) — the quadratic vs O(m^1.5) gap. The naive arm is priced
+        # only at small D (its cost IS the point: 20k spokes -> 4x10^8
+        # wedges); the oriented arm runs to D=10^6 flat.
+        from mssql2monetdb_spark.operators import graph
+
+        def hub_graph(d: int):
+            spokes = spark.range(d).select(
+                (F.col("id") + 3).alias("src"),
+                F.lit(0).cast("bigint").alias("dst"),
+                F.lit(1).cast("bigint").alias("weight"),
+            )
+            tri = spark.createDataFrame(
+                [(0, 1, 1), (0, 2, 1), (1, 2, 1)],
+                "src bigint, dst bigint, weight bigint",
+            )
+            return spokes.unionAll(tri)
+
+        def naive_triangles(edges):
+            und = (
+                edges.select(
+                    F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"),
+                )
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            sym = und.unionAll(
+                und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            e1 = sym.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            e2 = sym.select(F.col("a").alias("y"), F.col("b").alias("z"))
+            wedges = e1.join(e2, "y").filter(F.col("x") < F.col("z"))
+            closing = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+            tris = wedges.join(closing, ["x", "z"])
+            # every triangle found once per mid-vertex = 3x; normalize
+            return tris.groupBy().agg((F.count(F.lit(1)) / 3).alias("n"))
+
+        report = {"mode": "tri-hub"}
+        for d in (5_000, 20_000):
+            edges = hub_graph(d)
+            start = time.perf_counter()
+            naive_triangles(edges).write.mode("overwrite").format("noop").save()
+            t_naive = round(time.perf_counter() - start, 3)
+            start = time.perf_counter()
+            graph.triangle_counts(edges).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            t_oriented = round(time.perf_counter() - start, 3)
+            report[f"D_{d}"] = {
+                "naive_wedge_join": t_naive,
+                "oriented": t_oriented,
+                "speedup": round(t_naive / max(t_oriented, 1e-9), 2),
+            }
+        for d in (100_000, 1_000_000):
+            edges = hub_graph(d)
+            start = time.perf_counter()
+            graph.triangle_counts(edges).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            report[f"D_{d}"] = {
+                "oriented": round(time.perf_counter() - start, 3),
+                "naive_wedge_join": "skipped (D^2 wedges)",
+            }
+        print(json.dumps(report))
+        return 0
+
     if "--hub" in sys.argv:
         # Hub-skew axis for the PageRank fold (round-11 verdict item 1):
         # the replica-based 10x/312x probes multiply NODE COUNT while
