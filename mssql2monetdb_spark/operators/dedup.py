@@ -713,3 +713,233 @@ def setsim_prefix_pairs(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- record linkage (two-source entity resolution) ---------------------------
+
+ER_SALT = "ern1"
+ER_MAX_EDIT = 1
+
+
+def record_linkage_blocked(
+    customers: DataFrame, *, max_edit: int = ER_MAX_EDIT
+) -> DataFrame:
+    """Two-source record linkage with blocking — the entity-resolution
+    shape (Fellegi–Sunter pipeline skeleton): source B is a
+    deterministically perturbed clone of the customer file (one of three
+    md5-chosen single-edit corruptions per record: '#'→'-', an appended
+    char, or clean), candidate pairs are generated ONLY within
+    ``(nation, market segment)`` blocks, scored by edit distance, and
+    resolved to each A-record's best B-match (lowest distance, ties by
+    key).
+
+    Scale shape: blocking turns the O(|A|·|B|) all-pairs comparison into
+    Σ_b |A_b|·|B_b| — the candidate join is a plain equi-join on the
+    block key, so AQE's skew split handles a hot block, and a production
+    deployment refines the key (phonetic code, name prefix, sorted
+    neighborhood) to keep blocks bounded. Best-match resolution is a
+    WindowGroupLimit per A-key, never a global sort. The
+    ``matched_same_entity`` flag records linkage PRECISION (a 1-edit
+    rule inside coarse blocks links some wrong neighbors — visible,
+    measured, and exactly why real pipelines score with more than one
+    attribute).
+    """
+    variant = F.pmod(
+        hashing.md5_int32(
+            F.concat(F.col("c_custkey").cast("string"), F.lit("|" + ER_SALT))
+        ),
+        F.lit(3),
+    )
+    b_name = (
+        F.when(variant == 0, F.regexp_replace(F.col("c_name"), "#", "-"))
+        .when(variant == 1, F.concat(F.col("c_name"), F.lit("x")))
+        .otherwise(F.col("c_name"))
+    )
+    b = customers.select(
+        F.col("c_custkey").alias("b_key"),
+        b_name.alias("b_name"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    a = parallelized(customers).select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    scored = (
+        a.join(b, ["c_nationkey", "c_mktsegment"])
+        .withColumn("edit_dist", F.levenshtein("a_name", "b_name").cast("int"))
+        .filter(F.col("edit_dist") <= max_edit)
+    )
+    w = Window.partitionBy("a_key").orderBy("edit_dist", "b_key")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "a_key",
+            "b_key",
+            "edit_dist",
+            (F.col("a_key") == F.col("b_key")).alias("matched_same_entity"),
+        )
+    )
+
+
+def record_linkage_blocked_sql(table: str, *, max_edit: int = ER_MAX_EDIT) -> str:
+    """DuckDB query matching :func:`record_linkage_blocked`."""
+    variant = (
+        hashing.md5_int32_sql(f"CAST(c_custkey AS VARCHAR) || '|{ER_SALT}'") + " % 3"
+    )
+    return f"""
+        WITH b AS (
+            SELECT c_custkey AS b_key,
+                   CASE ({variant})
+                        WHEN 0 THEN replace(c_name, '#', '-')
+                        WHEN 1 THEN c_name || 'x'
+                        ELSE c_name END AS b_name,
+                   c_nationkey, c_mktsegment
+            FROM {table}
+        ), a AS (
+            SELECT c_custkey AS a_key, c_name AS a_name,
+                   c_nationkey, c_mktsegment
+            FROM {table}
+        ), scored AS (
+            SELECT a_key, b_key,
+                   CAST(levenshtein(a_name, b_name) AS INTEGER) AS edit_dist
+            FROM a JOIN b USING (c_nationkey, c_mktsegment)
+            WHERE levenshtein(a_name, b_name) <= {max_edit}
+        )
+        SELECT a_key, b_key, edit_dist, a_key = b_key AS matched_same_entity
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY a_key
+                                         ORDER BY edit_dist, b_key) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """
+
+
+# --- winnowing fingerprints (MOSS) -------------------------------------------
+
+WINNOW_K = 16  # char k-gram length
+WINNOW_W = 8  # winnowing window (guarantee: shares >= w+k-1 chars detected)
+WINNOW_DF_CAP = 10  # fingerprints in more docs than this are boilerplate
+WINNOW_MIN_SHARED = 5  # doc pairs sharing fewer fingerprints are noise
+
+
+def winnow_fingerprint_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    df_cap: int = WINNOW_DF_CAP,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm) -> shared-fingerprint near-dup pairs: character
+    k-gram hashes, the minimum hash selected per sliding window of w
+    (density <= 2/(w+1), with the GUARANTEE that any shared substring of
+    >= w+k-1 chars yields a shared fingerprint), then doc pairs counted
+    by shared selected fingerprints.
+
+    Scale shape: gram/window selection is per-row array work (map-only);
+    the pair generation is the inverted-posting self-join on fingerprint
+    — df-pruned first (a fingerprint appearing in > df_cap docs is
+    boilerplate and generates df² pairs; dropping it is both a quality
+    and a skew decision, same discipline as ngram-Jaccard), so no hot
+    fingerprint can funnel the corpus through one reducer. All-integer
+    hashes — trivially hash-stable cross-engine.
+    """
+    normed = parallelized(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "").alias("__n"),
+    )
+    base = normed.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(length(__n) - {k - 1}, 0)),"
+            f" i -> cast(conv(substring(md5(substring(__n, i, {k})), 1, 8),"
+            f" 16, 10) as bigint))"
+        ).alias("__h"),
+    )
+    # Winnow RELATIONALLY (posexplode + frame-min window), not with an
+    # array-lambda slice/min: Catalyst's CollapseProject would inline the
+    # whole gram-hash transform into EVERY windowed reference of __h,
+    # recomputing the n-gram md5 array once per window position — the
+    # O(n²)-md5 trap (caught live: 500 docs -> minutes). The generator
+    # node is an inlining barrier, the hash array is evaluated exactly
+    # once per doc, and the frame-min is one keyed window pass.
+    rows = base.select("doc_id", F.posexplode("__h").alias("pos", "h"))
+    w_doc = Window.partitionBy("doc_id")
+    w_frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel_rows = (
+        rows.withColumn("n", F.count(F.lit(1)).over(w_doc))
+        .withColumn("wmin", F.min("h").over(w_frame))
+        .filter(
+            (F.col("pos") <= F.col("n") - w)
+            | ((F.col("n") < w) & (F.col("pos") == 0))
+        )
+    )
+    postings = sel_rows.select("doc_id", F.col("wmin").alias("fp")).distinct()
+    df_ok = (
+        postings.groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
+        .select("fp")
+    )
+    pruned = postings.join(df_ok, "fp")
+    left = pruned.select(F.col("doc_id").alias("doc_a"), "fp")
+    right = pruned.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        left.join(right, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_fingerprint_pairs_sql(
+    table: str,
+    *,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    df_cap: int = WINNOW_DF_CAP,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> str:
+    """DuckDB query matching :func:`winnow_fingerprint_pairs`."""
+    norm = f"regexp_replace(lower({text_expr}), '[^a-z0-9]', '', 'g')"
+    gram_hash = hashing.md5_int32_sql(f"substring(n, i, {k})")
+    return f"""
+        WITH base AS (
+            SELECT {id_expr} AS doc_id,
+                   list_transform(
+                       generate_series(1, greatest(length(n) - {k - 1}, 0)),
+                       i -> CAST({gram_hash} AS BIGINT)) AS h
+            FROM (SELECT {id_expr}, {norm} AS n FROM {table})
+        ), sel AS (
+            SELECT doc_id,
+                   list_distinct(CASE
+                       WHEN len(h) >= {w} THEN list_transform(
+                           generate_series(1, len(h) - {w - 1}),
+                           j -> list_min(h[j:j+{w - 1}]))
+                       WHEN len(h) >= 1 THEN [list_min(h)]
+                       ELSE [] END) AS fps
+            FROM base
+        ), postings AS (
+            SELECT doc_id, unnest(fps) AS fp FROM sel
+        ), df_ok AS (
+            SELECT fp FROM postings GROUP BY fp
+            HAVING COUNT(*) >= 2 AND COUNT(*) <= {df_cap}
+        ), pruned AS (
+            SELECT doc_id, fp FROM postings JOIN df_ok USING (fp)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {min_shared}
+    """

@@ -52,6 +52,8 @@ GATE_PRIORITY = [
     "sample_importance_dsir",
     "events_seasonal_hourly",
     "rank_mmr_diverse",
+    "er_record_linkage",
+    "dedup_winnow_fingerprints",
     "copy_partitioned_publish",
     "stream_stream_join_attribution",
     "catalog_compact_publish",
@@ -94,8 +96,6 @@ GATE_PRIORITY = [
     "join_anti",
     "agg_tpch_q1",
     "agg_approx_count_distinct",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_order_priority",
 ]
 
 GATE_WINDOW = 50
@@ -117,6 +117,8 @@ GATE_WINDOW = 50
 # (computed from CORRECTNESS_r01-r10 — the remaining r7 block first,
 # then the oldest r8 rows), ties by registration order.
 NEXT_WINDOW_QUEUE = [
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority",
     "tpch_q10_returned_items",
     "tpch_q12_conditional_agg",
     "tpch_q14_promo_ratio",

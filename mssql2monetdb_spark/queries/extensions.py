@@ -35,6 +35,49 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(t.documents).orderBy("content_hash")
 
 
+# 25 near-dup pairs at sf0.01 (measured) — the same clone families the
+# minhash/setsim gates find, via an independent algorithm.
+@query(
+    "dedup_winnow_fingerprints",
+    oracle=dedup.winnow_fingerprint_pairs_sql("documents")
+    + " ORDER BY doc_a, doc_b",
+)
+def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    plagiarism detector): char-16-gram hashes, minimum selected per
+    sliding window of 8 (any shared substring of >= 23 chars is
+    GUARANTEED to yield a shared fingerprint), doc pairs scored by
+    shared-fingerprint count. Spark winnows RELATIONALLY — posexplode +
+    one frame-min window pass — because the array-lambda formulation
+    tempts CollapseProject into inlining the gram-hash transform per
+    window position (the O(n²)-md5 trap, caught live); the posting
+    self-join is df-pruned so no boilerplate fingerprint funnels df²
+    pairs through one reducer (operators/dedup.py:winnow_fingerprint_pairs)."""
+    t = Tables(spark, sf_dir)
+    return dedup.winnow_fingerprint_pairs(t.documents).orderBy("doc_a", "doc_b")
+
+
+# 1461/1500 best-matches link the true entity at sf0.01 (measured 97.4%
+# precision) — both flag outcomes carry real rows.
+@query(
+    "er_record_linkage",
+    oracle=dedup.record_linkage_blocked_sql("customer") + " ORDER BY a_key",
+)
+def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source record linkage with blocking (the Fellegi-Sunter
+    entity-resolution skeleton): a deterministically single-edit-corrupted
+    clone of the customer file is linked back through
+    (nation, mktsegment) blocks + edit-distance scoring + per-record
+    best-match resolution. Blocking turns all-pairs O(|A|x|B|) into
+    per-block products (equi-join on the block key, AQE-splittable);
+    best-match is a WindowGroupLimit. The matched_same_entity flag
+    measures linkage precision of the 1-edit rule — deliberately
+    imperfect, exactly like production coarse blocking
+    (operators/dedup.py:record_linkage_blocked)."""
+    t = Tables(spark, sf_dir)
+    return dedup.record_linkage_blocked(t.customer).orderBy("a_key")
+
+
 def _minhash_oracle(shingle_n: int, threshold: float) -> str:
     tok = text.tokens_sql("text")
     sh = text.word_shingles_sql("tok", shingle_n)

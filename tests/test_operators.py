@@ -1554,3 +1554,66 @@ def test_importance_resample_extremes_kept_and_dropped(spark):
     assert 2 in out and out[2]["accept_scaled"] == corpus_prep.DSIR_SCALE
     if 1 in out:
         assert out[1]["accept_scaled"] == 0
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def test_record_linkage_best_match_hand_computed(spark):
+    """Perturbations recomputed independently via hashlib + a tiny DP
+    Levenshtein; every A-record must link its true perturbed clone at the
+    known edit distance (distinct names per block -> no confusable
+    neighbors)."""
+    from mssql2monetdb_spark.operators import dedup
+
+    rows = [
+        (1, "alpha#one", 1, 10.0, "SEG"),
+        (2, "bravo#two", 1, 20.0, "SEG"),
+        (3, "charlie#three", 2, 30.0, "SEG"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    out = {r["a_key"]: r for r in dedup.record_linkage_blocked(df).collect()}
+
+    def variant(key: int, name: str) -> str:
+        v = _md5_int32(f"{key}|" + dedup.ER_SALT) % 3
+        return name.replace("#", "-") if v == 0 else name + "x" if v == 1 else name
+
+    for key, name, *_ in rows:
+        expected = _lev(name, variant(key, name))
+        assert expected <= 1
+        assert out[key]["b_key"] == key
+        assert out[key]["edit_dist"] == expected
+        assert out[key]["matched_same_entity"]
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Two docs sharing a substring longer than w+k-1 chars MUST share a
+    selected fingerprint (the winnowing guarantee); disjoint docs share
+    none; a doc shorter than k yields no fingerprints."""
+    from mssql2monetdb_spark.operators import dedup
+
+    shared = "thequickbrownfoxjumpsoverthelazydogagain"  # 40 chars, > 23
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " left tail entirely unlike the other"),
+            (2, "different preamble material here " + shared),
+            (3, "zz"),  # < k chars after normalization
+            (4, "completely unrelated content with no overlap at all xyzw"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = dedup.winnow_fingerprint_pairs(docs, min_shared=1).collect()
+    keys = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in keys
+    assert all(3 not in p for p in keys)
+    assert all(4 not in p for p in keys)
