@@ -76,6 +76,13 @@ QUERIES = [
     # exact prefix-filter join: candidates only within a replica (salted
     # shingle spaces are disjoint), so factor-N scales organic density Nx
     "dedup_setsim_exact",
+    # round-11 continuation additions: classifier/DSIR are the map-only
+    # controls (exponent ~= data growth); winnowing's posting join gets
+    # disjoint per-replica fingerprint spaces from the affine salting, so
+    # factor-N is its organic-density worst case
+    "quality_classifier_linear",
+    "sample_importance_dsir",
+    "dedup_winnow_fingerprints",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
