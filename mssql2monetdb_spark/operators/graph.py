@@ -372,3 +372,103 @@ def triangle_counts_sql(edges_cte: str) -> str:
             UNION ALL SELECT z FROM tris
         )
     """
+
+
+KCORE_CHECKPOINT_EVERY = 5  # truncate edge lineage every N peel rounds
+
+
+def k_core(edges: DataFrame, k: int, *, max_rounds: int = 30) -> DataFrame:
+    """The k-core of the undirected graph: the maximal subgraph where every
+    node has degree >= k, computed by iterative peeling (drop nodes with
+    degree < k, repeat until fixpoint) — the standard dense-subgraph /
+    influence-zone primitive.
+
+    Scale shape: each peel round is one map-side-combined degree
+    aggregate, one low-degree filter, and two anti-joins dropping incident
+    edges — all keyed on node id, nothing pairwise. Converges in
+    O(peel depth) rounds; a fixpoint check (``low.isEmpty()``, a scalar
+    control-plane probe like connected_components' change count) exits
+    early, ``max_rounds`` is the runaway guard that fails LOUDLY (a
+    truncated peel returns a SUPERSET of the k-core — silently wrong),
+    and the surviving edge frame is ``localCheckpoint``-ed every
+    ``KCORE_CHECKPOINT_EVERY`` rounds against geometric lineage growth.
+    Returns ``(node, core_degree)`` for the surviving nodes.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        )
+
+    for i in range(max_rounds):
+        deg = degrees(und)
+        low = deg.filter(F.col("deg") < k).select("node")
+        if low.isEmpty():
+            return deg.select("node", F.col("deg").alias("core_degree"))
+        und = und.join(
+            low.select(F.col("node").alias("a")), "a", "left_anti"
+        ).join(low.select(F.col("node").alias("b")), "b", "left_anti")
+        if (i + 1) % KCORE_CHECKPOINT_EVERY == 0:
+            und = und.localCheckpoint()
+    raise RuntimeError(
+        f"k_core did not reach a fixpoint in max_rounds={max_rounds} peel "
+        "rounds — a truncated peel is a SUPERSET of the k-core; raise "
+        "max_rounds for deep-onion graphs"
+    )
+
+
+def label_propagation(edges: DataFrame, *, iterations: int = 4) -> DataFrame:
+    """Deterministic community detection by label propagation: every node
+    repeatedly adopts the most frequent label among its neighbors, ties
+    broken by the SMALLEST label — the determinism policy that replaces
+    the algorithm's classic random tie-break (and random visit order), so
+    results are reproducible across runs, partitionings, and engines.
+
+    Scale shape: each round is one keyed join (edges ⋈ labels on the
+    neighbor id), one (node, label) count aggregate (map-side combined),
+    and one per-node argmax via WindowGroupLimit — all shuffle-keyed on
+    node id; a hub node costs a wide aggregate group, never a collected
+    array. Fixed ``iterations`` (semi-synchronous LPA converges in a few
+    rounds on community-structured graphs; it may oscillate on bipartite
+    structures, which a fixed round count also bounds). Returns
+    ``(node, community)``.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("community")
+        )
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("community").asc()
+    )
+    for i in range(iterations):
+        msgs = sym.join(
+            labels.select(F.col("node").alias("dst"), "community"), "dst"
+        ).select(F.col("src").alias("node"), "community")
+        counts = msgs.groupBy("node", "community").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "community")
+        )
+        if (i + 1) % KCORE_CHECKPOINT_EVERY == 0:
+            labels = labels.localCheckpoint()
+    return labels

@@ -263,3 +263,31 @@ def test_mmr_rerank_prefers_diverse_over_neardup(spark):
     expected_second = max(s2, key=s2.get)
     assert expected_second == 3  # the diverse one
     assert got == [(1, 1), (2, 3), (3, 2)]
+
+
+def test_k_core_peels_tendrils(spark):
+    """K4 {1,2,3,4} with a pendant chain 4-5-6: the 2-core peels 6 then 5,
+    keeping exactly the K4 (every survivor at degree 3); the 4-core is
+    empty (K4 max degree is 3) and must terminate via fixpoint, not the
+    runaway guard."""
+    k4 = [(a, b, 1) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5, 1), (5, 6, 1)], "src bigint, dst bigint, weight bigint"
+    )
+    core2 = {r["node"]: r["core_degree"] for r in graph.k_core(edges, 2).collect()}
+    assert core2 == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert graph.k_core(edges, 4).count() == 0
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: labels converge to each
+    clique's minimum id; the bridge does not merge the communities
+    (each bridge endpoint has 3 in-clique neighbors vs 1 across)."""
+    c1 = [(a, b, 1) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    c2 = [(a, b, 1) for a in (11, 12, 13, 14) for b in (11, 12, 13, 14) if a < b]
+    edges = spark.createDataFrame(
+        c1 + c2 + [(4, 11, 1)], "src bigint, dst bigint, weight bigint"
+    )
+    got = {r["node"]: r["community"] for r in graph.label_propagation(edges).collect()}
+    assert all(got[n] == 1 for n in (1, 2, 3, 4))
+    assert all(got[n] == 11 for n in (11, 12, 13, 14))
