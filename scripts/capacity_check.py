@@ -347,6 +347,53 @@ def main() -> int:
         print(json.dumps(report))
         return 0
 
+    if "--bloom" in sys.argv:
+        # A/B for the runtime bloom-filter join (join_runtime_bloom_pruned's
+        # scale claim): identical shuffle join of lineitem against the
+        # selective urgent-orders dimension at sf0.1, bloom OFF vs ON,
+        # measured by per-arm shuffle-write delta and wall clock. The ON
+        # arm should shuffle ~priority-selectivity of the fact side (~1/5)
+        # plus the filter's own one-row exchange.
+        t_li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+        t_or = spark.read.parquet(f"{SF01}/orders.parquet")
+
+        def bloom_join():
+            dim = t_or.filter(F.col("o_orderpriority") == "1-URGENT").select(
+                "o_orderkey"
+            )
+            return (
+                t_li.join(dim, t_li["l_orderkey"] == dim["o_orderkey"])
+                .groupBy("l_returnflag")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            )
+
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        }
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        report = {"mode": "bloom", "sf": 0.1}
+        bloom_join().write.mode("overwrite").format("noop").save()  # warmup
+        for label, enabled in (("bloom_off", "false"), ("bloom_on", "true")):
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled", enabled
+            )
+            before = shuffle_bytes(spark) or 0
+            start = time.perf_counter()
+            bloom_join().write.mode("overwrite").format("noop").save()
+            report[label] = {
+                "wall_sec": round(time.perf_counter() - start, 3),
+                "shuffle_bytes": (shuffle_bytes(spark) or 0) - before,
+            }
+        off, on = report["bloom_off"], report["bloom_on"]
+        if off["shuffle_bytes"] and on["shuffle_bytes"]:
+            report["shuffle_reduction"] = round(
+                1 - on["shuffle_bytes"] / off["shuffle_bytes"], 3
+            )
+        print(json.dumps(report))
+        return 0
+
     if "--tri-hub" in sys.argv:
         # Hub-skew axis for triangle counting: the degree-ordered
         # orientation's whole reason to exist. A star hub of degree D
