@@ -70,6 +70,11 @@ def parallelized(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     this is a no-op — the check is on the actual scan partitioning, so the
     extra shuffle is never paid when the source is properly split.
     """
+    if df.isStreaming:
+        # streaming frames can't be partition-probed (.rdd forces a batch
+        # plan) and micro-batch sizing is the scheduler's job — pass
+        # through so per-row operators compose as streaming stages
+        return df
     min_p = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min_p:
         return df.repartition(min_p)

@@ -1162,3 +1162,32 @@ def test_manifest_to_link_mode_switch_materializes_refs(spark, tmp_path):
     expected = _latest_per_user(spark)
     expected[delta_uid] = delta_eid
     assert got == expected
+
+
+def test_stream_quality_classifier_matches_batch(spark, tmp_path, tmp_path_factory):
+    """The hashed linear quality classifier is a pure per-row projection, so
+    it composes directly as a Structured Streaming stage: an availableNow
+    drain of the documents corpus through linear_classifier_scores equals
+    the batch result exactly — the shape of a streaming ingest-time
+    quality filter (score on arrival, route keeps/rejects downstream)."""
+    from mssql2monetdb_spark.operators import ranking
+
+    src = tmp_path_factory.mktemp("docs_stream")
+    docs = load_table(spark, SF, "documents")
+    docs.coalesce(2).write.mode("overwrite").parquet(str(src / "in"))
+    stream_docs = (
+        spark.readStream.schema(docs.schema).parquet(str(src / "in"))
+    )
+    scored = ranking.linear_classifier_scores(stream_docs)
+    run_available_now(
+        scored, str(tmp_path / "ckpt_clf"), "stream_clf", output_mode="append"
+    )
+    streamed = {
+        (r["doc_id"], r["n_features"], r["score_sum"], r["keep"])
+        for r in spark.table("stream_clf").collect()
+    }
+    batch = {
+        (r["doc_id"], r["n_features"], r["score_sum"], r["keep"])
+        for r in ranking.linear_classifier_scores(docs).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
