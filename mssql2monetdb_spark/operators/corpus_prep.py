@@ -1420,3 +1420,52 @@ def importance_resample_sql(
                                     // (max_imp - min_imp)
                                ELSE {DSIR_SCALE // 2} END
     """
+
+
+# --- weighted sampling without replacement (A-ES) ----------------------------
+
+AES_SALT = "aes1"
+
+
+def weighted_sample_topk(
+    docs: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = AES_SALT,
+) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis 2006, algorithm A-ES): each row draws a
+    deterministic uniform u from a salted md5 of its id and scores
+    ``u^(1/w)``; the k largest keys are exactly a weight-proportional
+    without-replacement sample. The md5-derived u makes the sample
+    reproducible across runs, partitionings, and retries — no ``rand()``,
+    no seed-per-partition drift.
+
+    Scale shape: one map-side projection + a TakeOrdered top-k — no
+    shuffle of the corpus, driver receives k rows' worth of keys only
+    (inside the engine as a reduction, not a collect). This is the
+    one-pass distributed form of weighted reservoir sampling. pow() keeps
+    this utility OUTSIDE the oracle-gated registry (libm last-ulp
+    variance — the no-libm discipline); correctness is pinned by the
+    pytest distribution test instead.
+
+    Rows with non-positive weight are excluded (A-ES precondition).
+    """
+    u = (
+        F.pmod(
+            hashing.md5_int32(
+                F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))
+            ),
+            F.lit(1 << 30),
+        ).cast("double")
+        + 0.5
+    ) / float(1 << 30)
+    key = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .withColumn("aes_key", key)
+        .orderBy(F.col("aes_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1617,3 +1617,41 @@ def test_winnow_shared_substring_guarantee(spark):
     assert (1, 2) in keys
     assert all(3 not in p for p in keys)
     assert all(4 not in p for p in keys)
+
+
+def test_weighted_sample_topk_is_weight_proportional(spark):
+    """A-ES sanity: over many disjoint salts, items with weight 9 must be
+    selected ~9x as often as weight-1 items (binomial bounds are loose on
+    purpose); zero/negative weights are never selected; the sample is
+    exactly k rows and reproducible."""
+    from mssql2monetdb_spark.operators import corpus_prep
+
+    rows = [(i, 9.0 if i < 10 else 1.0) for i in range(110)] + [
+        (900, 0.0),
+        (901, -3.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    first = [
+        r["doc_id"]
+        for r in corpus_prep.weighted_sample_topk(df, 5, weight_col="w").collect()
+    ]
+    again = [
+        r["doc_id"]
+        for r in corpus_prep.weighted_sample_topk(df, 5, weight_col="w").collect()
+    ]
+    assert first == again and len(first) == 5
+    assert not {900, 901} & set(first)
+
+    heavy_hits = total = 0
+    for trial in range(40):
+        sel = corpus_prep.weighted_sample_topk(
+            df, 5, weight_col="w", salt=f"t{trial}"
+        ).collect()
+        ids = [r["doc_id"] for r in sel]
+        assert not {900, 901} & set(ids)
+        heavy_hits += sum(1 for i in ids if i < 10)
+        total += len(ids)
+    # heavy items: 10 of 110 positive-weight rows but 90/190 of the mass;
+    # expect ~47% of picks, binomial(200, .47) 3-sigma ~ [0.36, 0.58]
+    share = heavy_hits / total
+    assert 0.30 < share < 0.65, share
