@@ -851,34 +851,57 @@ def winnow_fingerprint_pairs(
     fingerprint can funnel the corpus through one reducer. All-integer
     hashes — trivially hash-stable cross-engine.
     """
-    normed = parallelized(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "").alias("__n"),
+    # Winnow RELATIONALLY, explode-FIRST: gram POSITIONS are exploded
+    # before the per-gram md5 is computed, so the hash work lands in the
+    # post-exchange stage. Two traps, both caught live at sf0.1:
+    # (1) computing the hash ARRAY in a projected column and windowing
+    #     over it lets CollapseProject inline the whole transform per
+    #     reference — O(n²) md5s;
+    # (2) even with the array computed once, project-through-exchange
+    #     pushes the transform BELOW the repartition into the unsplit
+    #     single-row-group scan task — 1.1M md5s on one core (12 s);
+    #     a Generate node is not pushed through an Exchange, so exploding
+    #     positions first pins the per-row hash after the shuffle (3 s).
+    # The doc_id hash repartition doubles as the window's required
+    # distribution — the frame-min pass adds NO further exchange, and the
+    # shuffle moves the compact normalized strings, not exploded rows.
+    # explicit partition COUNT, not repartition("doc_id"): without the
+    # count AQE sees a ~MB-sized shuffle and coalesces it to one
+    # partition, serializing the post-exchange md5 stage onto one core —
+    # the shuffle is small precisely BECAUSE the heavy work happens after
+    # it. An explicit count is user-specified partitioning AQE respects.
+    normed = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "").alias("__n"),
+        )
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
     )
-    base = normed.select(
+    pos_rows = normed.select(
         "doc_id",
-        F.expr(
-            f"transform(sequence(1, greatest(length(__n) - {k - 1}, 0)),"
-            f" i -> cast(conv(substring(md5(substring(__n, i, {k})), 1, 8),"
-            f" 16, 10) as bigint))"
-        ).alias("__h"),
+        "__n",
+        F.explode(
+            F.expr(f"sequence(1, greatest(length(__n) - {k - 1}, 0))")
+        ).alias("pos"),
     )
-    # Winnow RELATIONALLY (posexplode + frame-min window), not with an
-    # array-lambda slice/min: Catalyst's CollapseProject would inline the
-    # whole gram-hash transform into EVERY windowed reference of __h,
-    # recomputing the n-gram md5 array once per window position — the
-    # O(n²)-md5 trap (caught live: 500 docs -> minutes). The generator
-    # node is an inlining barrier, the hash array is evaluated exactly
-    # once per doc, and the frame-min is one keyed window pass.
-    rows = base.select("doc_id", F.posexplode("__h").alias("pos", "h"))
+    rows = pos_rows.select(
+        "doc_id",
+        "pos",
+        F.expr(
+            f"cast(conv(substring(md5(substring(__n, pos, {k})), 1, 8),"
+            f" 16, 10) as bigint)"
+        ).alias("h"),
+    )
     w_doc = Window.partitionBy("doc_id")
     w_frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     sel_rows = (
         rows.withColumn("n", F.count(F.lit(1)).over(w_doc))
         .withColumn("wmin", F.min("h").over(w_frame))
         .filter(
-            (F.col("pos") <= F.col("n") - w)
-            | ((F.col("n") < w) & (F.col("pos") == 0))
+            (F.col("pos") <= F.col("n") - (w - 1))
+            | ((F.col("n") < w) & (F.col("pos") == 1))
         )
     )
     postings = sel_rows.select("doc_id", F.col("wmin").alias("fp")).distinct()
