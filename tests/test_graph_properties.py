@@ -67,3 +67,23 @@ def test_k_core_matches_bruteforce(spark, edges, k):
     )
     got = {r["node"]: r["core_degree"] for r in graph.k_core(df, k).collect()}
     assert got == _brute_k_core(_und(edges), k)
+
+
+# -- winnowing guarantee (dedup family, colocated for the shared session) --
+
+texts = st.text(alphabet="abcdefghij ", min_size=0, max_size=60)
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts, texts, st.text(alphabet="klmnopqrs", min_size=25, max_size=40))
+def test_winnow_guarantee_random(spark, left, right, shared):
+    """Any two docs sharing a substring of >= w+k-1 (23) normalized chars
+    must share at least one selected fingerprint (Schleimer et al. Thm 1);
+    the shared block uses a disjoint alphabet so the property is exact."""
+    from mssql2monetdb_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, left + shared), (2, shared + right)], "doc_id bigint, text string"
+    )
+    pairs = dedup.winnow_fingerprint_pairs(docs, min_shared=1, df_cap=10).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
