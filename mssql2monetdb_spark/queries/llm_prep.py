@@ -306,6 +306,7 @@ def quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quality_classifier_linear",
     oracle=ranking.linear_classifier_scores_sql("documents") + " ORDER BY doc_id",
+    bench=True,
 )
 def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed bag-of-ngrams linear classifier inference — the
