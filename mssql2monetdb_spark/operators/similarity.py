@@ -1289,10 +1289,13 @@ def mmr_rerank(
             vectors.cosine(F.col(emb_col), F.col("q_emb")).alias("rel"),
         )
     )
-    w = Window.orderBy(F.col("rel").desc(), F.col("vec_id"))
+    # top-N via orderBy().limit() — TakeOrderedAndProject computes
+    # per-partition partial top-Ns and merges N rows, never a global
+    # sort; a global row_number window would funnel the whole scored
+    # corpus through ONE partition (caught in self-review)
     cand = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= n_candidates)
+        scored.orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(n_candidates)
         .select("vec_id", "emb", "rel")
     )
     sel = cand.orderBy(F.col("rel").desc(), F.col("vec_id")).limit(1).select(
