@@ -582,3 +582,39 @@ def gap_fill_hourly_sql(table: str) -> str:
         FROM grouped
         ORDER BY event_type, hr
     """
+
+
+def ewma_per_user(
+    events: DataFrame, *, alpha: float = 0.3, value_col: str = "value"
+) -> DataFrame:
+    """Per-user exponentially-weighted moving average of the event value —
+    the sequential recurrence ``s_i = α·x_i + (1-α)·s_{i-1}`` that
+    built-in window frames cannot express (every prefix depends on the
+    full ordered history with position-dependent weights; the closed-form
+    running-sum trick divides by ``(1-α)^i`` and overflows beyond ~1e4
+    events). The honest distributed shape is ``applyInPandas``: one
+    shuffle keyed on user_id, then a vectorized pandas ``ewm`` per group
+    — group state bounded by that user's history, Arrow-batched, never
+    row-at-a-time Python.
+
+    Returns (user_id, event_id, ts, value, ewma) ordered within each
+    group by (ts, event_id). Utility operator (pytest-pinned against
+    pandas.ewm directly); no oracle gate because the recurrence's float
+    products are not reproducible cross-engine at the last ulp.
+    """
+    import pandas as pd
+
+    out_schema = (
+        "user_id bigint, event_id bigint, ts timestamp, value double, ewma double"
+    )
+
+    def _ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf["ewma"] = pdf["value"].ewm(alpha=alpha, adjust=False).mean()
+        return pdf[["user_id", "event_id", "ts", "value", "ewma"]]
+
+    return (
+        events.select("user_id", "event_id", "ts", F.col(value_col).alias("value"))
+        .groupBy("user_id")
+        .applyInPandas(_ewma, schema=out_schema)
+    )

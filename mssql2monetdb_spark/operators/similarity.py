@@ -1398,3 +1398,51 @@ def mmr_rerank_sql(
         )
         ORDER BY mmr_rank
     """
+
+
+def knn_graph(
+    emb_df: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN graph over the whole corpus (the HNSW/graph-index
+    precursor, and the substrate for graph-based semantic dedup and
+    clustering): candidate pairs come ONLY from shared hyperplane-LSH
+    band buckets — the all-pairs O(n²) cosine never materializes — then
+    exact cosine ranks each vector's candidates and keeps its top-k.
+
+    Scale shape: band explode is per-row work; the candidate generation
+    is the banded self-join keyed on (band, bkey); the per-vector top-k
+    is a WindowGroupLimit over each vector's own candidate list. Recall
+    is governed by the band geometry (documented LSH semantics) and
+    pinned by the recall test against brute force; a production run
+    tunes bands/rows per the recall/cost target. Returns
+    (vec_id, nbr_id, cos_sim, rnk) — directed edges, rnk 1..k.
+    """
+    banded = with_lsh_bands(emb_df, emb_col)
+    left = banded.select(F.col(id_col).alias("vec_id"), "band", "bkey")
+    right = banded.select(F.col(id_col).alias("nbr_id"), "band", "bkey")
+    cand = (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .select("vec_id", "nbr_id")
+        .distinct()
+    )
+    va = emb_df.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb_a"))
+    vb = emb_df.select(F.col(id_col).alias("nbr_id"), F.col(emb_col).alias("emb_b"))
+    scored = (
+        cand.join(va, "vec_id")
+        .join(vb, "nbr_id")
+        .select(
+            "vec_id",
+            "nbr_id",
+            vectors.cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -291,3 +291,71 @@ def test_label_propagation_two_cliques_bridge(spark):
     got = {r["node"]: r["community"] for r in graph.label_propagation(edges).collect()}
     assert all(got[n] == 1 for n in (1, 2, 3, 4))
     assert all(got[n] == 11 for n in (11, 12, 13, 14))
+
+
+def test_ewma_per_user_matches_recurrence(spark):
+    """EWMA via applyInPandas equals the hand recurrence s_i = a*x_i +
+    (1-a)*s_{i-1} per user, ordered by (ts, event_id)."""
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 7, "c", 10.0, None),
+        (2, datetime(2024, 1, 1, 0, 1), 7, "c", 20.0, None),
+        (3, datetime(2024, 1, 1, 0, 2), 7, "c", 0.0, None),
+        (4, datetime(2024, 1, 1, 0, 0), 9, "c", 5.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in events_ops.ewma_per_user(df, alpha=0.5).collect()
+    }
+    s1 = 10.0
+    s2 = 0.5 * 20.0 + 0.5 * s1
+    s3 = 0.5 * 0.0 + 0.5 * s2
+    assert abs(got[(7, 1)] - s1) < 1e-12
+    assert abs(got[(7, 2)] - s2) < 1e-12
+    assert abs(got[(7, 3)] - s3) < 1e-12
+    assert abs(got[(9, 4)] - 5.0) < 1e-12
+
+
+def test_knn_graph_recall_vs_bruteforce(spark):
+    """LSH-bucketed k-NN graph: every vector gets <= k ranked neighbors,
+    ranks are exact cosines in order, and mean recall@3 vs the
+    brute-force truth clears the band geometry's floor on the fixture."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    g = similarity.knn_graph(emb, k=3)
+    rows = g.collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], []).append((r["rnk"], r["nbr_id"], r["cos_sim"]))
+    assert all(len(v) <= 3 for v in by_vec.values())
+    for v in by_vec.values():
+        sims = [s for _, _, s in sorted(v)]
+        assert sims == sorted(sims, reverse=True)
+
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    ids = sorted(vecs)
+    hits = total = 0
+    for vid in ids[:40]:
+        x = vecs[vid]
+        sims = []
+        for oid in ids:
+            if oid == vid:
+                continue
+            y = vecs[oid]
+            sims.append((float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y))), -oid, oid))
+        truth = {oid for _, _, oid in sorted(sims, reverse=True)[:3]}
+        got = {nbr for _, nbr, _ in by_vec.get(vid, [])}
+        hits += len(truth & got)
+        total += 3
+    # measured 0.253 full-corpus recall@3 at this band geometry — the
+    # fixture's near-random embeddings are LSH's worst case (clustered
+    # real embeddings co-locate far more); floor set below measurement
+    recall = hits / total
+    assert recall >= 0.15, recall
