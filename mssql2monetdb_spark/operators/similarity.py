@@ -1446,3 +1446,41 @@ def knn_graph(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def knn_graph_dedup(
+    emb_df: DataFrame,
+    *,
+    threshold: float = 0.9,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Graph-based semantic dedup composed from the engine's own
+    primitives — the k-NN-graph alternative to SemDeDup's centroid cells:
+    LSH-bucketed k-NN graph -> keep edges with cosine >= threshold ->
+    connected components -> min-id survivor per component. Returns
+    (vec_id, component_id, is_survivor) for every vector that belongs to
+    a near-dup component of size >= 2.
+
+    Every stage is an already-scale-audited operator: knn_graph bounds
+    candidates by band buckets, connected_components is
+    partial-aggregatable min-label propagation with lineage truncation.
+    """
+    from . import dedup as dedup_ops
+
+    edges = (
+        knn_graph(emb_df, k=k, id_col=id_col, emb_col=emb_col)
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.least("vec_id", "nbr_id").alias("doc_a"),
+            F.greatest("vec_id", "nbr_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    comps = dedup_ops.connected_components(edges)
+    return comps.select(
+        F.col("doc_id").alias(id_col),
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_survivor"),
+    )

@@ -359,3 +359,23 @@ def test_knn_graph_recall_vs_bruteforce(spark):
     # real embeddings co-locate far more); floor set below measurement
     recall = hits / total
     assert recall >= 0.15, recall
+
+
+def test_knn_graph_dedup_clusters_planted_neardups(spark):
+    """Three planted clones of vector 0 (tiny perturbations) plus the
+    organic corpus: the composed knn-graph dedup must put all four in one
+    component with exactly one survivor (the min id)."""
+    from pyspark.sql import Row
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") == 0).collect()[0]
+    clones = [
+        Row(vec_id=10_000 + i, embedding=[v + 1e-4 * i for v in base["embedding"]], label=base["label"])
+        for i in (1, 2, 3)
+    ]
+    df = emb.unionByName(spark.createDataFrame(clones, emb.schema))
+    out = similarity.knn_graph_dedup(df, threshold=0.99)
+    comp = {r["vec_id"]: (r["component_id"], r["is_survivor"]) for r in out.collect()}
+    assert comp[0] == (0, True)
+    for i in (10_001, 10_002, 10_003):
+        assert comp[i] == (0, False)
