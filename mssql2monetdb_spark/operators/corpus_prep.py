@@ -1409,16 +1409,17 @@ def importance_resample_sql(
             SELECT MIN(importance) AS min_imp, MAX(importance) AS max_imp
             FROM scored
         )
-        SELECT doc_id, importance,
-               CAST(CASE WHEN max_imp > min_imp
-                         THEN (importance - min_imp) * {DSIR_SCALE}
-                              // (max_imp - min_imp)
-                         ELSE {DSIR_SCALE // 2} END AS BIGINT) AS accept_scaled
-        FROM scored CROSS JOIN bounds
-        WHERE ({draw}) <= CASE WHEN max_imp > min_imp
-                               THEN (importance - min_imp) * {DSIR_SCALE}
-                                    // (max_imp - min_imp)
-                               ELSE {DSIR_SCALE // 2} END
+        SELECT doc_id, importance, accept_scaled
+        FROM (
+            SELECT doc_id, importance,
+                   CAST(CASE WHEN max_imp > min_imp
+                             THEN (importance - min_imp) * {DSIR_SCALE}
+                                  // (max_imp - min_imp)
+                             ELSE {DSIR_SCALE // 2} END AS BIGINT)
+                       AS accept_scaled
+            FROM scored CROSS JOIN bounds
+        )
+        WHERE ({draw}) <= accept_scaled
     """
 
 

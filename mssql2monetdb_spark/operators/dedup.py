@@ -879,11 +879,20 @@ def winnow_fingerprint_pairs(
             docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
         )
     )
+    # size guard BEFORE sequence(): Spark's sequence(1, 0) yields the
+    # DESCENDING [1, 0], not an empty array (the word_shingles trap in
+    # functions/text.py) — without the CASE a doc shorter than k emits a
+    # spurious position-0/1 pair and hashes the whole short string,
+    # diverging from the oracle's empty generate_series(1, 0)
     pos_rows = normed.select(
         "doc_id",
         "__n",
         F.explode(
-            F.expr(f"sequence(1, greatest(length(__n) - {k - 1}, 0))")
+            F.expr(
+                f"CASE WHEN length(__n) >= {k}"
+                f" THEN sequence(1, length(__n) - {k - 1})"
+                f" ELSE array() END"
+            ).cast("array<int>")
         ).alias("pos"),
     )
     rows = pos_rows.select(
@@ -904,7 +913,14 @@ def winnow_fingerprint_pairs(
             | ((F.col("n") < w) & (F.col("pos") == 1))
         )
     )
-    postings = sel_rows.select("doc_id", F.col("wmin").alias("fp")).distinct()
+    # postings feeds the df aggregate AND both sides of the pair join —
+    # cache the distinct fingerprint relation (caches.tracked, recoverable
+    # persist) or the whole explode+md5+winnow pipeline re-executes three
+    # times per action (review catch; same discipline as the minhash and
+    # setsim posting lists above)
+    postings = caches.tracked(
+        sel_rows.select("doc_id", F.col("wmin").alias("fp")).distinct()
+    )
     df_ok = (
         postings.groupBy("fp")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))

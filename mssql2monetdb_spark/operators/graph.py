@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import parallelized
+from ..engine import caches
 
 PR_DAMPING = 0.85
 PR_ITERATIONS = 4
@@ -298,7 +299,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     hash-stable cross-engine. Returns ``(node, n_triangles)`` for nodes
     in ≥1 triangle.
     """
-    und = (
+    # und is referenced by both degree scans + the rank attach, oriented
+    # by both wedge arms + the closing probe: cache both (caches.tracked,
+    # a recoverable persist — lineage intact for executor-loss recompute)
+    # so the canonicalizing distinct and the degree joins run once per
+    # action. Locally AQE's ReusedExchange masks most of the recompute
+    # (measured a wash at sf0.1); on a real cluster the cache makes the
+    # one-distinct/one-join cost the docstring counts structural, not an
+    # optimizer favor.
+    und = caches.tracked(
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
@@ -317,9 +326,11 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
-    oriented = ranked.select(
-        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    oriented = caches.tracked(
+        ranked.select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
     )
     e1 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     e2 = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
@@ -375,6 +386,10 @@ def triangle_counts_sql(edges_cte: str) -> str:
 
 
 KCORE_CHECKPOINT_EVERY = 5  # truncate edge lineage every N peel rounds
+#: LPA truncates every 3 rounds so the default iterations=4 run fires it
+#: (review catch: reusing the k-core constant 5 made the branch dead code
+#: at the default setting)
+LPA_CHECKPOINT_EVERY = 3
 
 
 def k_core(edges: DataFrame, k: int, *, max_rounds: int = 30) -> DataFrame:
@@ -469,6 +484,6 @@ def label_propagation(edges: DataFrame, *, iterations: int = 4) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", "community")
         )
-        if (i + 1) % KCORE_CHECKPOINT_EVERY == 0:
+        if (i + 1) % LPA_CHECKPOINT_EVERY == 0:
             labels = labels.localCheckpoint()
     return labels

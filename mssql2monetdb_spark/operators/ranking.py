@@ -1079,16 +1079,18 @@ def linear_classifier_scores_sql(
         hashing.md5_int32_sql(f"CAST(({bucket}) AS VARCHAR) || '|w{CLS_SALT}'")
         + f" % {2 * CLS_WEIGHT_SPAN + 1} - {CLS_WEIGHT_SPAN}"
     )
+    # fold computed ONCE in the inner select (review catch: inlining it
+    # for both score_sum and keep doubled the per-feature md5 work in the
+    # oracle path)
     return f"""
-        SELECT {id_expr} AS doc_id,
-               CAST(len({feats}) AS BIGINT) AS n_features,
-               CAST(list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform({feats}, f -> CAST({weight} AS BIGINT))),
-                   (acc, x) -> acc + x) AS BIGINT) AS score_sum,
-               list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform({feats}, f -> CAST({weight} AS BIGINT))),
-                   (acc, x) -> acc + x) > 0 AS keep
-        FROM {table}
+        SELECT doc_id, n_features, score_sum, score_sum > 0 AS keep
+        FROM (
+            SELECT {id_expr} AS doc_id,
+                   CAST(len({feats}) AS BIGINT) AS n_features,
+                   CAST(list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform({feats}, f -> CAST({weight} AS BIGINT))),
+                       (acc, x) -> acc + x) AS BIGINT) AS score_sum
+            FROM {table}
+        )
     """

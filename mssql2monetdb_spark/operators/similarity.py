@@ -1293,7 +1293,14 @@ def mmr_rerank(
     # per-partition partial top-Ns and merges N rows, never a global
     # sort; a global row_number window would funnel the whole scored
     # corpus through ONE partition (caught in self-review)
-    cand = (
+    # cache the <=N-row candidate frame (review catch): it is referenced
+    # by the seed pick and by every greedy round's anti-join — uncached,
+    # each reference re-runs the corpus-sized top-N scan, k-folding the
+    # exact cost the docstring promises is paid once. caches.tracked is a
+    # recoverable persist (lineage intact, unlike localCheckpoint).
+    from ..engine import caches
+
+    cand = caches.tracked(
         scored.orderBy(F.col("rel").desc(), F.col("vec_id"))
         .limit(n_candidates)
         .select("vec_id", "emb", "rel")
@@ -1333,7 +1340,10 @@ def mmr_rerank(
             .limit(1)
             .select("vec_id", "emb", "rel", F.lit(step).alias("mmr_rank"), "mmr_score")
         )
-        sel = sel.unionAll(pick)
+        # each round's sel is referenced by the next round's anti-join AND
+        # the pairwise-sim broadcast; caching the <=k-row union also stops
+        # the nested-plan growth across rounds
+        sel = caches.tracked(sel.unionAll(pick))
     return sel.select("mmr_rank", "vec_id", "rel", "mmr_score").orderBy("mmr_rank")
 
 

@@ -1545,39 +1545,112 @@ def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truth.crossJoin(F.broadcast(est))
 
 
-@query(
-    "events_anomaly_mad",
-    oracle="""
-        WITH ranked AS (
-            SELECT user_id, event_id, value,
-                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
-                   COUNT(*) OVER (PARTITION BY user_id) AS n
-            FROM events
+
+def _mad_screen(df, keys: list[str], tiebreak: str):
+    """Shared rank-based median/MAD screen: per-``keys`` group, lower
+    medians by row_number selection (no interpolation), dev > 3*MAD
+    outlier counts. Both the per-user (events_anomaly_mad) and the
+    seasonal per-(type, hour) (events_seasonal_hourly) gates build the
+    SAME expression chain through here — one place to fix the median
+    selection or the threshold (review catch: the two builders were
+    near-verbatim copies)."""
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy(*keys).orderBy("value", tiebreak)
+    w_grp = Window.partitionBy(*keys)
+    ranked = df.select(
+        *keys,
+        tiebreak,
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_grp).alias("n"),
+    )
+    with_med = ranked.select(
+        *keys,
+        tiebreak,
+        "value",
+        "n",
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value")))
+        .over(w_grp)
+        .alias("med"),
+    )
+    dev = F.abs(F.col("value") - F.col("med"))
+    w_dev = Window.partitionBy(*keys).orderBy(dev, tiebreak)
+    devs = with_med.select(
+        *keys,
+        "value",
+        "n",
+        "med",
+        dev.alias("dev"),
+        F.row_number().over(w_dev).alias("drn"),
+    )
+    with_mad = devs.select(
+        *keys,
+        "value",
+        "n",
+        "med",
+        "dev",
+        F.max(F.when(F.col("drn") == F.expr("(n + 1) div 2"), F.col("dev")))
+        .over(w_grp)
+        .alias("mad"),
+    )
+    return (
+        with_mad.groupBy(*keys)
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy(*keys)
+    )
+
+
+def _mad_screen_sql(source_sql: str, keys: list[str], tiebreak: str) -> str:
+    """DuckDB fragment matching :func:`_mad_screen` over ``source_sql``
+    (a query producing ``keys`` + ``tiebreak`` + ``value``)."""
+    ks = ", ".join(keys)
+    return f"""
+        WITH src AS ({source_sql}),
+        ranked AS (
+            SELECT {ks}, {tiebreak}, value,
+                   ROW_NUMBER() OVER (PARTITION BY {ks}
+                                      ORDER BY value, {tiebreak}) AS rn,
+                   COUNT(*) OVER (PARTITION BY {ks}) AS n
+            FROM src
         ), with_med AS (
-            SELECT user_id, event_id, value, n,
+            SELECT {ks}, {tiebreak}, value, n,
                    MAX(CASE WHEN rn = (n + 1) // 2 THEN value END)
-                       OVER (PARTITION BY user_id) AS med
+                       OVER (PARTITION BY {ks}) AS med
             FROM ranked
         ), devs AS (
-            SELECT user_id, event_id, value, n, med, ABS(value - med) AS dev,
-                   ROW_NUMBER() OVER (PARTITION BY user_id
-                                      ORDER BY ABS(value - med), event_id) AS drn
+            SELECT {ks}, value, n, med, ABS(value - med) AS dev,
+                   ROW_NUMBER() OVER (PARTITION BY {ks}
+                                      ORDER BY ABS(value - med), {tiebreak}) AS drn
             FROM with_med
         ), with_mad AS (
-            SELECT user_id, value, n, med, dev,
+            SELECT {ks}, value, n, med, dev,
                    MAX(CASE WHEN drn = (n + 1) // 2 THEN dev END)
-                       OVER (PARTITION BY user_id) AS mad
+                       OVER (PARTITION BY {ks}) AS mad
             FROM devs
         )
-        SELECT user_id,
+        SELECT {ks},
                CAST(MAX(n) AS BIGINT) AS n_events,
                MAX(med) AS med, MAX(mad) AS mad,
                CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_outliers
         FROM with_mad
-        GROUP BY user_id
-        ORDER BY user_id
-    """,
+        GROUP BY {ks}
+        ORDER BY {ks}
+    """
+
+
+@query(
+    "events_anomaly_mad",
+    oracle=_mad_screen_sql("SELECT user_id, event_id, value FROM events",
+                           ["user_id"], "event_id"),
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median-absolute-deviation anomaly screen per user: rank-based lower
@@ -1587,102 +1660,24 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two keyed window passes over events partitioned by
     user_id — the same exchange reused (both windows key on user_id), no
-    global sort, robust to any per-user event volume.
-    """
-    from pyspark.sql.window import Window
-
+    global sort, robust to any per-user event volume. Shared recipe:
+    :func:`_mad_screen`."""
     t = Tables(spark, sf_dir)
-    w_rank = Window.partitionBy("user_id").orderBy("value", "event_id")
-    w_user = Window.partitionBy("user_id")
-    ranked = t.events.select("user_id", "event_id", "value").select(
-        "user_id",
-        "event_id",
-        "value",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_user).alias("n"),
-    )
-    with_med = ranked.select(
-        "user_id",
-        "event_id",
-        "value",
-        "n",
-        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value")))
-        .over(w_user)
-        .alias("med"),
-    )
-    dev = F.abs(F.col("value") - F.col("med"))
-    w_dev = Window.partitionBy("user_id").orderBy(dev, "event_id")
-    devs = with_med.select(
-        "user_id",
-        "value",
-        "n",
-        "med",
-        dev.alias("dev"),
-        F.row_number().over(w_dev).alias("drn"),
-    )
-    with_mad = devs.select(
-        "user_id",
-        "value",
-        "n",
-        "med",
-        "dev",
-        F.max(F.when(F.col("drn") == F.expr("(n + 1) div 2"), F.col("dev")))
-        .over(w_user)
-        .alias("mad"),
-    )
-    return (
-        with_mad.groupBy("user_id")
-        .agg(
-            F.max("n").cast("bigint").alias("n_events"),
-            F.max("med").alias("med"),
-            F.max("mad").alias("mad"),
-            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_outliers"),
-        )
-        .orderBy("user_id")
+    return _mad_screen(
+        t.events.select("user_id", "event_id", "value"), ["user_id"], "event_id"
     )
 
 
 @query(
     "events_seasonal_hourly",
-    oracle="""
-        WITH slotted AS (
-            SELECT event_type,
-                   CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hod,
-                   event_id, value
-            FROM events
-        ), ranked AS (
-            SELECT event_type, hod, event_id, value,
-                   ROW_NUMBER() OVER (PARTITION BY event_type, hod
-                                      ORDER BY value, event_id) AS rn,
-                   COUNT(*) OVER (PARTITION BY event_type, hod) AS n
-            FROM slotted
-        ), with_med AS (
-            SELECT event_type, hod, event_id, value, n,
-                   MAX(CASE WHEN rn = (n + 1) // 2 THEN value END)
-                       OVER (PARTITION BY event_type, hod) AS med
-            FROM ranked
-        ), devs AS (
-            SELECT event_type, hod, value, n, med, ABS(value - med) AS dev,
-                   ROW_NUMBER() OVER (PARTITION BY event_type, hod
-                                      ORDER BY ABS(value - med), event_id) AS drn
-            FROM with_med
-        ), with_mad AS (
-            SELECT event_type, hod, value, n, med, dev,
-                   MAX(CASE WHEN drn = (n + 1) // 2 THEN dev END)
-                       OVER (PARTITION BY event_type, hod) AS mad
-            FROM devs
-        )
-        SELECT event_type, hod,
-               CAST(MAX(n) AS BIGINT) AS n_events,
-               MAX(med) AS med, MAX(mad) AS mad,
-               CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_outliers
-        FROM with_mad
-        GROUP BY event_type, hod
-        ORDER BY event_type, hod
-    """,
+    oracle=_mad_screen_sql(
+        """SELECT event_type,
+                  CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hod,
+                  event_id, value
+           FROM events""",
+        ["event_type", "hod"],
+        "event_id",
+    ),
 )
 def events_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal (hour-of-day) robust anomaly baseline — the
@@ -1690,13 +1685,9 @@ def events_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     normally high at 14:00 must not be flagged just for being higher
     than the 03:00 trough, so the median/MAD baseline is computed PER
     (event_type, hour-of-day) slot and deviations are measured against
-    the slot's own baseline. Rank-based lower medians (row_number
-    selection, no interpolation — cross-engine lerp is last-ulp
-    ambiguous); all three window passes key on the same
-    (event_type, hod) so the exchange is reused; output is
-    O(types x 24) regardless of event volume."""
-    from pyspark.sql.window import Window
-
+    the slot's own baseline. Same shared rank-median recipe
+    (:func:`_mad_screen`), keyed by the slot; all three window passes
+    reuse one exchange; output is O(types x 24) regardless of volume."""
     t = Tables(spark, sf_dir)
     slotted = t.events.select(
         "event_type",
@@ -1704,60 +1695,7 @@ def events_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
     )
-    w_rank = Window.partitionBy("event_type", "hod").orderBy("value", "event_id")
-    w_slot = Window.partitionBy("event_type", "hod")
-    ranked = slotted.select(
-        "event_type",
-        "hod",
-        "event_id",
-        "value",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_slot).alias("n"),
-    )
-    with_med = ranked.select(
-        "event_type",
-        "hod",
-        "event_id",
-        "value",
-        "n",
-        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value")))
-        .over(w_slot)
-        .alias("med"),
-    )
-    dev = F.abs(F.col("value") - F.col("med"))
-    w_dev = Window.partitionBy("event_type", "hod").orderBy(dev, "event_id")
-    devs = with_med.select(
-        "event_type",
-        "hod",
-        "value",
-        "n",
-        "med",
-        dev.alias("dev"),
-        F.row_number().over(w_dev).alias("drn"),
-    )
-    with_mad = devs.select(
-        "event_type",
-        "hod",
-        "value",
-        "n",
-        "med",
-        "dev",
-        F.max(F.when(F.col("drn") == F.expr("(n + 1) div 2"), F.col("dev")))
-        .over(w_slot)
-        .alias("mad"),
-    )
-    return (
-        with_mad.groupBy("event_type", "hod")
-        .agg(
-            F.max("n").cast("bigint").alias("n_events"),
-            F.max("med").alias("med"),
-            F.max("mad").alias("mad"),
-            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_outliers"),
-        )
-        .orderBy("event_type", "hod")
-    )
+    return _mad_screen(slotted, ["event_type", "hod"], "event_id")
 
 
 QH_QS = [0.5, 0.9, 0.99]

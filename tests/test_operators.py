@@ -1655,3 +1655,17 @@ def test_weighted_sample_topk_is_weight_proportional(spark):
     # expect ~47% of picks, binomial(200, .47) 3-sigma ~ [0.36, 0.58]
     share = heavy_hits / total
     assert 0.30 < share < 0.65, share
+
+
+def test_winnow_short_identical_docs_do_not_pair(spark):
+    """Regression (review catch): Spark sequence(1, 0) is the DESCENDING
+    [1, 0], so without the size guard two docs with the same sub-k
+    normalized text paired via a spurious whole-string fingerprint while
+    the DuckDB oracle (empty generate_series) returned nothing."""
+    from mssql2monetdb_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "zz!"), (2, "z z"), (3, "completely different long padding text here")],
+        "doc_id bigint, text string",
+    )
+    assert dedup.winnow_fingerprint_pairs(docs, min_shared=1).count() == 0
