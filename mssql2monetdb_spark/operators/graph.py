@@ -300,14 +300,14 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     in ≥1 triangle.
     """
     # und is referenced by both degree scans + the rank attach, oriented
-    # by both wedge arms + the closing probe: cache both (caches.tracked,
-    # a recoverable persist — lineage intact for executor-loss recompute)
-    # so the canonicalizing distinct and the degree joins run once per
-    # action. Locally AQE's ReusedExchange masks most of the recompute
-    # (measured a wash at sf0.1); on a real cluster the cache makes the
-    # one-distinct/one-join cost the docstring counts structural, not an
-    # optimizer favor.
-    und = caches.tracked(
+    # by both wedge arms + the closing probe — deliberately NOT cached:
+    # every expensive boundary in those subtrees ends in an Exchange
+    # (distinct, joins), and identical exchanges are deduplicated by
+    # ReusedExchange on cluster and local alike, so only the cheap
+    # post-exchange projections replay. Measured both ways at sf0.1
+    # under bench-style cache isolation: caching adds ~40% wall (the
+    # synchronous materialization) for no recompute saved.
+    und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
@@ -326,11 +326,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
-    oriented = caches.tracked(
-        ranked.select(
-            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
     )
     e1 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     e2 = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
