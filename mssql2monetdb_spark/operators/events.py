@@ -220,8 +220,12 @@ def sessionize(
     expressed over the closed corpus where late data cannot exist. The gap
     compare and duration use exact integer epoch-microseconds, so both
     engines agree bit-for-bit.
+
+    No ``parallelized()`` (round 11): trivial projection straight into
+    the user-keyed window Exchange — the round-robin repartition would
+    shuffle the full stream twice (see graph.py:user_transition_edges).
     """
-    e = parallelized(events).select(
+    e = events.select(
         F.col(user_col).alias("user_id"),
         F.col(id_col).alias("event_id"),
         F.col(ts_col).alias("ts"),
@@ -300,8 +304,11 @@ def transition_matrix(
     pair — the pair space is |types|² regardless of corpus size, so the
     second shuffle is constant-sized at 100 TB. ``p_transition`` is a
     single exact-integer division, deterministic cross-engine.
+
+    No ``parallelized()`` (round 11): trivial projection straight into
+    the user-keyed window Exchange (same rationale as sessionize).
     """
-    e = parallelized(events).select(
+    e = events.select(
         F.col(user_col).alias("user_id"),
         F.col(id_col).alias("event_id"),
         F.col(ts_col).alias("ts"),
@@ -414,7 +421,9 @@ def sessionize_bounded(
     gap_us = gap_s * 1_000_000
     bucket_us = bucket_s * 1_000_000
 
-    e = parallelized(events).select(
+    # no parallelized(): trivial projection straight into the
+    # (user, bucket)-keyed window Exchange (round 11, see sessionize)
+    e = events.select(
         F.col(user_col).alias("user_id"),
         F.col(id_col).alias("event_id"),
         F.col(ts_col).alias("ts"),
@@ -500,8 +509,12 @@ def gap_fill_hourly(events: DataFrame) -> DataFrame:
     count. Sums go through DECIMAL(30,8) (exact for 2-decimal values,
     headroom to 1e22 — the hostile edge corpus carries 1e18 values).
     """
+    # no parallelized(): the (type, hour) groupBy's own Exchange is the
+    # next operator — a round-robin pre-shuffle would move the full
+    # stream twice; partial aggregation happens in the scan task either
+    # way (round 11, see sessionize)
     hourly = (
-        parallelized(events)
+        events
         .groupBy(
             F.col("event_type"),
             F.date_trunc("hour", F.col("ts")).alias("hr"),

@@ -92,10 +92,20 @@ GATE_PRIORITY = [
     "dedup_setsim_exact",
     "rank_bm25",
     "text_tfidf_topk",
-    "prep_chunk_overlap",
-    "join_anti",
-    "agg_tpch_q1",
-    "agg_approx_count_distinct",
+    # optimization-round re-verifies (policy rule 2): the round-11
+    # optimization session removed the pre-window/pre-groupBy
+    # round-robin repartition from user_transition_edges, sessionize,
+    # transition_matrix and gap_fill_hourly — every consumer whose plan
+    # changed and wasn't already in the window gets a slot here; the 4
+    # youngest tail canaries (prep_chunk_overlap, join_anti,
+    # agg_tpch_q1, agg_approx_count_distinct) move to the head of
+    # NEXT_WINDOW_QUEUE. (graph_pagerank, graph_triangle_count and
+    # events_sessionize_bounded also changed plans but already hold
+    # slots above.)
+    "events_sessionize",
+    "events_transition_matrix",
+    "events_gap_fill",
+    "graph_reachability",
 ]
 
 GATE_WINDOW = 50
@@ -117,6 +127,11 @@ GATE_WINDOW = 50
 # (computed from CORRECTNESS_r01-r10 — the remaining r7 block first,
 # then the oldest r8 rows), ties by registration order.
 NEXT_WINDOW_QUEUE = [
+    # displaced by the round-11 optimization re-verifies (age order)
+    "prep_chunk_overlap",
+    "join_anti",
+    "agg_tpch_q1",
+    "agg_approx_count_distinct",
     "tpch_q6_forecast_revenue",
     "tpch_q4_order_priority",
     "tpch_q10_returned_items",
