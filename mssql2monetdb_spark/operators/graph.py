@@ -31,8 +31,9 @@ O(max-indeg / B) — 10⁸-degree hubs cost ~10⁵-entry arrays at B=1024.
 Scale shape: each iteration is one hash join (edges ⋈ ranks, both keyed
 on src) plus two aggregates (dst×bucket, then dst) — the first stage is
 where the hub's rows fan out over B distinct grouping keys, i.e. the
-de-skew IS the extra stage. State bounded by |V| + |E|, no driver-side
-data motion beyond the single |V| scalar. Lineage growth across
+de-skew IS the extra stage. State bounded by |V| + |E|, zero driver-side
+data motion (|V| rides the plan as a broadcast one-row aggregate since
+round 11). Lineage growth across
 iterations is linear in the (small, fixed) iteration count; callers
 running tens of iterations should ``localCheckpoint`` every few rounds
 like connected components does.
@@ -130,13 +131,23 @@ def pagerank(
     (partial-aggregatable, map-side combined, no arrays at all) — results
     differ from the exact mode only by float-addition reassociation
     (~1 ulp per term), verified by the tolerance test in
-    ``tests/test_graph_and_series.py``."""
+    ``tests/test_graph_and_series.py``.
+
+    |V| is an IN-PLAN broadcast scalar (round 11): the earlier
+    ``nodes.count()`` driver probe was a second full action that re-paid
+    the whole edge derivation before the main query ran — folding it into
+    the plan as a one-row aggregate cross join (the oracle's ``nstats``
+    CTE, so the two shapes were always in lockstep) lets ReusedExchange
+    dedup the derivation inside the single action. ``1/n`` and
+    ``(1-d)/n`` stay single IEEE divisions either way — bit-identical
+    ranks (probe: scripts/pagerank_scalar_probe.py, min-of-5 4.82 s ->
+    4.40 s at sf0.1)."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n = nodes.count()  # |V|: one scalar to the driver, like every bounds probe
+    nstats = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     outdeg = edges.groupBy("src").agg(F.sum("weight").alias("outdeg"))
     e = edges.join(outdeg, "src").select(
         "src",
@@ -153,8 +164,9 @@ def pagerank(
             F.lit(fold_buckets),
         ).alias("bkt"),
     )
-    base = (F.lit(1.0) - F.lit(damping)) / F.lit(float(n))
-    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    ranks = nodes.crossJoin(F.broadcast(nstats)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
     for it in range(iterations):
         if checkpoint_every and it and it % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
@@ -186,11 +198,13 @@ def pagerank(
             summed = contribs.groupBy("dst").agg(F.sum("contrib").alias("in_sum"))
         ranks = (
             nodes.join(summed, nodes["node"] == summed["dst"], "left")
+            .crossJoin(F.broadcast(nstats))
             .select(
                 "node",
-                (base + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
             )
         )
     return ranks.orderBy("node")

@@ -1021,6 +1021,8 @@ def _cls_weight(bucket: Column) -> Column:
     )
 
 
+
+
 def linear_classifier_scores(
     docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1050,6 +1052,10 @@ def linear_classifier_scores(
     feats = F.concat(
         tok, F.when(cnt >= 1, bigrams).otherwise(F.array().cast("array<string>"))
     )
+    # NOT a precomputed weight-table lookup (round-11 A/B): replacing the
+    # second md5 with element_at(<4096-int array literal>, bucket) measured
+    # 2.68 s -> 4.71 s min-of-5 at sf0.1 — the giant literal de-optimizes
+    # the fold (codegen fallback), losing far more than the saved hash.
     score = F.aggregate(
         feats,
         F.lit(0).cast("bigint"),
