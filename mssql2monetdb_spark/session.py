@@ -24,6 +24,16 @@ _BUILD_CONF = {
     # Dimension tables (region/nation/supplier/part at any SF worth
     # broadcasting) stay under this; fact-fact joins shuffle.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # AQE sort-merge -> shuffled-hash rewrite (off by default, guide §3.1):
+    # fires only when EVERY post-shuffle partition of the build side is
+    # under this bound, so per-task memory stays capped at 64 MiB — a
+    # size-based gate that adapts per query at any scale (it is NOT a
+    # local-core-count tune). Static plans unchanged (runtime rewrite
+    # only); measured -5% to -21% on the join-heavy bench queries
+    # (OPTIMIZATION_r11.md).
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
+        64 * 1024 * 1024
+    ),
     # Arrow for all pandas_udf / applyInPandas / toPandas transfers.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
@@ -44,6 +54,7 @@ _RUNTIME_CONF = (
     "spark.sql.adaptive.enabled",
     "spark.sql.adaptive.coalescePartitions.enabled",
     "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
     "spark.sql.autoBroadcastJoinThreshold",
     "spark.sql.execution.arrow.pyspark.enabled",
     "spark.sql.legacy.parquet.nanosAsLong",
