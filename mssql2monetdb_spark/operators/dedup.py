@@ -662,19 +662,39 @@ def setsim_prefix_pairs(
     expl = sets.select("id", "sz", F.explode("hs").alias("sh"))
     df_rel = expl.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))
     if broadcast_df_max_shingles is not None:
-        # Probe the PRE-aggregation relation (same distinct-h64 vocabulary,
-        # map-side-only partial sketches, zero shuffle) rather than the
-        # cached per-doc sets: an aggregate over `sets` would materialize
-        # the cache as a standalone action, and AQE's exact in-memory
-        # stats then flip the candidate-verify joins from
-        # broadcast-candidates to shuffling per-candidate hash arrays —
-        # measured 719 MB -> 2.98 GB shuffle at the 100x capacity corpus
-        # for identical output. The extra corpus scan is embarrassingly
-        # parallel; the cache stays unmaterialized until the main action
-        # plans, preserving the broadcast-candidates plan shape.
-        n_sh = rows.agg(F.approx_count_distinct("h64").alias("n")).first()["n"]
-        if n_sh <= broadcast_df_max_shingles:
+        # Tier 1 (round 11): an O(column-scan) UPPER BOUND that skips the
+        # tokenize+hash probe pass entirely when it already proves
+        # broadcast safety. Distinct shingles <= shingle occurrences <=
+        # token count, and whitespace tokenization bounds tokens per doc
+        # by ceil((chars+1)/2) — so sum((length(text)+1)/2) dominates the
+        # vocabulary. The bound reads ONLY the text column's bytes (no
+        # regex split, no md5, no explode — measured 1.0 s -> 0.1 s for
+        # the probe at sf0.1); when it is inconclusive the accurate
+        # sketch probe below decides, so large corpora behave exactly as
+        # before.
+        bound = (
+            docs.agg(
+                F.sum((F.length(F.col(text_col)) + F.lit(1)) / F.lit(2)).alias("b")
+            ).first()["b"]
+            or 0.0
+        )
+        if bound <= broadcast_df_max_shingles:
             df_rel = F.broadcast(df_rel)
+        else:
+            # Tier 2: probe the PRE-aggregation relation (same distinct-h64
+            # vocabulary, map-side-only partial sketches, zero shuffle)
+            # rather than the cached per-doc sets: an aggregate over `sets`
+            # would materialize the cache as a standalone action, and AQE's
+            # exact in-memory stats then flip the candidate-verify joins
+            # from broadcast-candidates to shuffling per-candidate hash
+            # arrays — measured 719 MB -> 2.98 GB shuffle at the 100x
+            # capacity corpus for identical output. The extra corpus scan
+            # is embarrassingly parallel; the cache stays unmaterialized
+            # until the main action plans, preserving the
+            # broadcast-candidates plan shape.
+            n_sh = rows.agg(F.approx_count_distinct("h64").alias("n")).first()["n"]
+            if n_sh <= broadcast_df_max_shingles:
+                df_rel = F.broadcast(df_rel)
     ranked = expl.join(df_rel, "sh")
     win = Window.partitionBy("id").orderBy("df_count", "sh")
     ceil_t_sz = F.floor(
