@@ -29,8 +29,11 @@ _BUILD_CONF = {
     # under this bound, so per-task memory stays capped at 64 MiB — a
     # size-based gate that adapts per query at any scale (it is NOT a
     # local-core-count tune). Static plans unchanged (runtime rewrite
-    # only); measured -5% to -21% on the join-heavy bench queries
-    # (OPTIMIZATION_r11.md).
+    # only). At sf0.1 the registered queries' equi-joins all resolve to
+    # broadcasts (no local bench win claimed — OPTIMIZATION_r11.md has
+    # the corrected evidence); the mechanism is proven live on a plain
+    # fact-fact join (plans/r11/aqe_shj_mechanism_probe.txt) and is what
+    # a 100 TB large-large join hits.
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
         64 * 1024 * 1024
     ),
