@@ -352,19 +352,21 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the fixpoint test rides the round's own join output: the new label
+        # (a LEAST) differs from the old exactly when nbr_label < label, so
+        # ``chg`` is derived in-project and the former third join per round
+        # (new-vs-old labels — two |V| exchanges spent purely on the
+        # convergence count) is gone (optimization round 11, guide §2.4;
+        # min-of-N 3.86 s -> 3.55 s for the bench query at sf0.1)
         new_labels = caches.tracked(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("chg"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.filter("chg").count()
         labels.unpersist()
         if (i + 1) % CC_CHECKPOINT_EVERY == 0:
             ckpt = new_labels.localCheckpoint()

@@ -70,9 +70,19 @@ GATE_PRIORITY = [
     "sort_multi_key",
     "topk_limit",
     "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
+    # optimization-round re-verifies (policy rule 2, second session): the
+    # connected-components loop fused its per-round convergence count into
+    # the round's own join output (operators/dedup.py) — the returned
+    # plan is unchanged (fingerprint gate: 0 changed; the flag column is
+    # pruned from the final projection) but the building code of every CC
+    # consumer changed, so all three get fresh slots; the displaced
+    # canaries (set_union_distinct, set_intersect, set_except — three
+    # variants of the one set-op capability whose representative
+    # set_union_all keeps its slot, all three independently re-driven
+    # MATCH by the r10 judge) head NEXT_WINDOW_QUEUE for round 12.
+    "dedup_connected_components",
+    "dedup_keep_best_in_cluster",
+    "pipeline_clean_corpus",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q18_large_orders",
@@ -127,7 +137,11 @@ GATE_WINDOW = 50
 # (computed from CORRECTNESS_r01-r10 — the remaining r7 block first,
 # then the oldest r8 rows), ties by registration order.
 NEXT_WINDOW_QUEUE = [
-    # displaced by the round-11 optimization re-verifies (age order)
+    # displaced by the round-11 optimization re-verifies (age order; the
+    # three set-op variants are r6-aged, hence ahead of the r7 block)
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
     "prep_chunk_overlap",
     "join_anti",
     "agg_tpch_q1",
@@ -192,9 +206,6 @@ NEXT_WINDOW_QUEUE = [
     "ann_ivf_topk",
     "funnel_stages",
     "retention_cohorts",
-    "dedup_keep_best_in_cluster",
-    "dedup_connected_components",
-    "pipeline_clean_corpus",
     "multimodal_audio_decode",
     "multimodal_video_frames",
     "dedup_incremental_ingest",
