@@ -64,11 +64,19 @@ GATE_PRIORITY = [
     "jdbc_schema_publish",
     "jdbc_warehouse_publish",
     "stream_jdbc_warehouse_publish",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_ntile",
-    "sort_multi_key",
-    "topk_limit",
+    # optimization-round re-verifies (policy rule 2, second session): the
+    # IVF argmin assignment became a map-side-combinable min(struct)
+    # aggregate (operators/similarity.py _argmin_assign — guide §2.3,
+    # K-fold shuffle cut), changing these five consumers' plans; the five
+    # displaced canaries (window_lag_lead, window_running_sum,
+    # window_ntile, sort_multi_key, topk_limit — all r6-aged but every
+    # one independently re-driven MATCH by the r10 judge) head
+    # NEXT_WINDOW_QUEUE for round 12.
+    "ann_ivf_topk",
+    "ann_ivfadc_topk",
+    "ann_ivf_incremental",
+    "dedup_semantic_cells",
+    "decontaminate_semantic",
     "set_union_all",
     # optimization-round re-verifies (policy rule 2, second session): the
     # connected-components loop fused its per-round convergence count into
@@ -142,6 +150,11 @@ NEXT_WINDOW_QUEUE = [
     "set_union_distinct",
     "set_intersect",
     "set_except",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_ntile",
+    "sort_multi_key",
+    "topk_limit",
     "prep_chunk_overlap",
     "join_anti",
     "agg_tpch_q1",
@@ -203,7 +216,6 @@ NEXT_WINDOW_QUEUE = [
     "fn_levenshtein",
     "fn_format",
     "multimodal_image_decode",
-    "ann_ivf_topk",
     "funnel_stages",
     "retention_cohorts",
     "multimodal_audio_decode",
