@@ -40,10 +40,44 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Resolved base-table DataFrames, keyed by (applicationId, path, stat
+#: fingerprint). ``spark.read.parquet`` pays ~150 ms of driver-side schema
+#: inference + relation resolution PER CALL (measured,
+#: scripts/driver_overhead_probe.py) — a 6-table query re-resolved every
+#: table footer on every build. A real engine resolves a table once per
+#: catalog state; this memo is exactly that (a lazy PLAN, never data —
+#: every action still recomputes from the parquet files). The stat
+#: fingerprint (mtime_ns, size) invalidates the entry when a test rewrites
+#: the same path; non-stat-able paths skip the cache entirely.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+_TABLE_CACHE_MAX = 512
+
+
+def _fixture_fingerprint(path: str) -> tuple | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLE_NAMES}")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    key = None
+    fp = _fixture_fingerprint(path)
+    if fp is not None:
+        try:
+            app_id = spark.sparkContext.applicationId
+        except Exception:  # pragma: no cover - stopped context
+            app_id = None
+        if app_id is not None:
+            key = (app_id, path, fp)
+            cached = _TABLE_CACHE.get(key)
+            if cached is not None:
+                return cached
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -57,6 +91,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # micros-precision fixture: align with the session-local
             # TIMESTAMP type the rest of the corpus (and DuckDB) uses.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if key is not None:
+        if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+            _TABLE_CACHE.clear()
+        _TABLE_CACHE[key] = df
     return df
 
 

@@ -73,3 +73,36 @@ def test_release_is_idempotent_and_result_correct(spark):
     caches.release()  # ... release BEFORE execution
     assert [tuple(r) for r in df.collect()] == expected
     assert caches.release() == 0
+
+
+def test_load_table_memoizes_resolution_and_invalidates_on_rewrite(spark, tmp_path):
+    """Base-table resolution is memoized per (app, path, stat fingerprint):
+    the second load returns the SAME DataFrame object (no repeated schema
+    inference), and rewriting the file invalidates the entry."""
+    import os
+    import time
+
+    from mssql2monetdb_spark import catalog
+
+    path = str(tmp_path / "region.parquet")
+    spark.range(3).selectExpr(
+        "cast(id as bigint) as r_regionkey",
+        "concat('R', id) as r_name",
+        "'c' as r_comment",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    a = catalog.load_table(spark, str(tmp_path), "region")
+    b = catalog.load_table(spark, str(tmp_path), "region")
+    assert a is b, "same path + same stat fingerprint must hit the memo"
+    assert a.count() == 3
+
+    time.sleep(0.05)  # ensure the directory mtime_ns moves
+    spark.range(5).selectExpr(
+        "cast(id as bigint) as r_regionkey",
+        "concat('R', id) as r_name",
+        "'c' as r_comment",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    os.utime(path)  # force a new stat fingerprint even on coarse clocks
+    c = catalog.load_table(spark, str(tmp_path), "region")
+    assert c is not a, "rewritten fixture must invalidate the memo"
+    assert c.count() == 5
