@@ -164,8 +164,21 @@ def pagerank(
             F.lit(fold_buckets),
         ).alias("bkt"),
     )
+    # n_nodes rides the rank frame as a column (one row per node, +8
+    # bytes/row): re-deriving nodes + nstats INSIDE every iteration
+    # re-embedded ~4 copies of the whole edge-derivation subtree per
+    # round, growing the static plan to ~2.5k operators at 4 iterations —
+    # Catalyst + AQE planning over that tree was the dominant per-round
+    # cost (guide §3.3/§7.3: planning time on very large plans), and at
+    # tens of iterations it is the driver bottleneck at any scale. The
+    # update joins FROM the previous rank frame instead (same node set by
+    # construction — one row per node survives every round), so each
+    # round adds one join + the fold aggregates, not a fresh nodes tree;
+    # both join inputs already hash-cluster on the key (node / dst).
+    # Arithmetic is unchanged: (1-d)/n and 1/n stay the same single IEEE
+    # divisions, so ranks remain bit-identical.
     ranks = nodes.crossJoin(F.broadcast(nstats)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank"), "n_nodes"
     )
     for it in range(iterations):
         if checkpoint_every and it and it % checkpoint_every == 0:
@@ -196,18 +209,15 @@ def pagerank(
             # production mode: associativity-tolerant plain sum — partial
             # aggregation, map-side combine, zero array state.
             summed = contribs.groupBy("dst").agg(F.sum("contrib").alias("in_sum"))
-        ranks = (
-            nodes.join(summed, nodes["node"] == summed["dst"], "left")
-            .crossJoin(F.broadcast(nstats))
-            .select(
-                "node",
-                (
-                    (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
-                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        ranks = ranks.join(summed, ranks["node"] == summed["dst"], "left").select(
+            "node",
+            (
+                (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
+                + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+            ).alias("rank"),
+            "n_nodes",
         )
-    return ranks.orderBy("node")
+    return ranks.select("node", "rank").orderBy("node")
 
 
 def pagerank_sql(
