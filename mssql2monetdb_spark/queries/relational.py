@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import Tables
+from ..catalog import Tables, parallelized
 from .helpers import davg, dsum, oracle_davg, oracle_dsum, sql_with_views
 from .registry import query
 
@@ -288,6 +288,20 @@ def agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     li = t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    # spread an unsplittable single-row-group scan before the PARTIAL
+    # aggregation: the 7 exact-DECIMAL sums are the heavy per-row work here
+    # and run map-side, so a serial scan task serializes them (measured at
+    # sf0.1: 1.35 s -> 0.94 s; bare decode is 0.16 s, so the decimal fold
+    # is ~85% of the stage). On splittable inputs the partition probe makes
+    # this a no-op — same contract as every parallelized() site. The same
+    # spread measured WORSE on q3/q5 (light per-row work, broadcast-probe
+    # joins — scripts/factside_repart_probe.py), so it stays q1-only.
+    li = parallelized(
+        li.select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax",
+        )
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
